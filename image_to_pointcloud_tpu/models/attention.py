@@ -1,0 +1,142 @@
+"""Attention: Pallas flash-attention TPU kernel with a fused XLA fallback.
+
+The ViT encoder's attention is the dominant HBM-traffic term of the depth
+network at 518² (sequence length 1370 → a materialized (B·H, N, N) score
+tensor is hundreds of MB). The Pallas kernel streams K/V blocks through
+VMEM with an online-softmax accumulator so scores never touch HBM —
+standard flash-attention, shaped for the MXU (128-aligned tiles, bf16
+inputs, f32 accumulation).
+
+The reference has no analogue (its torch ViT materializes attention on
+CPU, backend/app.py:111-113); this kernel is where the TPU rebuild buys
+its throughput headroom.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["multi_head_attention", "flash_attention"]
+
+
+def _attention_xla(q, k, v, scale):
+    """Plain fused-by-XLA attention; reference implementation and fallback."""
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *, scale, block_k, kv_len):
+    """One program: a (block_q, d) query tile vs the full K/V stream."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+    n_valid = len_ref[0]
+
+    block_q, d = q.shape
+    m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m - m_new)
+        l_new = l * correction + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * correction + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, kv_len // block_k, body, (m, l, acc))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over (B, H, N, D) tensors (full bidirectional).
+
+    N is padded to the tile size internally; padded keys are masked out of
+    the softmax, padded queries are discarded on return.
+    """
+    b, h, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    n_pad = -(-n // max(block_q, block_k)) * max(block_q, block_k)
+
+    def pad(x):
+        if n_pad == n:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    bh = b * h
+    qp = qp.reshape(bh, n_pad, d)
+    kp = kp.reshape(bh, n_pad, d)
+    vp = vp.reshape(bh, n_pad, d)
+    lens = jnp.full((1,), n, jnp.int32)
+
+    grid = (bh, n_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, kv_len=n_pad
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, lens)
+    return out.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    num_heads: int,
+    use_flash: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, N, D) projected q/k/v → attention output (B, N, D)."""
+    b, n, dm = q.shape
+    dh = dm // num_heads
+
+    def split(x):
+        return x.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    if use_flash:
+        o = flash_attention(qh, kh, vh, interpret=interpret)
+    else:
+        o = _attention_xla(qh, kh, vh, 1.0 / math.sqrt(dh))
+    return o.transpose(0, 2, 1, 3).reshape(b, n, dm).astype(q.dtype)

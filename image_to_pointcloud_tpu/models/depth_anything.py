@@ -1,0 +1,119 @@
+"""The Depth-Anything model family, composed and preset-configured.
+
+The reference serves exactly one model — ``Depth-Anything-V2-Small-hf``
+via HF transformers (backend/app.py:80-81) — and stubs two others. Here
+the whole family is first-class: Small / Base / Large presets (DINOv2
+ViT-S/B/L backbones + DPT necks), relative or metric (ZoeDepth-class)
+heads, bf16 compute on TPU, one jittable ``apply``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from image_to_pointcloud_tpu.models.dinov2 import DinoV2Backbone, DinoV2Config
+from image_to_pointcloud_tpu.models.dpt import DPTConfig, DPTNeckHead
+
+__all__ = ["DepthAnythingConfig", "DepthAnything", "PRESETS", "preset"]
+
+# ImageNet normalization used by the HF processor (backend/app.py:109).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthAnythingConfig:
+    backbone: DinoV2Config = DinoV2Config()
+    neck: DPTConfig = DPTConfig()
+
+    def with_dtype(self, dtype) -> "DepthAnythingConfig":
+        return DepthAnythingConfig(
+            backbone=dataclasses.replace(self.backbone, dtype=dtype),
+            neck=dataclasses.replace(self.neck, dtype=dtype),
+        )
+
+    def with_flash_attention(self, on: bool = True) -> "DepthAnythingConfig":
+        return DepthAnythingConfig(
+            backbone=dataclasses.replace(self.backbone, use_flash_attention=on),
+            neck=self.neck,
+        )
+
+
+def _cfg(
+    hidden: int,
+    layers: int,
+    heads: int,
+    out_layers: Sequence[int],
+    neck_sizes: Sequence[int],
+    fusion: int,
+    *,
+    metric: bool = False,
+    max_depth: float = 20.0,
+) -> DepthAnythingConfig:
+    return DepthAnythingConfig(
+        backbone=DinoV2Config(
+            hidden_size=hidden,
+            num_layers=layers,
+            num_heads=heads,
+            out_layers=tuple(out_layers),
+        ),
+        neck=DPTConfig(
+            hidden_size=hidden,
+            neck_hidden_sizes=tuple(neck_sizes),
+            fusion_hidden_size=fusion,
+            metric_depth=metric,
+            max_depth=max_depth,
+        ),
+    )
+
+
+# DA-V2 intermediate-layer choices: S/B use blocks [2,5,8,11],
+# L uses [4,11,17,23] (0-indexed).
+PRESETS: dict[str, DepthAnythingConfig] = {
+    "depth-anything-v2-small": _cfg(384, 12, 6, (2, 5, 8, 11), (48, 96, 192, 384), 64),
+    "depth-anything-v2-base": _cfg(768, 12, 12, (2, 5, 8, 11), (96, 192, 384, 768), 128),
+    "depth-anything-v2-large": _cfg(1024, 24, 16, (4, 11, 17, 23), (256, 512, 1024, 1024), 256),
+    # Metric variants (ZoeDepth-class: sigmoid head × max_depth).
+    "depth-anything-v2-metric-small": _cfg(
+        384, 12, 6, (2, 5, 8, 11), (48, 96, 192, 384), 64, metric=True
+    ),
+    "depth-anything-v2-metric-base": _cfg(
+        768, 12, 12, (2, 5, 8, 11), (96, 192, 384, 768), 128, metric=True
+    ),
+}
+# Canonical alias used by the reference API (`model=depth-anything-v2`,
+# backend/app.py:613).
+PRESETS["depth-anything-v2"] = PRESETS["depth-anything-v2-small"]
+
+
+def preset(name: str) -> DepthAnythingConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown model preset: {name!r}; available: {sorted(PRESETS)}"
+        ) from None
+
+
+class DepthAnything(nn.Module):
+    """(B, H, W, 3) normalized pixels → (B, H, W) inverse/metric depth."""
+
+    cfg: DepthAnythingConfig
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        feats = DinoV2Backbone(self.cfg.backbone, name="backbone")(pixels)
+        depth = DPTNeckHead(self.cfg.neck, name="neck")(feats)
+        return depth.astype(jnp.float32)
+
+
+def normalize_pixels(rgb01: jax.Array) -> jax.Array:
+    """ImageNet mean/std normalization of (…, 3) RGB in [0, 1]."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (rgb01 - mean) / std

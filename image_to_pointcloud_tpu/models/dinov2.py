@@ -1,0 +1,154 @@
+"""DINOv2 ViT backbone in Flax — the encoder of the Depth-Anything family.
+
+TPU-first design notes:
+
+* NHWC layouts throughout; the 14×14/stride-14 patch embedding is a
+  patchify-reshape followed by one MXU matmul (never a general conv).
+* Attention runs through :mod:`image_to_pointcloud_tpu.models.attention`
+  (Pallas flash-attention on TPU, fused XLA einsum fallback elsewhere).
+* Position embeddings for non-native resolutions are interpolated with the
+  separable-matmul resampler (torch bicubic a=-0.75 semantics), so the
+  whole forward stays one jitted graph with static shapes.
+
+Semantics match HF ``Dinov2Backbone`` as configured by Depth-Anything
+(the model the reference loads at backend/app.py:80-81): pre-norm blocks,
+LayerScale, GELU MLP, final LayerNorm applied to every selected
+intermediate hidden state, CLS stripped from the returned feature maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from image_to_pointcloud_tpu.models.attention import multi_head_attention
+from image_to_pointcloud_tpu.ops.resize import resample_matrix
+
+__all__ = ["DinoV2Config", "DinoV2Backbone"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoV2Config:
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    patch_size: int = 14
+    pos_embed_size: int = 37  # side of the native position-embedding grid
+    layer_norm_eps: float = 1e-6
+    out_layers: Sequence[int] = (2, 5, 8, 11)  # 0-indexed block outputs
+    use_flash_attention: bool = False
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bfloat16 on TPU)
+
+
+class Mlp(nn.Module):
+    cfg: DinoV2Config
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.cfg.hidden_size
+        x = nn.Dense(d * self.cfg.mlp_ratio, dtype=self.cfg.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(d, dtype=self.cfg.dtype, name="fc2")(x)
+        return x
+
+
+class Block(nn.Module):
+    cfg: DinoV2Config
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm1")(x)
+        h = multi_head_attention(
+            nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="q")(h),
+            nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="k")(h),
+            nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="v")(h),
+            num_heads=cfg.num_heads,
+            use_flash=cfg.use_flash_attention,
+        )
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="proj")(h)
+        g1 = self.param("ls1", nn.initializers.ones, (cfg.hidden_size,))
+        x = x + g1.astype(h.dtype) * h
+
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm2")(x)
+        h = Mlp(cfg, name="mlp")(h)
+        g2 = self.param("ls2", nn.initializers.ones, (cfg.hidden_size,))
+        return x + g2.astype(h.dtype) * h
+
+
+class DinoV2Backbone(nn.Module):
+    """Returns feature maps (B, h, w, D) for each configured output layer."""
+
+    cfg: DinoV2Config
+
+    def _pos_embed(self, ph: int, pw: int) -> jax.Array:
+        cfg = self.cfg
+        n_native = cfg.pos_embed_size * cfg.pos_embed_size
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, n_native + 1, cfg.hidden_size),
+        )
+        if ph == cfg.pos_embed_size and pw == cfg.pos_embed_size:
+            return pos
+        # torch bicubic (align_corners=False, antialias=False) interpolation
+        # of the patch grid, CLS slot untouched — HF Dinov2 semantics.
+        cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+        grid = patch_pos.reshape(
+            cfg.pos_embed_size, cfg.pos_embed_size, cfg.hidden_size
+        )
+        wr = jnp.asarray(resample_matrix(cfg.pos_embed_size, ph, "bicubic_torch"))
+        wc = jnp.asarray(resample_matrix(cfg.pos_embed_size, pw, "bicubic_torch"))
+        grid = jnp.einsum(
+            "oi,iwc->owc", wr, grid, precision=jax.lax.Precision.HIGHEST
+        )
+        grid = jnp.einsum(
+            "oj,hjc->hoc", wc, grid, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.concatenate(
+            [cls_pos, grid.reshape(1, ph * pw, cfg.hidden_size)], axis=1
+        )
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> list[jax.Array]:
+        """pixels: (B, H, W, 3) normalized image, H and W multiples of 14."""
+        cfg = self.cfg
+        b, h, w, _ = pixels.shape
+        p = cfg.patch_size
+        ph, pw = h // p, w // p
+
+        # Patchify + single matmul == Conv(k=p, s=p), laid out for the MXU.
+        x = pixels.reshape(b, ph, p, pw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, ph * pw, p * p * 3).astype(cfg.dtype)
+        w_patch = self.param(
+            "patch_embed", nn.initializers.lecun_normal(), (p * p * 3, cfg.hidden_size)
+        )
+        b_patch = self.param("patch_bias", nn.initializers.zeros, (cfg.hidden_size,))
+        x = x @ w_patch.astype(cfg.dtype) + b_patch.astype(cfg.dtype)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.hidden_size)), x], axis=1)
+        x = x + self._pos_embed(ph, pw).astype(cfg.dtype)
+
+        feats: dict[int, jax.Array] = {}
+        want = set(cfg.out_layers)
+        for i in range(cfg.num_layers):
+            x = Block(cfg, name=f"block{i}")(x)
+            if i in want:
+                feats[i] = x
+
+        final_norm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm"
+        )
+        out = []
+        for i in cfg.out_layers:
+            f = final_norm(feats[i])[:, 1:, :]  # strip CLS
+            out.append(f.reshape(b, ph, pw, cfg.hidden_size))
+        return out

@@ -1,0 +1,137 @@
+"""Statistical outlier removal on TPU — exact kNN via tiled MXU matmuls.
+
+Reproduces Open3D's ``PointCloud.remove_statistical_outlier(nb_neighbors,
+std_ratio)`` semantics used by the reference (backend/app.py:252-269, hot
+spot #3): for every point, the mean distance to its ``nb_neighbors``
+nearest neighbours (the query point itself is among them, at distance 0 —
+Open3D queries the tree with the point itself) is computed; points whose
+mean distance exceeds ``cloud_mean + std_ratio * sample_std`` are dropped
+(strictly-less-than keep test, sample std with n-1 denominator).
+
+Instead of a KD-tree (pointer-chasing, hostile to XLA), the kNN search is
+formulated as a blocked distance-matrix computation
+``D² = |q|² + |k|² − 2 q·kᵀ`` — the inner term is an MXU matmul — with a
+running top-k merge over key blocks, so memory stays at
+``O(block² )`` while arithmetic rides the systolic array.
+
+Defaults nb_neighbors=20, std_ratio=2.0 match the reference call site.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["statistical_outlier_mask", "knn_mean_distances"]
+
+_BIG = jnp.float32(1e30)
+
+
+def _pad_to(x: jax.Array, n: int, value) -> jax.Array:
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, width, constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("k", "query_block", "key_block"))
+def knn_mean_distances(
+    points: jax.Array,
+    valid: jax.Array | None = None,
+    *,
+    k: int = 20,
+    query_block: int = 512,
+    key_block: int = 2048,
+) -> jax.Array:
+    """Mean distance from each point to its k nearest neighbours (incl. self).
+
+    Args:
+      points: (N, 3) float32 positions.
+      valid: optional (N,) bool; invalid points are excluded as neighbour
+        candidates and get mean distance 0 (→ dropped by the filter).
+      k: neighbour count (Open3D ``nb_neighbors``; self included).
+
+    Returns:
+      (N,) float32 mean kNN distances.
+    """
+    n = points.shape[0]
+    p = points.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+
+    nq = -(-n // query_block) * query_block
+    nk = -(-n // key_block) * key_block
+    cap = max(nq, nk)
+    p_pad = _pad_to(p, cap, 0.0)
+    v_pad = _pad_to(valid, cap, False)
+
+    keys = p_pad[:nk]
+    kvalid = v_pad[:nk]
+    key_sq = jnp.sum(keys * keys, axis=1)
+    n_kblocks = nk // key_block
+
+    def per_query_block(qb):
+        q = jax.lax.dynamic_slice_in_dim(p_pad, qb * query_block, query_block)
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+
+        def scan_keys(carry, kb):
+            best = carry  # (query_block, k) running smallest distances²
+            kpts = jax.lax.dynamic_slice_in_dim(keys, kb * key_block, key_block)
+            ksq = jax.lax.dynamic_slice_in_dim(key_sq, kb * key_block, key_block)
+            kval = jax.lax.dynamic_slice_in_dim(kvalid, kb * key_block, key_block)
+            d2 = q_sq + ksq[None, :] - 2.0 * jnp.dot(
+                q,
+                kpts.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d2 = jnp.where(kval[None, :], jnp.maximum(d2, 0.0), _BIG)
+            merged = jnp.concatenate([best, d2], axis=1)
+            neg_top, _ = jax.lax.top_k(-merged, k)
+            return -neg_top, None
+
+        init = jnp.full((query_block, k), _BIG, jnp.float32)
+        best, _ = jax.lax.scan(
+            scan_keys, init, jnp.arange(n_kblocks, dtype=jnp.int32)
+        )
+        found = best < _BIG * 0.5
+        dist = jnp.sqrt(jnp.maximum(best, 0.0))
+        cnt = jnp.maximum(jnp.sum(found, axis=1), 1)
+        return jnp.sum(jnp.where(found, dist, 0.0), axis=1) / cnt
+
+    means = jax.lax.map(per_query_block, jnp.arange(nq // query_block, dtype=jnp.int32))
+    means = means.reshape(nq)[:n]
+    return jnp.where(valid, means, 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "query_block", "key_block"))
+def statistical_outlier_mask(
+    points: jax.Array,
+    valid: jax.Array | None = None,
+    *,
+    k: int = 20,
+    std_ratio: float = 2.0,
+    query_block: int = 512,
+    key_block: int = 2048,
+) -> jax.Array:
+    """Boolean keep-mask with Open3D remove_statistical_outlier semantics."""
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    means = knn_mean_distances(
+        points, valid, k=k, query_block=query_block, key_block=key_block
+    )
+    # Open3D: every point with a non-empty neighbour search counts toward
+    # the denominator, but only means > 0 contribute to the sums, and the
+    # keep test requires mean > 0 (coincident-duplicate clusters drop).
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+    pos = valid & (means > 0.0)
+    denom = jnp.maximum(nvalid, 1)
+    cloud_mean = jnp.sum(jnp.where(pos, means, 0.0)) / denom
+    sq = jnp.where(pos, (means - cloud_mean) ** 2, 0.0)
+    var = jnp.sum(sq) / jnp.maximum(nvalid - 1, 1)
+    threshold = cloud_mean + std_ratio * jnp.sqrt(var)
+    return pos & (means < threshold)

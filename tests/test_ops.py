@@ -1,0 +1,184 @@
+"""Oracle tests for the core TPU kernels against cv2/scipy/numpy ground truth."""
+
+import cv2
+import numpy as np
+import pytest
+
+from image_to_pointcloud_tpu import ops
+from tests.oracles import (
+    normalize_depth_np,
+    statistical_outlier_mask_np,
+    unproject_np,
+)
+
+
+class TestResize:
+    @pytest.mark.parametrize(
+        "in_hw,out_hw",
+        [((64, 80), (32, 40)), ((100, 70), (37, 25)), ((37, 53), (21, 30))],
+    )
+    def test_area_matches_cv2(self, rng, in_hw, out_hw):
+        img = rng.random(in_hw, dtype=np.float32)
+        ours = np.asarray(ops.resize_area(img, out_hw))
+        ref = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_AREA)
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    @pytest.mark.parametrize(
+        "in_hw,out_hw",
+        [((32, 40), (64, 80)), ((37, 25), (100, 70)), ((40, 40), (37, 53))],
+    )
+    def test_linear_matches_cv2(self, rng, in_hw, out_hw):
+        img = rng.random(in_hw, dtype=np.float32)
+        ours = np.asarray(ops.resize_linear(img, out_hw))
+        ref = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    def test_linear_3channel(self, rng):
+        img = rng.random((20, 30, 3), dtype=np.float32)
+        ours = np.asarray(ops.resize_linear(img, (41, 61)))
+        ref = cv2.resize(img, (61, 41), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    @pytest.mark.parametrize("in_hw,out_hw", [((100, 120), (50, 60)), ((50, 60), (100, 130)), ((98, 74), (37, 37))])
+    def test_bicubic_matches_pil(self, rng, in_hw, out_hw):
+        from PIL import Image
+
+        img = rng.random(in_hw, dtype=np.float32)
+        ours = np.asarray(ops.resize_bicubic_pil(img, out_hw))
+        ref = np.asarray(
+            Image.fromarray(img).resize((out_hw[1], out_hw[0]), Image.BICUBIC)
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+class TestDepthNorm:
+    def test_matches_numpy(self, rng):
+        d = rng.normal(5.0, 2.0, (67, 89)).astype(np.float32)
+        for invert in (True, False):
+            ours = np.asarray(ops.normalize_depth(d, invert))
+            ref = normalize_depth_np(d, invert)
+            np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_nonfinite_replaced_by_median(self, rng):
+        d = rng.random((40, 40)).astype(np.float32) * 10
+        d[3, 4] = np.nan
+        d[10, 2] = np.inf
+        d[0, 0] = -np.inf
+        ours = np.asarray(ops.normalize_depth(d, True))
+        ref = normalize_depth_np(d, True)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_constant_input(self):
+        d = np.full((16, 16), 3.25, np.float32)
+        # degenerate range → zeros, then inverted to ones
+        np.testing.assert_allclose(np.asarray(ops.normalize_depth(d, True)), 1.0)
+        np.testing.assert_allclose(np.asarray(ops.normalize_depth(d, False)), 0.0)
+
+    def test_percentile_interpolation(self, rng):
+        # Values engineered so linear interpolation between order stats matters.
+        d = rng.permutation(np.arange(101, dtype=np.float32)).reshape(101, 1)
+        ours = np.asarray(ops.normalize_depth(d, False))
+        ref = normalize_depth_np(d, False)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+class TestGaussian:
+    @pytest.mark.parametrize("k", [3, 5, 7, 9, 15])
+    def test_matches_cv2(self, rng, k):
+        d = rng.random((50, 64)).astype(np.float32)
+        ours = np.asarray(ops.gaussian_blur(d, k))
+        ref = cv2.GaussianBlur(d, (k, k), 0)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+class TestColormap:
+    def test_matches_cv2_plasma(self, rng):
+        img = rng.integers(0, 256, (31, 47), dtype=np.uint8)
+        ours = np.asarray(ops.apply_colormap(img, bgr=True))
+        ref = cv2.applyColorMap(img, cv2.COLORMAP_PLASMA)
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestUnproject:
+    @pytest.mark.parametrize("step", [1, 2, 4])
+    @pytest.mark.parametrize("fov", [None, 60.0])
+    def test_matches_reference_loop(self, rng, step, fov):
+        h, w = 37, 45
+        img_bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dnorm = rng.random((h, w)).astype(np.float32)
+        dnorm[5, 7] = 0.0  # exercise the z==0 epsilon path
+        img_rgb = img_bgr[:, :, ::-1].copy()
+
+        packed = np.asarray(
+            ops.unproject(
+                dnorm, img_rgb, depth_scale=10.0, step=step, h=h, w=w, fov_deg=fov
+            )
+        )
+        pts_ref, cols_ref = unproject_np(img_bgr, dnorm, step, 10.0, fov)
+        np.testing.assert_allclose(packed[:3].T, pts_ref, atol=1e-5)
+        np.testing.assert_array_equal(packed[3:6].T, cols_ref)
+        assert packed.shape == (8, ops.num_points(h, w, step))
+        np.testing.assert_array_equal(packed[6], 1.0)
+
+    def test_pallas_matches_xla(self, rng):
+        h, w = 40, 64
+        img_rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dnorm = rng.random((h, w)).astype(np.float32)
+        a = np.asarray(
+            ops.unproject(dnorm, img_rgb, depth_scale=7.5, step=2, h=h, w=w)
+        )
+        b = np.asarray(
+            ops.unproject_pallas(
+                dnorm, img_rgb, depth_scale=7.5, step=2, h=h, w=w, interpret=True
+            )
+        )
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestOutlier:
+    def test_matches_open3d_semantics(self, rng):
+        pts = rng.normal(0, 1, (500, 3)).astype(np.float32)
+        pts[::50] *= 8.0  # inject outliers
+        ours = np.asarray(ops.statistical_outlier_mask(pts, k=20, std_ratio=2.0))
+        ref = statistical_outlier_mask_np(pts, 20, 2.0)
+        assert (ours == ref).mean() > 0.998  # f32-vs-f64 boundary ties only
+
+    def test_mean_distances(self, rng):
+        from scipy.spatial import cKDTree
+
+        pts = rng.normal(0, 1, (300, 3)).astype(np.float32)
+        ours = np.asarray(ops.knn_mean_distances(pts, k=10))
+        d, _ = cKDTree(pts.astype(np.float64)).query(pts, k=10)
+        np.testing.assert_allclose(ours, d.mean(axis=1), rtol=2e-4, atol=2e-5)
+
+    def test_padding_blocks(self, rng):
+        # Non-multiple-of-block sizes must not perturb results.
+        pts = rng.normal(0, 1, (777, 3)).astype(np.float32)
+        a = np.asarray(ops.knn_mean_distances(pts, k=5, query_block=128, key_block=256))
+        b = np.asarray(ops.knn_mean_distances(pts, k=5, query_block=512, key_block=1024))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestVoxel:
+    def test_downsample_averages(self, rng):
+        pts = rng.random((200, 3)).astype(np.float32) * 4
+        cols = rng.random((200, 3)).astype(np.float32)
+        op, oc, ovalid, cnt = ops.voxel_downsample(pts, cols, 0.5)
+        cnt = int(cnt)
+        op, oc = np.asarray(op)[:cnt], np.asarray(oc)[:cnt]
+        assert bool(np.asarray(ovalid)[:cnt].all())
+
+        # Oracle: group by voxel index, average.
+        idx = np.floor((pts - pts.min(axis=0)) / 0.5).astype(np.int64)
+        keys = [tuple(i) for i in idx]
+        groups = {}
+        for i, k in enumerate(keys):
+            groups.setdefault(k, []).append(i)
+        assert cnt == len(groups)
+        ref = sorted(
+            (pts[g].mean(axis=0), cols[g].mean(axis=0)) for g in map(list, groups.values())
+        )
+        ours = sorted(zip(op, oc), key=lambda t: tuple(t[0]))
+        for (rp, rc), (up, uc) in zip(sorted(ref, key=lambda t: tuple(t[0])), ours):
+            np.testing.assert_allclose(up, rp, atol=1e-5)
+            np.testing.assert_allclose(uc, rc, atol=1e-5)
