@@ -1,0 +1,131 @@
+"""Torch/safetensors → JAX pytree checkpoint converter.
+
+The reference pulls ``depth-anything/Depth-Anything-V2-Small-hf`` weights
+from the HF hub into a torch model (backend/app.py:80-81). This converter
+maps that checkpoint's state dict onto the Flax parameter tree of
+:class:`image_to_pointcloud_tpu.models.depth_anything.DepthAnything`,
+with the layout changes the TPU design implies:
+
+* Dense: torch ``(out, in)`` → kernel ``(in, out)``,
+* Conv: torch OIHW → flax HWIO,
+* ConvTranspose(k=s): torch ``(in, out, k, k)`` → matmul kernel ``(k, k, in, out)``,
+* 14×14 patch conv → flattened patchify matmul weight ``(p·p·3, D)`` with
+  (row, col, channel) patch-vector ordering.
+
+Accepts either a live ``state_dict()`` (torch tensors) or a mapping of
+numpy arrays (e.g. loaded via ``safetensors.numpy.load_file``).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+__all__ = ["convert_depth_anything", "load_safetensors"]
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor without importing torch at module scope
+    return x.detach().cpu().numpy()
+
+
+def _dense(sd, name):
+    return {"kernel": _np(sd[f"{name}.weight"]).T, "bias": _np(sd[f"{name}.bias"])}
+
+
+def _conv(sd, name, bias=True):
+    out = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def _convtrans(sd, name):
+    return {
+        "kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 0, 1),
+        "bias": _np(sd[f"{name}.bias"]),
+    }
+
+
+def _ln(sd, name):
+    return {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])}
+
+
+def convert_depth_anything(
+    state_dict: Mapping[str, object], num_layers: int
+) -> dict:
+    """Build the Flax ``params`` tree from an HF DepthAnything state dict."""
+    sd = state_dict
+    patch_w = _np(sd["backbone.embeddings.patch_embeddings.projection.weight"])
+    p = patch_w.shape[-1]
+    d = patch_w.shape[0]
+
+    backbone: dict = {
+        "cls_token": _np(sd["backbone.embeddings.cls_token"]),
+        "pos_embed": _np(sd["backbone.embeddings.position_embeddings"]),
+        "patch_embed": patch_w.transpose(2, 3, 1, 0).reshape(p * p * 3, d),
+        "patch_bias": _np(sd["backbone.embeddings.patch_embeddings.projection.bias"]),
+        "norm": _ln(sd, "backbone.layernorm"),
+    }
+    for i in range(num_layers):
+        pre = f"backbone.encoder.layer.{i}"
+        backbone[f"block{i}"] = {
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "q": _dense(sd, f"{pre}.attention.attention.query"),
+            "k": _dense(sd, f"{pre}.attention.attention.key"),
+            "v": _dense(sd, f"{pre}.attention.attention.value"),
+            "proj": _dense(sd, f"{pre}.attention.output.dense"),
+            "ls1": _np(sd[f"{pre}.layer_scale1.lambda1"]),
+            "norm2": _ln(sd, f"{pre}.norm2"),
+            "mlp": {
+                "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+                "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+            },
+            "ls2": _np(sd[f"{pre}.layer_scale2.lambda1"]),
+        }
+
+    neck: dict = {}
+    for i in range(4):
+        pre = f"neck.reassemble_stage.layers.{i}"
+        neck[f"proj{i}"] = _conv(sd, f"{pre}.projection")
+        if i == 0:
+            neck["up0"] = _convtrans(sd, f"{pre}.resize")
+        elif i == 1:
+            neck["up1"] = _convtrans(sd, f"{pre}.resize")
+        elif i == 3:
+            neck["down3"] = _conv(sd, f"{pre}.resize")
+        neck[f"conv{i}"] = _conv(sd, f"neck.convs.{i}", bias=False)
+
+    for j in range(4):
+        pre = f"neck.fusion_stage.layers.{j}"
+        neck[f"fusion{j}"] = {
+            "projection": _conv(sd, f"{pre}.projection"),
+            "res1": {
+                "conv1": _conv(sd, f"{pre}.residual_layer1.convolution1"),
+                "conv2": _conv(sd, f"{pre}.residual_layer1.convolution2"),
+            },
+            "res2": {
+                "conv1": _conv(sd, f"{pre}.residual_layer2.convolution1"),
+                "conv2": _conv(sd, f"{pre}.residual_layer2.convolution2"),
+            },
+        }
+
+    neck["head_conv1"] = _conv(sd, "head.conv1")
+    neck["head_conv2"] = _conv(sd, "head.conv2")
+    neck["head_conv3"] = _conv(sd, "head.conv3")
+
+    return {"backbone": backbone, "neck": neck}
+
+
+def load_safetensors(path: str) -> dict[str, np.ndarray]:
+    """Load a .safetensors checkpoint into numpy arrays (no torch needed)."""
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for key in f.keys():
+            out[key] = f.get_tensor(key)
+    return out

@@ -1,0 +1,115 @@
+"""Numerical parity of the Flax Depth-Anything vs the HF torch implementation.
+
+Random-initialized weights (no network access) are converted with
+models.convert and both forwards compared — this validates architecture
+and converter at once, the same check real hub checkpoints would get.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _build_pair(hidden=32, layers=4, heads=2, image_size=56, out_idx=(1, 2, 3, 4)):
+    import torch
+    from transformers import DepthAnythingConfig as HFDAConfig
+    from transformers import DepthAnythingForDepthEstimation
+    from transformers.models.dinov2 import Dinov2Config
+
+    from image_to_pointcloud_tpu.models import (
+        DepthAnything,
+        DepthAnythingConfig,
+        convert_depth_anything,
+    )
+    from image_to_pointcloud_tpu.models.dinov2 import DinoV2Config
+    from image_to_pointcloud_tpu.models.dpt import DPTConfig
+
+    torch.manual_seed(0)
+    bb = Dinov2Config(
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        intermediate_size=hidden * 4,
+        patch_size=14,
+        image_size=image_size,
+        out_indices=list(out_idx),
+        out_features=[f"stage{i}" for i in out_idx],
+        reshape_hidden_states=False,  # DepthAnything neck strips CLS itself
+    )
+    neck_sizes = [hidden // 4, hidden // 2, hidden, hidden]
+    hf_cfg = HFDAConfig(
+        backbone_config=bb,
+        reassemble_hidden_size=hidden,
+        fusion_hidden_size=16,
+        neck_hidden_sizes=neck_sizes,
+        head_hidden_size=8,
+        patch_size=14,
+    )
+    hf = DepthAnythingForDepthEstimation(hf_cfg).eval()
+
+    cfg = DepthAnythingConfig(
+        backbone=DinoV2Config(
+            hidden_size=hidden,
+            num_layers=layers,
+            num_heads=heads,
+            pos_embed_size=image_size // 14,
+            out_layers=tuple(i - 1 for i in out_idx),
+        ),
+        neck=DPTConfig(
+            hidden_size=hidden,
+            neck_hidden_sizes=tuple(neck_sizes),
+            fusion_hidden_size=16,
+            head_hidden_size=8,
+        ),
+    )
+    params = convert_depth_anything(hf.state_dict(), num_layers=layers)
+    return hf, DepthAnything(cfg), {"params": params}
+
+
+@pytest.mark.parametrize("hw", [(56, 56), (42, 70)])
+def test_forward_parity(rng, hw):
+    import torch
+
+    hf, model, variables = _build_pair(image_size=56)
+    h, w = hw
+    x = rng.normal(0, 1, (2, h, w, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).predicted_depth.numpy()
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=5e-5)
+
+
+def test_forward_parity_da_layer_choice(rng):
+    """DA-V2's non-contiguous intermediate layers ([3,6,9,12] stages)."""
+    import torch
+
+    hf, model, variables = _build_pair(
+        hidden=32, layers=6, heads=2, image_size=56, out_idx=(2, 3, 5, 6)
+    )
+    x = rng.normal(0, 1, (1, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).predicted_depth.numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=5e-5)
+
+
+def test_flash_attention_matches_xla(rng):
+    from image_to_pointcloud_tpu.models.attention import (
+        _attention_xla,
+        flash_attention,
+    )
+
+    q = jnp.asarray(rng.normal(0, 1, (2, 3, 200, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (2, 3, 200, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (2, 3, 200, 32)).astype(np.float32))
+    ref = np.asarray(_attention_xla(q, k, v, 1.0 / np.sqrt(32)))
+    ours = np.asarray(
+        flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
