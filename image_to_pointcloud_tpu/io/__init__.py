@@ -1,0 +1,31 @@
+"""First-party exporters and host-side image codecs."""
+
+from image_to_pointcloud_tpu.io.glb import glb_bytes, write_glb
+from image_to_pointcloud_tpu.io.image import decode_image_rgb, encode_png, png_data_url
+from image_to_pointcloud_tpu.io.las import las_bytes, read_las, write_las
+from image_to_pointcloud_tpu.io.metadata import generate_gis_metadata
+from image_to_pointcloud_tpu.io.ply import (
+    ply_points_bytes,
+    read_ply,
+    write_ply_mesh,
+    write_ply_points,
+)
+from image_to_pointcloud_tpu.io.xyz import write_xyz, xyz_bytes
+
+__all__ = [
+    "glb_bytes",
+    "write_glb",
+    "decode_image_rgb",
+    "encode_png",
+    "png_data_url",
+    "las_bytes",
+    "read_las",
+    "write_las",
+    "generate_gis_metadata",
+    "ply_points_bytes",
+    "read_ply",
+    "write_ply_mesh",
+    "write_ply_points",
+    "xyz_bytes",
+    "write_xyz",
+]

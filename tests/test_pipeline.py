@@ -1,0 +1,148 @@
+"""End-to-end pipeline fidelity vs the reference's cv2/numpy semantics."""
+
+import functools
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from image_to_pointcloud_tpu.pipeline.graph import (
+    PipelineOptions,
+    depth_to_packed_points,
+    dummy_point_cloud_graph,
+    demo_depth_map_graph,
+)
+from tests.oracles import (
+    normalize_depth_np,
+    statistical_outlier_mask_np,
+    unproject_np,
+)
+
+
+def _reference_chain(image_bgr, depth, density, invert, depth_scale, smooth,
+                     ksize, fov):
+    """The reference's depth_to_point_cloud + refine (backend/app.py:174-269)."""
+    h, w = image_bgr.shape[:2]
+    if depth.shape != (h, w):
+        depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_LINEAR)
+    d = normalize_depth_np(depth, invert)
+    if smooth:
+        k = max(3, int(ksize) // 2 * 2 + 1)
+        d = cv2.GaussianBlur(d, (k, k), 0)
+    step = {"low": 4, "medium": 2, "high": 1}[density]
+    pts, cols = unproject_np(image_bgr, d, step, depth_scale, fov)
+    keep = statistical_outlier_mask_np(pts)
+    return pts, cols, keep
+
+
+class TestDepthToPoints:
+    @pytest.mark.parametrize("smooth", [False, True])
+    @pytest.mark.parametrize("density", ["medium", "high"])
+    def test_matches_reference_chain(self, rng, smooth, density):
+        h, w = 40, 52
+        dh, dw = 28, 28  # model-resolution depth, needs upscale
+        img_bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        depth = rng.normal(4.0, 2.0, (dh, dw)).astype(np.float32)
+
+        pts_ref, cols_ref, keep_ref = _reference_chain(
+            img_bgr, depth, density, True, 10.0, smooth, 5, None
+        )
+
+        opts = PipelineOptions(density=density, smooth_depth=smooth)
+        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
+
+        packed = np.asarray(
+            depth_to_packed_points(
+                jnp.asarray(depth),
+                jnp.asarray(img_bgr[:, :, ::-1].copy()),
+                10.0,
+                opts=opts,
+                h=h,
+                w=w,
+                step=DENSITY_STRIDES[density],
+            )
+        )
+        np.testing.assert_allclose(packed[:3].T, pts_ref, atol=2e-5)
+        np.testing.assert_array_equal(packed[3:6].T, cols_ref)
+        keep = packed[6] > 0.5
+        assert (keep == keep_ref).mean() > 0.995  # f32 threshold ties only
+
+    def test_final_points_rmse_budget(self, rng):
+        """North-star budget: per-point RMSE < 1e-3 vs reference outputs."""
+        h, w = 37, 41
+        img_bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        depth = rng.normal(3.0, 1.5, (h, w)).astype(np.float32)
+        pts_ref, _, keep_ref = _reference_chain(
+            img_bgr, depth, "high", True, 10.0, False, 5, 60.0
+        )
+        opts = PipelineOptions(density="high", fov=60.0)
+        packed = np.asarray(
+            depth_to_packed_points(
+                jnp.asarray(depth), jnp.asarray(img_bgr[:, :, ::-1].copy()),
+                10.0, opts=opts, h=h, w=w, step=1,
+            )
+        )
+        rmse = np.sqrt(((packed[:3].T - pts_ref) ** 2).mean())
+        assert rmse < 1e-3
+
+
+class TestDummyPaths:
+    def test_dummy_point_cloud_matches_reference(self, rng):
+        h, w = 33, 47
+        img_bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        step = 4  # medium
+
+        # Reference semantics (backend/app.py:567-587).
+        pts_ref, cols_ref = [], []
+        for v in range(0, h, step):
+            for u in range(0, w, step):
+                gray = cv2.cvtColor(
+                    img_bgr[v : v + 1, u : u + 1], cv2.COLOR_BGR2GRAY
+                )[0, 0]
+                z = (255 - gray) / 255.0 * 5
+                pts_ref.append([(u - w / 2) / 100.0, (v - h / 2) / 100.0, z])
+                cols_ref.append(
+                    [img_bgr[v, u, 2], img_bgr[v, u, 1], img_bgr[v, u, 0]]
+                )
+        pts_ref = np.array(pts_ref)
+        cols_ref = np.array(cols_ref, dtype=np.float64)
+
+        pts, cols = dummy_point_cloud_graph(img_bgr[:, :, ::-1].copy(), "medium")
+        np.testing.assert_allclose(pts, pts_ref, atol=1e-5)
+        np.testing.assert_array_equal(cols, cols_ref)
+
+    def test_demo_depth_map_matches_reference(self, rng):
+        img_bgr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        gray = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2GRAY)
+        blurred = cv2.GaussianBlur(gray, (15, 15), 0)
+        ref = cv2.applyColorMap(255 - blurred, cv2.COLORMAP_PLASMA)[:, :, ::-1]
+
+        ours = np.asarray(demo_depth_map_graph(jnp.asarray(img_bgr[:, :, ::-1].copy())))
+        # uint8 blur rounding may differ by 1 LSB on a few pixels
+        close = (np.abs(ours.astype(int) - ref.astype(int)) <= 6).mean()
+        assert close > 0.99
+
+
+class TestFullPipeline:
+    def test_tiny_model_end_to_end(self, rng):
+        """Full fused graph with a tiny random model: shape/sanity checks."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        pipe = DepthPipeline(model.cfg, variables["params"], model_target=56)
+        img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
+        res = pipe.run(img, depth_scale=10.0, options=PipelineOptions())
+        assert res.points.shape[1] == 3
+        assert res.colors.shape == res.points.shape
+        assert res.kept_point_count == len(res.points)
+        assert res.raw_point_count == 35 * 32  # ceil(70/2)*ceil(63/2)
+        assert res.depth_preview_rgb.dtype == np.uint8
+        assert res.depth_preview_rgb.shape[2] == 3
+        assert np.isfinite(res.points).all()
