@@ -1,0 +1,118 @@
+"""Device mesh + sharding rules: the framework's parallelism backbone.
+
+The reference is a single-process, single-device app (SURVEY.md §2.2 —
+its only concurrency is FastAPI background tasks). The TPU rebuild makes
+parallelism first-class:
+
+* **DP** — batch axis sharded over the ``data`` mesh axis; concurrent HTTP
+  requests are micro-batched onto chips (parallel/batching in serve/).
+* **TP** — megatron-style head/column sharding of the ViT encoder over
+  the ``model`` axis: q/k/v and MLP-in kernels column-sharded, attention
+  proj and MLP-out row-sharded, everything else replicated. XLA inserts
+  the all-reduces over ICI.
+* **CP/SP** — sequence sharding for long patch sequences (high-res tiling,
+  video): see parallel/context.py.
+
+Collectives ride ICI within a slice; ``jax.distributed.initialize`` (see
+``init_distributed``) extends the same mesh across hosts/slices over DCN.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "init_distributed",
+    "param_sharding_rules",
+    "shard_params",
+    "replicated",
+    "batch_sharding",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host bring-up (DCN): thin wrapper over jax.distributed."""
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(
+    data: int | None = None,
+    model: int = 1,
+    seq: int = 1,
+    *,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a (data, model, seq) mesh; data fills the remaining devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if data is None:
+        assert n % (model * seq) == 0, (n, model, seq)
+        data = n // (model * seq)
+    used = data * model * seq
+    arr = np.array(devs[:used]).reshape(data, model, seq)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
+
+
+# (regex over '/'-joined param path) -> PartitionSpec. First match wins.
+_TP_RULES: list[tuple[str, P]] = [
+    # Attention q/k/v: column-parallel (shard heads on the output dim).
+    (r"block\d+/(q|k|v)/kernel$", P(None, MODEL_AXIS)),
+    (r"block\d+/(q|k|v)/bias$", P(MODEL_AXIS)),
+    # Attention output projection: row-parallel (shard the input dim).
+    (r"block\d+/proj/kernel$", P(MODEL_AXIS, None)),
+    (r"block\d+/proj/bias$", P(None)),
+    # MLP: column then row parallel.
+    (r"block\d+/mlp/fc1/kernel$", P(None, MODEL_AXIS)),
+    (r"block\d+/mlp/fc1/bias$", P(MODEL_AXIS)),
+    (r"block\d+/mlp/fc2/kernel$", P(MODEL_AXIS, None)),
+    (r"block\d+/mlp/fc2/bias$", P(None)),
+]
+
+
+def param_sharding_rules(path: str) -> P:
+    """PartitionSpec for one parameter path ('backbone/block0/q/kernel')."""
+    for pattern, spec in _TP_RULES:
+        if re.search(pattern, path):
+            return spec
+    return P()  # replicated
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param pytree on the mesh according to the TP rules."""
+
+    def place(path, x):
+        spec = param_sharding_rules(_path_str(path))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data', replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
