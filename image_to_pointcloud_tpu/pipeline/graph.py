@@ -71,6 +71,8 @@ class PipelineResult:
     depth_preview_rgb: np.ndarray | None  # (ph, pw, 3) uint8
     raw_point_count: int
     kept_point_count: int
+    packed: np.ndarray | None = None  # (8, N) planar buffer (grid-ordered)
+    grid_hw: tuple[int, int] | None = None  # strided grid shape (hh, ww)
 
 
 def _preview_hw(h: int, w: int) -> tuple[int, int]:
@@ -147,8 +149,8 @@ class DepthPipeline:
 
     # ---------- graph builders ----------
 
-    def _build(self, in_hw: tuple[int, int], opts: PipelineOptions):
-        """Compile the full fused graph for one input size."""
+    def _build(self, in_hw: tuple[int, int], opts: PipelineOptions, batch: int):
+        """Compile the full fused graph for one (input size, batch) signature."""
         h0, w0 = in_hw
         h, w = _proc_hw(h0, w0)
         mh, mw = processor_output_size(h, w, self.model_target)
@@ -157,32 +159,34 @@ class DepthPipeline:
         step = DENSITY_STRIDES[opts.density]
         pv_h, pv_w = _preview_hw(mh, mw)
 
-        def graph(params, image_u8, depth_scale):
-            img = image_u8.astype(jnp.float32)[None]  # (1, h0, w0, 3)
+        def graph(params, images_u8, depth_scales):
+            img = images_u8.astype(jnp.float32)  # (B, h0, w0, 3)
             if (h, w) != (h0, w0):
                 img = resize_batched(img, (h, w), "area")
             x = preprocess_for_model(img, (mh, mw))
-            depth = self.model.apply({"params": params}, x)[0]  # (mh, mw)
+            depth = self.model.apply({"params": params}, x)  # (B, mh, mw)
 
             # Depth preview: normalize at model resolution, colorize, cap.
-            dn_prev = normalize_depth(depth, opts.invert_depth)
+            dn_prev = jax.vmap(lambda d: normalize_depth(d, opts.invert_depth))(depth)
             prev_u8 = (dn_prev * 255.0).astype(jnp.uint8)
-            prev_rgb = apply_colormap(prev_u8)  # (mh, mw, 3) uint8 RGB
+            prev_rgb = jax.vmap(apply_colormap)(prev_u8)  # (B, mh, mw, 3)
             if (pv_h, pv_w) != (mh, mw):
                 prev_rgb = jnp.clip(
                     jnp.round(
                         resize_batched(
-                            prev_rgb[None].astype(jnp.float32), (pv_h, pv_w), "area"
-                        )[0]
+                            prev_rgb.astype(jnp.float32), (pv_h, pv_w), "area"
+                        )
                     ),
                     0,
                     255,
                 ).astype(jnp.uint8)
 
             # Point-cloud path: upscale depth to working size, re-normalize.
-            packed = depth_to_packed_points(
-                depth, img[0], depth_scale, opts=opts, h=h, w=w, step=step
-            )
+            packed = jax.vmap(
+                lambda d, im, s: depth_to_packed_points(
+                    d, im, s, opts=opts, h=h, w=w, step=step
+                )
+            )(depth, img, depth_scales)
             return packed, prev_rgb
 
         return jax.jit(graph)
@@ -196,6 +200,47 @@ class DepthPipeline:
 
     # ---------- host-facing API ----------
 
+    def run_batch(
+        self,
+        images_rgb_u8: "np.ndarray | list[np.ndarray]",
+        *,
+        depth_scales: "np.ndarray | list[float] | float" = 10.0,
+        options: PipelineOptions = PipelineOptions(),
+        want_preview: bool = True,
+    ) -> list[PipelineResult]:
+        """Run the fused pipeline on a batch of same-size RGB uint8 images."""
+        imgs = np.stack(images_rgb_u8)
+        b, h0, w0 = imgs.shape[:3]
+        if np.isscalar(depth_scales):
+            depth_scales = np.full((b,), depth_scales, np.float32)
+        key = ("depth", b, h0, w0, options)
+        fn = self._get(key, lambda: self._build((h0, w0), options, b))
+        packed, prev = fn(
+            self.params, jnp.asarray(imgs), jnp.asarray(depth_scales, jnp.float32)
+        )
+        packed = np.asarray(packed)
+        prev = np.asarray(prev) if want_preview else None
+        h, w = _proc_hw(h0, w0)
+        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
+
+        step = DENSITY_STRIDES[options.density]
+        grid_hw = (-(-h // step), -(-w // step))
+        results = []
+        for i in range(b):
+            keep = packed[i, 6] > 0.5
+            results.append(
+                PipelineResult(
+                    points=np.ascontiguousarray(packed[i, :3].T[keep]),
+                    colors=np.ascontiguousarray(packed[i, 3:6].T[keep]),
+                    depth_preview_rgb=prev[i] if want_preview else None,
+                    raw_point_count=packed.shape[2],
+                    kept_point_count=int(keep.sum()),
+                    packed=packed[i],
+                    grid_hw=grid_hw,
+                )
+            )
+        return results
+
     def run(
         self,
         image_rgb_u8: np.ndarray,
@@ -205,23 +250,12 @@ class DepthPipeline:
         want_preview: bool = True,
     ) -> PipelineResult:
         """Run the fused pipeline on one decoded RGB uint8 image."""
-        h0, w0 = image_rgb_u8.shape[:2]
-        key = ("depth", h0, w0, options)
-        fn = self._get(key, lambda: self._build((h0, w0), options))
-        packed, prev = fn(
-            self.params, jnp.asarray(image_rgb_u8), jnp.float32(depth_scale)
-        )
-        packed = np.asarray(packed)
-        keep = packed[6] > 0.5
-        points = packed[:3].T[keep]
-        colors = packed[3:6].T[keep]
-        return PipelineResult(
-            points=np.ascontiguousarray(points),
-            colors=np.ascontiguousarray(colors),
-            depth_preview_rgb=np.asarray(prev) if want_preview else None,
-            raw_point_count=packed.shape[1],
-            kept_point_count=int(keep.sum()),
-        )
+        return self.run_batch(
+            image_rgb_u8[None],
+            depth_scales=depth_scale,
+            options=options,
+            want_preview=want_preview,
+        )[0]
 
 
 # ---------- dummy-model graphs (reference backend/app.py:567-607) ----------

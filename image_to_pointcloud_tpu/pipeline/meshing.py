@@ -1,0 +1,104 @@
+"""Surface meshing from depth-grid point clouds.
+
+The reference meshes point clouds with Open3D Poisson/ball-pivoting
+(backend/app.py:271-308). For clouds coming from a depth grid — the only
+source in the v1 pipeline — the grid topology is already known, so the
+TPU rebuild triangulates the strided grid directly (exact, O(N),
+vectorized) instead of reconstructing it: two triangles per grid cell
+whose corners all survived outlier removal, with an edge-length cut to
+avoid bridging depth discontinuities. Vertex normals come from
+area-weighted triangle-normal accumulation (what Open3D's
+``compute_vertex_normals`` does).
+
+Preview decimation to a triangle budget (reference
+``simplify_quadric_decimation(20000)``, backend/app.py:516) uses grid
+subsampling here; the native C++ quadric decimator (native/) refines
+this for export-quality meshes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["grid_mesh_from_packed", "vertex_normals", "decimate_grid_mesh"]
+
+
+def grid_mesh_from_packed(
+    packed: np.ndarray,
+    grid_hw: tuple[int, int],
+    *,
+    stride: int = 1,
+    edge_cut: float = 3.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Packed (8, N) buffer (row-major grid) → (verts, colors, faces, grid_idx).
+
+    Args:
+      packed: the pipeline's planar point buffer (rows x,y,z,r,g,b,valid,_).
+      grid_hw: the strided grid shape (hh, ww) with hh*ww == N.
+      stride: additional grid subsampling (decimation).
+      edge_cut: drop triangles whose max edge exceeds ``edge_cut`` × the
+        median edge length (depth-discontinuity cut).
+    """
+    hh, ww = grid_hw
+    pts = packed[:3].T.reshape(hh, ww, 3)[::stride, ::stride]
+    cols = packed[3:6].T.reshape(hh, ww, 3)[::stride, ::stride]
+    valid = (packed[6] > 0.5).reshape(hh, ww)[::stride, ::stride]
+    gh, gw = pts.shape[:2]
+
+    idx = np.arange(gh * gw).reshape(gh, gw)
+    # Cell corners: a=(i,j) b=(i,j+1) c=(i+1,j) d=(i+1,j+1)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    v = valid.ravel()
+    ok = v[a] & v[b] & v[c] & v[d]
+    tris = np.concatenate(
+        [np.stack([a, c, b], 1)[ok], np.stack([b, c, d], 1)[ok]], axis=0
+    )
+
+    verts = pts.reshape(-1, 3).astype(np.float32)
+    if len(tris):
+        e = verts[tris]
+        el = np.linalg.norm(np.roll(e, -1, axis=1) - e, axis=2)
+        med = np.median(el)
+        if med > 0:
+            tris = tris[el.max(axis=1) <= edge_cut * med]
+
+    # Compact to referenced vertices only; also report each kept vertex's
+    # index into the *unstrided* grid (for UV mapping).
+    used = np.zeros(len(verts), bool)
+    used[tris.ravel()] = True
+    remap = np.cumsum(used) - 1
+    rows = (np.arange(gh) * stride)[:, None].repeat(gw, 1)
+    cols_i = (np.arange(gw) * stride)[None, :].repeat(gh, 0)
+    grid_index = (rows * ww + cols_i).ravel()[used]
+    return (
+        verts[used],
+        cols.reshape(-1, 3)[used].astype(np.float32),
+        remap[tris].astype(np.int32),
+        grid_index.astype(np.int64),
+    )
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (Open3D compute_vertex_normals style)."""
+    n = np.zeros_like(verts, dtype=np.float64)
+    if len(faces):
+        tri = verts[faces].astype(np.float64)
+        fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        for k in range(3):
+            np.add.at(n, faces[:, k], fn)
+    norms = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.maximum(norms, 1e-12)).astype(np.float32)
+
+
+def decimate_grid_mesh(
+    packed: np.ndarray, grid_hw: tuple[int, int], target_tris: int = 20000
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pick the smallest grid stride whose triangle count fits the budget."""
+    hh, ww = grid_hw
+    stride = 1
+    while 2 * ((hh - 1) // stride) * ((ww - 1) // stride) > target_tris:
+        stride += 1
+    return grid_mesh_from_packed(packed, grid_hw, stride=stride)

@@ -1,0 +1,65 @@
+"""Service entry point: ``python -m image_to_pointcloud_tpu.serve``.
+
+Mirrors the reference's two alternative uvicorn entry points
+(``backend/app.py`` v1 vs ``backend/main.py`` v2, both :8000) as a
+``--generation`` flag on one CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="TPU image→point-cloud service")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument(
+        "--generation", choices=["v1", "v2"], default="v1",
+        help="v1 = depth point-cloud API (reference backend/app.py); "
+        "v2 = textured 3D asset API (reference backend/main.py)",
+    )
+    parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--honor-fov", action="store_true")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    from image_to_pointcloud_tpu.serve.http import HttpServer
+    from image_to_pointcloud_tpu.serve.models import ModelManager
+
+    models = ModelManager(checkpoint_dir=args.checkpoint_dir)
+
+    async def run() -> None:
+        if args.generation == "v1":
+            from image_to_pointcloud_tpu.serve.app_v1 import create_v1_app
+
+            app = create_v1_app(
+                output_dir=args.output_dir,
+                models=models,
+                honor_fov=args.honor_fov,
+            )
+            server = HttpServer(app.router, args.host, args.port)
+        else:
+            from image_to_pointcloud_tpu.serve.app_v2 import create_v2_app
+
+            app = create_v2_app(output_dir=args.output_dir, models=models)
+            server = HttpServer(
+                app.router, args.host, args.port,
+                cors_origin="http://localhost:3000",
+            )
+            await app.startup()
+        await server.start()
+        logging.info(
+            "Serving %s API on %s:%d", args.generation, args.host, server.bound_port
+        )
+        await server.serve_forever()
+
+    asyncio.run(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,380 @@
+"""v1 service: the reference's "Image to Point Cloud API" contract.
+
+Route-for-route, field-for-field reproduction of the reference v1 app
+(backend/app.py:609-747) on the first-party HTTP server, with the TPU
+pipeline underneath:
+
+* ``POST /process`` — multipart file + query params (model, output_format,
+  point_density, coordinate_system, invert_depth, depth_scale,
+  smooth_depth, fov), 50 MB cap, returns ``{"job_id", "status":"queued"}``
+* ``GET /status/{job_id}`` — job state machine with the reference's
+  progress milestones 10/20/40/60/80/100 and messages
+* ``GET /download/{job_id}`` — the exported artifact
+* ``GET /models`` — capability cards
+* ``GET /health``
+
+Results dict keys match backend/app.py:545-559 exactly (pointCloud,
+gisData, downloadUrl, preview{points,colors}, meshPreview, depthMap), so
+the reference React frontend works unmodified.
+
+Quirk handling (SURVEY.md §8): the reference accepts ``fov`` but drops
+it (its request model has no such field), so every request uses the
+``max(h,w)*1.2`` focal default. We stay bug-compatible by default for
+golden parity; construct the app with ``honor_fov=True`` to apply the
+client's fov.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from image_to_pointcloud_tpu.io import (
+    generate_gis_metadata,
+    png_data_url,
+    write_las,
+    write_ply_mesh,
+    write_ply_points,
+    write_xyz,
+)
+from image_to_pointcloud_tpu.io.image import decode_image_rgb
+from image_to_pointcloud_tpu.pipeline.graph import (
+    PipelineOptions,
+    demo_depth_map_graph,
+    dummy_point_cloud_graph,
+)
+from image_to_pointcloud_tpu.pipeline.meshing import (
+    decimate_grid_mesh,
+    grid_mesh_from_packed,
+    vertex_normals,
+)
+from image_to_pointcloud_tpu.serve.http import (
+    HTTPError,
+    Request,
+    Router,
+    file_response,
+    json_response,
+)
+from image_to_pointcloud_tpu.serve.jobs import JobRegistry, JobStatus
+from image_to_pointcloud_tpu.serve.models import DUMMY_MODELS, ModelManager
+
+logger = logging.getLogger(__name__)
+
+MAX_FILE_SIZE = 50 * 1024 * 1024  # reference backend/app.py:45
+MAX_PREVIEW_POINTS = 20000  # reference backend/app.py:496
+MESH_FORMATS = {"mesh_ply", "mesh"}
+
+# Capability cards served by GET /models (reference backend/app.py:702-737).
+MODEL_CARDS = [
+    {
+        "id": "depth-anything-v2",
+        "name": "Depth Anything V2",
+        "description": "Superior depth estimation + point cloud",
+        "license": "Apache-2.0",
+        "recommended": True,
+        "supported": True,
+        "speed": "2-3s",
+        "quality": "High",
+    },
+    {
+        "id": "triposr",
+        "name": "TripoSR",
+        "description": "Fast mesh generation (1-2 seconds)",
+        "license": "MIT",
+        "recommended": False,
+        "supported": False,
+        "speed": "1-2s",
+        "quality": "Medium",
+    },
+    {
+        "id": "instantmesh",
+        "name": "InstantMesh",
+        "description": "High quality 3D assets (~10 seconds)",
+        "license": "Custom",
+        "supported": False,
+        "speed": "~10s",
+        "quality": "Very High",
+    },
+]
+
+
+def _parse_bool(v: str | bool, default: bool) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v is None:
+        return default
+    return v.lower() in ("1", "true", "yes", "on")
+
+
+class V1Service:
+    def __init__(
+        self,
+        *,
+        output_dir: str = "outputs",
+        models: ModelManager | None = None,
+        honor_fov: bool = False,
+        batch_window_ms: float = 5.0,
+    ):
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(exist_ok=True, parents=True)
+        self.models = models or ModelManager()
+        self.honor_fov = honor_fov
+        self.jobs = JobRegistry()
+        self.loaded_model_names: set[str] = set()
+        self.executor = ThreadPoolExecutor(max_workers=2)
+        self.batch_window_ms = batch_window_ms
+        self._batchers: dict[str, object] = {}
+        self.router = self._build_router()
+
+    # ---------- pipeline task ----------
+
+    async def _process_job(self, job_id: str, data: bytes, req: dict) -> None:
+        jobs = self.jobs
+        loop = asyncio.get_running_loop()
+        try:
+            await jobs.update(
+                job_id, status=JobStatus.PROCESSING, progress=10,
+                message="Loading AI model...",
+            )
+            model_name = req["model"]
+            if model_name not in DUMMY_MODELS:
+                pipeline = await loop.run_in_executor(
+                    self.executor, self.models.get, model_name
+                )
+            self.loaded_model_names.add(model_name)
+
+            await jobs.update(job_id, progress=20, message="Processing image...")
+            image = await loop.run_in_executor(
+                self.executor, decode_image_rgb, data
+            )
+
+            opts = PipelineOptions(
+                density=req["point_density"],
+                invert_depth=req["invert_depth"],
+                smooth_depth=req["smooth_depth"],
+                smooth_ksize=req.get("smooth_ksize", 5),
+                fov=(req.get("fov") if self.honor_fov else None),
+            )
+
+            depth_data_url = None
+            packed = None
+            grid_hw = None
+            if model_name not in DUMMY_MODELS:
+                await jobs.update(
+                    job_id, progress=40, message="Estimating depth with AI..."
+                )
+                from image_to_pointcloud_tpu.serve.batching import BatchingQueue
+
+                batcher = self._batchers.get(model_name)
+                if batcher is None:
+                    batcher = BatchingQueue(
+                        pipeline, window_ms=self.batch_window_ms
+                    )
+                    self._batchers[model_name] = batcher
+                await jobs.update(
+                    job_id, progress=60, message="Generating 3D point cloud..."
+                )
+                res = await batcher.submit(image, req["depth_scale"], opts)
+                depth_data_url = png_data_url(res.depth_preview_rgb)
+                points, colors = res.points, res.colors
+                packed = res  # keep for mesh path
+            else:
+                await jobs.update(
+                    job_id, progress=40,
+                    message=f"Processing with {model_name}...",
+                )
+                points, colors = await loop.run_in_executor(
+                    self.executor,
+                    dummy_point_cloud_graph,
+                    image,
+                    req["point_density"],
+                )
+                import jax.numpy as jnp
+
+                demo = await loop.run_in_executor(
+                    self.executor,
+                    lambda: np.asarray(demo_depth_map_graph(jnp.asarray(image))),
+                )
+                depth_data_url = png_data_url(demo)
+
+            await jobs.update(
+                job_id, progress=80, message="Saving point cloud..."
+            )
+
+            # Preview decimation (reference backend/app.py:496-506).
+            if len(points) > MAX_PREVIEW_POINTS:
+                stride = max(1, len(points) // MAX_PREVIEW_POINTS)
+                pprev, cprev = points[::stride], colors[::stride]
+            else:
+                pprev, cprev = points, colors
+            preview_points = pprev.astype(float).tolist()
+            preview_colors = cprev.astype(float).tolist()
+
+            fmt = req["output_format"].lower()
+            mesh_preview = None
+            base = str(self.output_dir / job_id)
+            if fmt in MESH_FORMATS:
+                filepath, mesh_preview = await loop.run_in_executor(
+                    self.executor, self._export_mesh, base, req, packed, points, colors
+                )
+            else:
+                filepath = await loop.run_in_executor(
+                    self.executor, self._export_points, base, fmt, points, colors
+                )
+
+            metadata = generate_gis_metadata(
+                points,
+                coordinate_system=req["coordinate_system"],
+                model=model_name,
+                output_format=req["output_format"],
+                point_density=req["point_density"],
+                depth_scale=req["depth_scale"],
+                invert_depth=req["invert_depth"],
+                smooth_depth=req["smooth_depth"],
+                gps_coords=req.get("gps_coords"),
+            )
+
+            await jobs.update(
+                job_id,
+                status=JobStatus.COMPLETED,
+                progress=100,
+                message="Processing complete!",
+                results={
+                    "pointCloud": {
+                        "filepath": filepath,
+                        "points": len(points),
+                        "format": req["output_format"].upper(),
+                    },
+                    "gisData": metadata,
+                    "downloadUrl": f"/download/{job_id}",
+                    "preview": {
+                        "points": preview_points,
+                        "colors": preview_colors,
+                    },
+                    "meshPreview": mesh_preview,
+                    "depthMap": depth_data_url,
+                },
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("Job %s failed", job_id)
+            await jobs.update(
+                job_id, status=JobStatus.ERROR, message=f"Error: {e}"
+            )
+
+    def _export_points(self, base, fmt, points, colors) -> str:
+        if fmt == "ply":
+            return write_ply_points(base + ".ply", points, colors)
+        if fmt in ("las", "laz"):
+            return write_las(base + ".las", points, colors)
+        if fmt == "xyz":
+            return write_xyz(base + ".xyz", points, colors)
+        raise ValueError(f"Unsupported format: {fmt}")
+
+    def _export_mesh(self, base, req, res, points, colors):
+        """mesh_ply path: grid meshing + decimated preview
+        (reference backend/app.py:509-535; surface reconstruction here is
+        exact grid triangulation rather than Poisson — the cloud's grid
+        topology is known)."""
+        if res is None or res.packed is None:
+            raise ValueError("Mesh output requires a depth model")
+        verts, vcols, faces, _ = grid_mesh_from_packed(res.packed, res.grid_hw)
+        norms = vertex_normals(verts, faces)
+        filepath = write_ply_mesh(
+            base + ".ply", verts, faces, colors=vcols, normals=norms
+        )
+
+        # Decimated preview ≤ 20k triangles (reference app.py:515-535).
+        dv, dc, df, _ = decimate_grid_mesh(res.packed, res.grid_hw, 20000)
+        dn = vertex_normals(dv, df)
+        mesh_preview = {
+            "vertices": dv.astype(float).tolist(),
+            "normals": dn.astype(float).tolist(),
+            "colors": (dc / 255.0).astype(float).tolist(),
+            "faces": df.reshape(-1).astype(int).tolist(),
+        }
+        return filepath, mesh_preview
+
+    # ---------- routes ----------
+
+    def _build_router(self) -> Router:
+        r = Router()
+        svc = self
+
+        @r.post("/process")
+        async def process(req: Request):
+            f = req.files.get("file")
+            if f is None:
+                raise HTTPError(400, "File must be an image")
+            if not f.content_type.startswith("image/"):
+                raise HTTPError(400, "File must be an image")
+            data = f.data
+            if len(data) > MAX_FILE_SIZE:
+                raise HTTPError(
+                    413,
+                    f"File size ({len(data)/1024/1024:.1f}MB) exceeds maximum "
+                    f"allowed size ({MAX_FILE_SIZE/1024/1024:.0f}MB)",
+                )
+            q = {**req.query, **req.form}
+            request = {
+                "model": q.get("model", "depth-anything-v2"),
+                "output_format": q.get("output_format", "las"),
+                "point_density": q.get("point_density", "medium"),
+                "coordinate_system": q.get("coordinate_system", "WGS84"),
+                "invert_depth": _parse_bool(q.get("invert_depth"), True),
+                "depth_scale": float(q.get("depth_scale", 10.0)),
+                "smooth_depth": _parse_bool(q.get("smooth_depth"), False),
+                "fov": float(q.get("fov", 60.0)),
+            }
+            job = await svc.jobs.create(message="Job queued", model=request["model"])
+            asyncio.get_running_loop().create_task(
+                svc._process_job(job.job_id, data, request)
+            )
+            return json_response({"job_id": job.job_id, "status": "queued"})
+
+        @r.get("/status/{job_id}")
+        async def status(req: Request):
+            job = svc.jobs.get(req.path_params["job_id"])
+            if job is None:
+                raise HTTPError(404, "Job not found")
+            return json_response(job.to_v1())
+
+        @r.get("/download/{job_id}")
+        async def download(req: Request):
+            job = svc.jobs.get(req.path_params["job_id"])
+            if job is None:
+                raise HTTPError(404, "Job not found")
+            if job.status != JobStatus.COMPLETED:
+                raise HTTPError(400, "Job not completed")
+            filepath = job.results["pointCloud"]["filepath"]
+            if not Path(filepath).exists():
+                raise HTTPError(404, "File not found")
+            return file_response(
+                filepath,
+                media_type="application/octet-stream",
+                filename=Path(filepath).name,
+            )
+
+        @r.get("/models")
+        async def models(req: Request):
+            return json_response({"models": MODEL_CARDS})
+
+        @r.get("/health")
+        async def health(req: Request):
+            return json_response(
+                {
+                    "status": "healthy",
+                    "models_loaded": sorted(svc.loaded_model_names),
+                    "active_jobs": len(svc.jobs),
+                    "max_file_size_mb": MAX_FILE_SIZE / (1024 * 1024),
+                }
+            )
+
+        return r
+
+
+def create_v1_app(**kwargs) -> V1Service:
+    return V1Service(**kwargs)

@@ -1,0 +1,353 @@
+"""v2 service: the reference's "AI Point Cloud Generator API v2.0" contract.
+
+Route-for-route reproduction of the reference v2 app
+(backend/main.py:28-431) with :class:`Depth3DProcessor` in the generator
+slot: ``GET /`` info, ``GET /models`` capability card, ``POST /process``
+(Form params with the reference's clamping, backend/main.py:258-267),
+``GET /status/{job_id}``, ``GET /download/{job_id}/{filename}`` with
+per-extension media types, ``GET /jobs`` (sorted desc, limit),
+``DELETE /jobs/{job_id}`` (+output dir removal), ``/outputs`` static
+mount, and a ``GET /health`` with accelerator introspection (TPU devices
+instead of torch CUDA, backend/main.py:416-429).
+
+Per-job output dirs hold ``mesh.glb`` / ``pointcloud.ply`` /
+``metadata.json`` exactly like backend/main.py:166-184.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import datetime
+import json
+import logging
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from image_to_pointcloud_tpu.io.image import decode_image_rgb
+from image_to_pointcloud_tpu.serve.http import (
+    HTTPError,
+    Request,
+    Router,
+    file_response,
+    json_response,
+)
+from image_to_pointcloud_tpu.serve.jobs import JobRegistry, JobStatus
+from image_to_pointcloud_tpu.serve.models import ModelManager
+from image_to_pointcloud_tpu.serve.processor3d import Depth3DProcessor
+
+logger = logging.getLogger(__name__)
+
+MODEL_ID = "depth3d"
+
+_MEDIA_TYPES = {
+    ".glb": "model/gltf-binary",
+    ".ply": "application/ply",
+    ".json": "application/json",
+    ".png": "image/png",
+    ".jpg": "image/jpeg",
+    ".jpeg": "image/jpeg",
+}
+
+
+class V2Service:
+    def __init__(
+        self,
+        *,
+        output_dir: str = "outputs",
+        models: ModelManager | None = None,
+        model_name: str = "depth-anything-v2",
+    ):
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(exist_ok=True, parents=True)
+        self.models = models or ModelManager()
+        self.model_name = model_name
+        self.processor: Depth3DProcessor | None = None
+        self.jobs = JobRegistry()
+        self.executor = ThreadPoolExecutor(max_workers=2)
+        self.router = self._build_router()
+
+    async def startup(self) -> None:
+        """Load the generator (reference startup_event, backend/main.py:55-69);
+        failure is tolerated and /process degrades to 503."""
+        loop = asyncio.get_running_loop()
+        try:
+            pipeline = await loop.run_in_executor(
+                self.executor, self.models.get, self.model_name
+            )
+            self.processor = Depth3DProcessor(pipeline)
+            logger.info("3D processor ready (%s)", self.model_name)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Failed to initialize 3D processor: %s", e)
+
+    async def shutdown(self) -> None:
+        self.executor.shutdown(wait=True)
+
+    async def _run_job(self, job_id: str, image: np.ndarray, settings: dict):
+        jobs = self.jobs
+        loop = asyncio.get_running_loop()
+        try:
+            await jobs.update(
+                job_id, status=JobStatus.PROCESSING, progress=5,
+                message="Initializing 3D generation...",
+            )
+            await jobs.update(
+                job_id, progress=10, message="Preprocessing image...",
+            )
+            result = await loop.run_in_executor(
+                self.executor,
+                lambda: self.processor.generate(
+                    image,
+                    texture_resolution=settings["texture_resolution"],
+                    guidance_scale=settings["guidance_scale"],
+                    seed=settings["seed"],
+                    remove_background=settings["remove_background"],
+                    foreground_ratio=settings["foreground_ratio"],
+                    remesh_option=settings["remesh_option"],
+                    target_count=settings["target_count"],
+                ),
+            )
+            await jobs.update(
+                job_id, progress=70, message="Saving 3D assets...",
+            )
+            out = self.output_dir / job_id
+            out.mkdir(exist_ok=True)
+            (out / "mesh.glb").write_bytes(result["mesh_data"])
+            ply_path = None
+            if result.get("point_cloud_data"):
+                ply_path = out / "pointcloud.ply"
+                ply_path.write_bytes(result["point_cloud_data"])
+            (out / "metadata.json").write_text(
+                json.dumps(result["metadata"], indent=2)
+            )
+
+            md = result["metadata"]
+            results = {
+                "mesh": {
+                    "vertices": md["vertex_count"],
+                    "faces": md["face_count"],
+                    "has_textures": md["has_textures"],
+                    "format": "GLB",
+                    "generation_time": md["generation_time"],
+                },
+                "downloadUrl": f"/download/{job_id}/mesh.glb",
+                "pointCloudUrl": (
+                    f"/download/{job_id}/pointcloud.ply" if ply_path else None
+                ),
+                "metadataUrl": f"/download/{job_id}/metadata.json",
+                "preview": result.get("preview_data", {}),
+                "meshPreview": result.get("preview_data", {}).get("mesh", {}),
+                "metadata": md,
+            }
+            await jobs.update(
+                job_id,
+                status=JobStatus.COMPLETED,
+                progress=100,
+                message="3D generation completed successfully!",
+                results=results,
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("Job %s failed", job_id)
+            await jobs.update(job_id, status=JobStatus.ERROR, message=str(e))
+
+    def _build_router(self) -> Router:
+        r = Router()
+        svc = self
+        r.mount_static("/outputs", self.output_dir)
+
+        @r.get("/")
+        async def root(req: Request):
+            return json_response(
+                {
+                    "message": "AI Point Cloud Generator API v2.0",
+                    "status": "ready",
+                    "models": {MODEL_ID: svc.processor is not None},
+                    "features": [
+                        "Professional 3D mesh generation",
+                        "Textured GLB export",
+                        "Point cloud generation",
+                        "UV mapping",
+                        "Material properties",
+                        "Real-time preview",
+                    ],
+                    "timestamp": datetime.datetime.now().isoformat(),
+                }
+            )
+
+        @r.get("/models")
+        async def models(req: Request):
+            cards = []
+            if svc.processor is not None:
+                cards.append(
+                    {
+                        "id": MODEL_ID,
+                        "name": "Depth3D (TPU)",
+                        "type": "image_to_3d",
+                        "description": "Textured 3D mesh generation from single images via monocular depth on TPU",
+                        "capabilities": [
+                            "textured_mesh",
+                            "point_cloud",
+                            "uv_mapping",
+                            "materials",
+                            "normal_maps",
+                        ],
+                        "speed": "very_fast",
+                        "quality": "high",
+                        "available": True,
+                        "outputs": ["glb", "ply"],
+                        "recommended": True,
+                    }
+                )
+            return json_response({"models": cards, "total": len(cards)})
+
+        @r.post("/process")
+        async def process(req: Request):
+            form = req.form
+            model = form.get("model", MODEL_ID)
+            if model not in (MODEL_ID, "spar3d"):
+                raise HTTPError(
+                    400,
+                    f"Model '{model}' not supported. Only '{MODEL_ID}' is available.",
+                )
+            if svc.processor is None:
+                raise HTTPError(
+                    503,
+                    "3D processor not available. Please check server logs.",
+                )
+            f = req.files.get("file")
+            if f is None:
+                raise HTTPError(400, "Invalid image: no file uploaded")
+            job = await svc.jobs.create(
+                message="Starting 3D generation...", model=model
+            )
+            try:
+                image = decode_image_rgb(f.data)
+                if image.shape[0] * image.shape[1] > 4096 * 4096:
+                    raise ValueError(
+                        "Image too large. Maximum resolution: 4096x4096"
+                    )
+            except Exception as e:  # noqa: BLE001
+                await svc.jobs.update(
+                    job.job_id, status=JobStatus.ERROR,
+                    message=f"Invalid image: {e}",
+                )
+                raise HTTPError(400, f"Invalid image: {e}") from None
+
+            def _int(name, default):
+                try:
+                    return int(float(form.get(name, default)))
+                except ValueError:
+                    return default
+
+            def _float(name, default):
+                try:
+                    return float(form.get(name, default))
+                except ValueError:
+                    return default
+
+            seed_raw = form.get("seed")
+            settings = {  # clamped like backend/main.py:258-267
+                "output_format": form.get("output_format", "glb"),
+                "texture_resolution": min(max(_int("texture_resolution", 1024), 512), 2048),
+                "guidance_scale": max(1.0, min(_float("guidance_scale", 3.0), 10.0)),
+                "seed": int(seed_raw) if seed_raw not in (None, "", "null") else None,
+                "remove_background": form.get("remove_background", "true").lower()
+                in ("1", "true", "yes", "on"),
+                "foreground_ratio": max(1.0, min(_float("foreground_ratio", 1.3), 2.0)),
+                "remesh_option": form.get("remesh_option", "none"),
+                "target_count": max(100, min(_int("target_count", 2000), 20000)),
+            }
+            asyncio.get_running_loop().create_task(
+                svc._run_job(job.job_id, image, settings)
+            )
+            return json_response(
+                {
+                    "job_id": job.job_id,
+                    "status": "started",
+                    "message": "3D generation started",
+                    "estimated_time": "< 10 seconds",
+                }
+            )
+
+        @r.get("/status/{job_id}")
+        async def status(req: Request):
+            job = svc.jobs.get(req.path_params["job_id"])
+            if job is None:
+                raise HTTPError(404, "Job not found")
+            return json_response(job.to_v2())
+
+        @r.get("/download/{job_id}/{filename}")
+        async def download(req: Request):
+            job_id = req.path_params["job_id"]
+            filename = req.path_params["filename"]
+            if job_id not in svc.jobs:
+                raise HTTPError(404, "Job not found")
+            path = svc.output_dir / job_id / filename
+            if not path.exists():
+                raise HTTPError(404, "File not found")
+            media = _MEDIA_TYPES.get(path.suffix, "application/octet-stream")
+            return file_response(path, media_type=media, filename=filename)
+
+        @r.get("/jobs")
+        async def list_jobs(req: Request):
+            limit = int(req.query.get("limit", 10))
+            status_f = req.query.get("status")
+            rows = [
+                {
+                    "job_id": j.job_id,
+                    "status": j.status,
+                    "progress": j.progress,
+                    "created_at": j.created_at,
+                    "model": j.model,
+                }
+                for j in svc.jobs.list(status_f)
+            ]
+            rows.sort(key=lambda x: x["created_at"], reverse=True)
+            return json_response({"jobs": rows[:limit], "total": len(rows)})
+
+        @r.delete("/jobs/{job_id}")
+        async def delete_job(req: Request):
+            job_id = req.path_params["job_id"]
+            if not await svc.jobs.delete(job_id):
+                raise HTTPError(404, "Job not found")
+            out = svc.output_dir / job_id
+            if out.exists():
+                shutil.rmtree(out)
+            return json_response(
+                {"message": f"Job {job_id} deleted successfully"}
+            )
+
+        @r.get("/health")
+        async def health(req: Request):
+            import jax
+
+            devices = jax.devices()
+            accel = [d for d in devices if d.platform != "cpu"]
+            return json_response(
+                {
+                    "status": "healthy",
+                    "timestamp": datetime.datetime.now().isoformat(),
+                    "services": {MODEL_ID: svc.processor is not None},
+                    "system": {
+                        "active_jobs": len(
+                            svc.jobs.list(JobStatus.PROCESSING)
+                        ),
+                        "total_jobs": len(svc.jobs),
+                        "output_dir_exists": svc.output_dir.exists(),
+                    },
+                    "accelerator": {
+                        "available": bool(accel),
+                        "platform": devices[0].platform if devices else None,
+                        "device_count": len(devices),
+                        "devices": [str(d) for d in devices],
+                    },
+                }
+            )
+
+        return r
+
+
+def create_v2_app(**kwargs) -> V2Service:
+    return V2Service(**kwargs)

@@ -1,0 +1,98 @@
+"""Micro-batching queue: concurrent requests share TPU forward passes.
+
+The reference runs one BackgroundTask per image, serially on the event
+loop's thread pool (backend/app.py:662). Here concurrent jobs with the
+same graph signature (image size × options) are coalesced into one
+batched device dispatch — the DP axis of serving. A tiny window (a few
+ms) bounds added latency; a single worker task drains the queue so
+device dispatch stays single-threaded while the event loop keeps
+serving requests.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+from collections import defaultdict
+from typing import Any
+
+import numpy as np
+
+from image_to_pointcloud_tpu.pipeline.graph import (
+    DepthPipeline,
+    PipelineOptions,
+    PipelineResult,
+)
+
+__all__ = ["BatchingQueue"]
+
+
+@dataclasses.dataclass
+class _Item:
+    image: np.ndarray
+    depth_scale: float
+    options: PipelineOptions
+    future: asyncio.Future
+
+
+class BatchingQueue:
+    def __init__(
+        self,
+        pipeline: DepthPipeline,
+        *,
+        max_batch: int = 8,
+        window_ms: float = 5.0,
+    ):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.window_ms = window_ms
+        self._queue: asyncio.Queue[_Item] = asyncio.Queue()
+        self._worker: asyncio.Task | None = None
+
+    def _ensure_worker(self) -> None:
+        if self._worker is None or self._worker.done():
+            self._worker = asyncio.get_running_loop().create_task(self._run())
+
+    async def submit(
+        self,
+        image: np.ndarray,
+        depth_scale: float,
+        options: PipelineOptions,
+    ) -> PipelineResult:
+        self._ensure_worker()
+        fut = asyncio.get_running_loop().create_future()
+        await self._queue.put(_Item(image, depth_scale, options, fut))
+        return await fut
+
+    async def _run(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            first = await self._queue.get()
+            batch = [first]
+            if self.window_ms > 0:
+                await asyncio.sleep(self.window_ms / 1000.0)
+            while len(batch) < self.max_batch and not self._queue.empty():
+                batch.append(self._queue.get_nowait())
+
+            # Group by graph signature (shape × options).
+            groups: dict[Any, list[_Item]] = defaultdict(list)
+            for item in batch:
+                groups[(item.image.shape, item.options)].append(item)
+
+            for (_, options), items in groups.items():
+                try:
+                    results = await loop.run_in_executor(
+                        None,
+                        lambda items=items, options=options: self.pipeline.run_batch(
+                            [i.image for i in items],
+                            depth_scales=[i.depth_scale for i in items],
+                            options=options,
+                        ),
+                    )
+                    for item, res in zip(items, results):
+                        if not item.future.done():
+                            item.future.set_result(res)
+                except Exception as e:  # noqa: BLE001
+                    for item in items:
+                        if not item.future.done():
+                            item.future.set_exception(e)

@@ -1,0 +1,320 @@
+"""First-party asyncio HTTP/1.1 server — the framework's serving runtime.
+
+The reference rides FastAPI/uvicorn (backend/app.py:27, 753); this
+framework ships its own minimal server so the runtime has zero web-stack
+dependencies: an asyncio protocol loop, request parsing (headers, query
+strings, multipart/form-data uploads), path-template routing
+(``/status/{job_id}``), CORS, JSON / bytes / file responses with the
+same error shape FastAPI produces (``{"detail": ...}``) so the reference
+frontend works unmodified against it.
+
+Deliberately small: HTTP/1.1 with Content-Length bodies (the only thing
+the reference contract needs), keep-alive, no TLS (terminate upstream).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import mimetypes
+import re
+import urllib.parse
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Awaitable, Callable
+
+__all__ = [
+    "Request",
+    "Response",
+    "HTTPError",
+    "Router",
+    "HttpServer",
+    "json_response",
+    "file_response",
+]
+
+MAX_BODY = 200 * 1024 * 1024  # hard transport cap; app enforces 50MB itself
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+@dataclass
+class UploadFile:
+    filename: str
+    content_type: str
+    data: bytes
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    query: dict[str, str]
+    headers: dict[str, str]
+    body: bytes
+    path_params: dict[str, str] = field(default_factory=dict)
+
+    _form: dict[str, str] | None = None
+    _files: dict[str, UploadFile] | None = None
+
+    def _parse_multipart(self) -> None:
+        if self._form is not None:
+            return
+        self._form, self._files = {}, {}
+        ctype = self.headers.get("content-type", "")
+        if ctype.startswith("application/x-www-form-urlencoded"):
+            self._form = {
+                k: v[0]
+                for k, v in urllib.parse.parse_qs(
+                    self.body.decode("utf-8", "replace")
+                ).items()
+            }
+            return
+        m = re.search(r'boundary="?([^";,]+)"?', ctype)
+        if not m:
+            return
+        boundary = b"--" + m.group(1).encode()
+        for part in self.body.split(boundary)[1:-1]:
+            part = part.strip(b"\r\n")
+            if not part or part == b"--":
+                continue
+            if b"\r\n\r\n" in part:
+                raw_head, content = part.split(b"\r\n\r\n", 1)
+            else:
+                raw_head, content = part, b""
+            head: dict[str, str] = {}
+            for line in raw_head.decode("utf-8", "replace").split("\r\n"):
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    head[k.strip().lower()] = v.strip()
+            disp = head.get("content-disposition", "")
+            name_m = re.search(r'name="([^"]*)"', disp)
+            file_m = re.search(r'filename="([^"]*)"', disp)
+            if not name_m:
+                continue
+            name = name_m.group(1)
+            if file_m:
+                self._files[name] = UploadFile(
+                    filename=file_m.group(1),
+                    content_type=head.get("content-type", "application/octet-stream"),
+                    data=content,
+                )
+            else:
+                self._form[name] = content.decode("utf-8", "replace")
+
+    @property
+    def form(self) -> dict[str, str]:
+        self._parse_multipart()
+        return self._form or {}
+
+    @property
+    def files(self) -> dict[str, UploadFile]:
+        self._parse_multipart()
+        return self._files or {}
+
+    def json(self) -> Any:
+        return json.loads(self.body)
+
+
+@dataclass
+class Response:
+    status: int = 200
+    headers: dict[str, str] = field(default_factory=dict)
+    body: bytes = b""
+
+    def encode(self, cors_origin: str = "*") -> bytes:
+        reason = {
+            200: "OK", 204: "No Content", 400: "Bad Request", 404: "Not Found",
+            405: "Method Not Allowed", 413: "Payload Too Large",
+            500: "Internal Server Error", 503: "Service Unavailable",
+        }.get(self.status, "OK")
+        head = [f"HTTP/1.1 {self.status} {reason}"]
+        base = {
+            "content-length": str(len(self.body)),
+            "access-control-allow-origin": cors_origin,
+            "access-control-allow-methods": "*",
+            "access-control-allow-headers": "*",
+            "access-control-allow-credentials": "true",
+        }
+        base.update({k.lower(): v for k, v in self.headers.items()})
+        head += [f"{k}: {v}" for k, v in base.items()]
+        return ("\r\n".join(head) + "\r\n\r\n").encode() + self.body
+
+
+def json_response(obj: Any, status: int = 200) -> Response:
+    return Response(
+        status=status,
+        headers={"content-type": "application/json"},
+        body=json.dumps(obj).encode(),
+    )
+
+
+def file_response(
+    path: str | Path,
+    media_type: str | None = None,
+    filename: str | None = None,
+) -> Response:
+    p = Path(path)
+    if not p.exists():
+        raise HTTPError(404, "File not found")
+    if media_type is None:
+        media_type = mimetypes.guess_type(str(p))[0] or "application/octet-stream"
+    name = filename or p.name
+    return Response(
+        headers={
+            "content-type": media_type,
+            "content-disposition": f'attachment; filename="{name}"',
+        },
+        body=p.read_bytes(),
+    )
+
+
+Handler = Callable[[Request], Awaitable[Response]]
+
+
+class Router:
+    def __init__(self) -> None:
+        self._routes: list[tuple[str, re.Pattern, Handler]] = []
+        self._static: list[tuple[str, Path]] = []
+
+    def route(self, method: str, template: str) -> Callable[[Handler], Handler]:
+        pattern = re.compile(
+            "^"
+            + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", template)
+            + "$"
+        )
+
+        def deco(fn: Handler) -> Handler:
+            self._routes.append((method.upper(), pattern, fn))
+            return fn
+
+        return deco
+
+    def get(self, t: str):
+        return self.route("GET", t)
+
+    def post(self, t: str):
+        return self.route("POST", t)
+
+    def delete(self, t: str):
+        return self.route("DELETE", t)
+
+    def mount_static(self, prefix: str, directory: str | Path) -> None:
+        self._static.append((prefix.rstrip("/") + "/", Path(directory)))
+
+    async def dispatch(self, req: Request) -> Response:
+        if req.method == "OPTIONS":  # CORS preflight
+            return Response(status=204)
+        for prefix, directory in self._static:
+            if req.method == "GET" and req.path.startswith(prefix):
+                rel = urllib.parse.unquote(req.path[len(prefix):])
+                target = (directory / rel).resolve()
+                if not str(target).startswith(str(directory.resolve())):
+                    raise HTTPError(404, "Not found")
+                return file_response(target)
+        allowed_other_method = False
+        for method, pattern, fn in self._routes:
+            m = pattern.match(req.path)
+            if m:
+                if method != req.method:
+                    allowed_other_method = True
+                    continue
+                req.path_params = m.groupdict()
+                return await fn(req)
+        if allowed_other_method:
+            raise HTTPError(405, "Method Not Allowed")
+        raise HTTPError(404, "Not Found")
+
+
+class HttpServer:
+    """asyncio server binding a Router; lifecycle mirrors uvicorn's."""
+
+    def __init__(
+        self,
+        router: Router,
+        host: str = "0.0.0.0",
+        port: int = 8000,
+        cors_origin: str = "*",
+    ):
+        self.router = router
+        self.host = host
+        self.port = port
+        self.cors_origin = cors_origin
+        self._server: asyncio.AbstractServer | None = None
+
+    async def _read_request(self, reader: asyncio.StreamReader) -> Request | None:
+        try:
+            head = await reader.readuntil(b"\r\n\r\n")
+        except (asyncio.IncompleteReadError, ConnectionError):
+            return None
+        lines = head.decode("latin-1").split("\r\n")
+        method, target, _ = lines[0].split(" ", 2)
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        if length > MAX_BODY:
+            raise HTTPError(413, "Body too large")
+        body = await reader.readexactly(length) if length else b""
+        parsed = urllib.parse.urlsplit(target)
+        query = {
+            k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()
+        }
+        return Request(
+            method=method.upper(),
+            path=parsed.path,
+            query=query,
+            headers=headers,
+            body=body,
+        )
+
+    async def _handle(self, reader, writer) -> None:
+        try:
+            while True:
+                req = await self._read_request(reader)
+                if req is None:
+                    break
+                try:
+                    resp = await self.router.dispatch(req)
+                except HTTPError as e:
+                    resp = json_response({"detail": e.detail}, e.status)
+                except Exception as e:  # noqa: BLE001
+                    resp = json_response({"detail": f"Internal error: {e}"}, 500)
+                writer.write(resp.encode(self.cors_origin))
+                await writer.drain()
+                if req.headers.get("connection", "").lower() == "close":
+                    break
+        finally:
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except Exception:  # noqa: BLE001
+                pass
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port
+        )
+
+    @property
+    def bound_port(self) -> int:
+        assert self._server is not None
+        return self._server.sockets[0].getsockname()[1]
+
+    async def serve_forever(self) -> None:
+        if self._server is None:
+            await self.start()
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def stop(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()

@@ -1,0 +1,102 @@
+"""Model manager: lazy-load + memoize pipelines per model name.
+
+Mirrors the reference's ``load_model``/``models_cache``
+(backend/app.py:39, 65-97): ``depth-anything-v2`` is a real pipeline,
+``triposr``/``instantmesh`` are capability stubs served by the dummy
+paths. Weights come from a safetensors checkpoint directory when
+configured (HF-layout ``model.safetensors``, converted on load by
+models.convert); otherwise deterministic random initialization is used
+(clearly marked in /health) — this box has no network egress to the hub.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from image_to_pointcloud_tpu.models import (
+    DepthAnything,
+    convert_depth_anything,
+    load_safetensors,
+    preset,
+)
+from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+__all__ = ["ModelManager", "DUMMY_MODELS"]
+
+logger = logging.getLogger(__name__)
+
+DUMMY_MODELS = {"triposr", "instantmesh"}
+CHECKPOINT_ENV = "IPC_TPU_CHECKPOINT_DIR"
+
+
+class ModelManager:
+    def __init__(
+        self,
+        checkpoint_dir: str | None = None,
+        *,
+        use_bf16: bool = True,
+        use_flash_attention: bool | None = None,
+    ):
+        self._cache: dict[str, DepthPipeline] = {}
+        self.checkpoint_dir = checkpoint_dir or os.environ.get(CHECKPOINT_ENV)
+        platform = jax.default_backend()
+        on_tpu = platform not in ("cpu",)
+        self.use_bf16 = use_bf16 and on_tpu
+        self.use_flash = (
+            use_flash_attention if use_flash_attention is not None else on_tpu
+        )
+        self.random_weights: dict[str, bool] = {}
+
+    def loaded(self) -> list[str]:
+        return sorted(self._cache)
+
+    def _load_params(self, name: str, cfg) -> Any:
+        ckpt = None
+        if self.checkpoint_dir:
+            for cand in (
+                Path(self.checkpoint_dir) / name / "model.safetensors",
+                Path(self.checkpoint_dir) / f"{name}.safetensors",
+            ):
+                if cand.exists():
+                    ckpt = cand
+                    break
+        if ckpt is not None:
+            logger.info("Loading %s weights from %s", name, ckpt)
+            sd = load_safetensors(str(ckpt))
+            self.random_weights[name] = False
+            return convert_depth_anything(sd, num_layers=cfg.backbone.num_layers)
+        logger.warning(
+            "No checkpoint for %s (set %s); using deterministic random init",
+            name,
+            CHECKPOINT_ENV,
+        )
+        self.random_weights[name] = True
+        model = DepthAnything(cfg)
+        # Param shapes don't depend on the input size; init with the
+        # smallest legal input (2×2 patches) so tracing is instant.
+        dummy = np.zeros((1, 28, 28, 3), np.float32)
+        return model.init(jax.random.PRNGKey(0), dummy)["params"]
+
+    def get(self, name: str) -> DepthPipeline:
+        """Load and cache a depth pipeline (raises ValueError on unknown)."""
+        if name in self._cache:
+            return self._cache[name]
+        if name in DUMMY_MODELS:
+            raise ValueError(f"{name} is a dummy model with no pipeline")
+        cfg = preset(name)  # raises ValueError for unsupported names
+        if self.use_bf16:
+            import jax.numpy as jnp
+
+            cfg = cfg.with_dtype(jnp.bfloat16)
+        if self.use_flash:
+            cfg = cfg.with_flash_attention(True)
+        params = self._load_params(name, cfg)
+        pipe = DepthPipeline(cfg, params)
+        self._cache[name] = pipe
+        return pipe

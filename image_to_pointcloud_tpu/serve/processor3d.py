@@ -1,0 +1,236 @@
+"""Depth3DProcessor — the v2 "image → textured 3D asset" processor.
+
+Reproduces the reference's SPAR3D processor *pattern*
+(backend/models/spar3d_processor.py:25-338: preprocess → generate →
+export GLB/PLY → preview) with the framework's depth model in the
+generator slot (SPAR3D itself is an external proprietary model the
+reference import-guards; SURVEY.md §0). Capabilities covered:
+
+* preprocessing: RGBA→white composite, background removal (classical
+  border-statistics matte — no external matting network exists in this
+  stack), ``foreground_crop(ratio)``, LANCZOS resize to the 512²
+  conditioning size (spar3d_processor.py:97-136),
+* generation: depth inference → grid mesh with UV-mapped texture from
+  the input image → GLB bytes; point cloud → PLY bytes; seeded,
+* preview payloads: ≤5000 sampled mesh vertices / ≤3000 points
+  (spar3d_processor.py:277-327),
+* metadata: generation_time, vertex/face counts, has_textures
+  (spar3d_processor.py:215-225).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import time
+from typing import Any
+
+import numpy as np
+
+from image_to_pointcloud_tpu.io import glb_bytes, ply_points_bytes
+from image_to_pointcloud_tpu.io.image import encode_png
+from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline, PipelineOptions
+from image_to_pointcloud_tpu.pipeline.meshing import (
+    grid_mesh_from_packed,
+    vertex_normals,
+)
+
+__all__ = ["Depth3DProcessor", "estimate_background_matte", "foreground_crop"]
+
+COND_WIDTH = 512  # reference spar3d_processor.py:43-44
+COND_HEIGHT = 512
+
+
+def estimate_background_matte(rgb: np.ndarray) -> np.ndarray:
+    """Classical alpha matte: distance from the border-pixel color model.
+
+    Border pixels vote for the background color; alpha is a smoothstep of
+    Mahalanobis-ish distance from that model. Returns float32 (H, W) in
+    [0, 1] (1 = foreground).
+    """
+    img = rgb.astype(np.float32)
+    border = np.concatenate(
+        [img[0], img[-1], img[:, 0], img[:, -1]], axis=0
+    )
+    mu = np.median(border, axis=0)
+    sigma = border.std(axis=0) + 8.0
+    d = np.sqrt((((img - mu) / sigma) ** 2).sum(axis=2))
+    lo, hi = 1.0, 3.0
+    alpha = np.clip((d - lo) / (hi - lo), 0.0, 1.0)
+    return (alpha * alpha * (3 - 2 * alpha)).astype(np.float32)  # smoothstep
+
+
+def foreground_crop(
+    rgb: np.ndarray, alpha: np.ndarray, ratio: float
+) -> np.ndarray:
+    """Square crop around the foreground bbox padded by ``ratio``
+    (semantics of spar3d.utils.foreground_crop used at
+    spar3d_processor.py:127-131)."""
+    ys, xs = np.nonzero(alpha > 0.5)
+    if len(ys) == 0:
+        return rgb
+    y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+    cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
+    side = max(y1 - y0, x1 - x0) * ratio
+    h, w = rgb.shape[:2]
+    half = side / 2
+    ry0 = int(max(0, round(cy - half)))
+    ry1 = int(min(h, round(cy + half)))
+    rx0 = int(max(0, round(cx - half)))
+    rx1 = int(min(w, round(cx + half)))
+    if ry1 <= ry0 or rx1 <= rx0:
+        return rgb
+    return rgb[ry0:ry1, rx0:rx1]
+
+
+class Depth3DProcessor:
+    def __init__(self, pipeline: DepthPipeline):
+        self.pipeline = pipeline
+
+    def _preprocess(
+        self,
+        rgb_or_rgba: np.ndarray,
+        remove_background: bool,
+        foreground_ratio: float,
+    ) -> np.ndarray:
+        from PIL import Image
+
+        img = rgb_or_rgba
+        if img.ndim == 3 and img.shape[2] == 4:
+            a = img[:, :, 3:4].astype(np.float32) / 255.0
+            img = (
+                img[:, :, :3].astype(np.float32) * a + (1 - a) * 255.0
+            ).astype(np.uint8)
+
+        if remove_background:
+            alpha = estimate_background_matte(img)
+            comp = (
+                img.astype(np.float32) * alpha[:, :, None]
+                + (1 - alpha[:, :, None]) * 255.0
+            ).astype(np.uint8)
+        else:
+            alpha = np.ones(img.shape[:2], np.float32)
+            comp = img
+
+        if foreground_ratio > 1.0:
+            comp = foreground_crop(comp, alpha, foreground_ratio)
+
+        pil = Image.fromarray(comp).resize(
+            (COND_WIDTH, COND_HEIGHT), Image.LANCZOS
+        )
+        return np.asarray(pil)
+
+    def generate(
+        self,
+        image: np.ndarray,
+        *,
+        texture_resolution: int = 1024,
+        guidance_scale: float = 3.0,
+        seed: int | None = None,
+        remove_background: bool = True,
+        foreground_ratio: float = 1.3,
+        remesh_option: str = "none",
+        target_count: int = 2000,
+        generate_preview: bool = True,
+    ) -> dict[str, Any]:
+        """Full generation: returns mesh_data (GLB), point_cloud_data (PLY),
+        preview_data, metadata — the same result contract as
+        spar3d_processor.generate_3d_mesh (spar3d_processor.py:150-159)."""
+        start = time.time()
+        rng = np.random.default_rng(seed if seed is not None else 0)
+
+        processed = self._preprocess(image, remove_background, foreground_ratio)
+        res = self.pipeline.run(
+            processed,
+            depth_scale=2.2,  # conditioning distance (spar3d_processor.py:45)
+            options=PipelineOptions(density="medium"),
+        )
+
+        verts, vcols, faces, grid_idx = grid_mesh_from_packed(res.packed, res.grid_hw)
+        norms = vertex_normals(verts, faces)
+
+        # Remesh option: vertex-budget decimation via grid stride.
+        if remesh_option != "none" and len(verts) > target_count:
+            from image_to_pointcloud_tpu.pipeline.meshing import (
+                decimate_grid_mesh,
+            )
+
+            budget_tris = max(2 * target_count, 4)
+            verts, vcols, faces, grid_idx = decimate_grid_mesh(
+                res.packed, res.grid_hw, budget_tris
+            )
+            norms = vertex_normals(verts, faces)
+
+        # UV map: grid positions normalized to [0, 1]² over the texture.
+        uvs = self._grid_uvs(res.grid_hw, grid_idx)
+        tex_side = int(texture_resolution)
+        from PIL import Image
+
+        tex = np.asarray(
+            Image.fromarray(processed).resize((tex_side, tex_side), Image.LANCZOS)
+        )
+        mesh_data = glb_bytes(
+            verts,
+            faces,
+            normals=norms,
+            uvs=uvs,
+            texture_png=encode_png(tex),
+            name="depth3d",
+        )
+        point_cloud_data = ply_points_bytes(res.points, res.colors)
+
+        preview = {}
+        if generate_preview:
+            preview = self._preview(verts, vcols, faces, norms, res, rng)
+
+        metadata = {
+            "model": "depth3d",
+            "generation_time": time.time() - start,
+            "texture_resolution": texture_resolution,
+            "guidance_scale": guidance_scale,
+            "seed": seed,
+            "vertex_count": int(len(verts)),
+            "face_count": int(len(faces)),
+            "has_textures": True,
+            "remesh_option": remesh_option,
+        }
+        return {
+            "mesh_data": mesh_data,
+            "point_cloud_data": point_cloud_data,
+            "preview_data": preview,
+            "metadata": metadata,
+        }
+
+    def _grid_uvs(self, grid_hw, grid_idx) -> np.ndarray:
+        """UVs from the grid coordinates of each kept vertex."""
+        hh, ww = grid_hw
+        rows = grid_idx // ww
+        cols = grid_idx % ww
+        u = cols.astype(np.float32) / max(ww - 1, 1)
+        v = rows.astype(np.float32) / max(hh - 1, 1)
+        return np.stack([u, v], axis=1)
+
+    def _preview(self, verts, vcols, faces, norms, res, rng) -> dict:
+        preview: dict[str, Any] = {}
+        max_v = 5000  # reference spar3d_processor.py:285
+        v, c, n = verts, vcols, norms
+        if len(v) > max_v:
+            sel = rng.choice(len(v), max_v, replace=False)
+            v, c, n = v[sel], c[sel], n[sel]
+            faces = []
+        preview["mesh"] = {
+            "vertices": np.asarray(v, float).tolist(),
+            "colors": np.asarray(c, float).astype(int).tolist(),
+            "faces": np.asarray(faces, int).tolist() if len(faces) else [],
+            "normals": np.asarray(n, float).tolist(),
+        }
+        pts = res.points
+        cols = res.colors
+        max_p = 3000  # reference spar3d_processor.py:311
+        if len(pts) > max_p:
+            sel = rng.choice(len(pts), max_p, replace=False)
+            pts, cols = pts[sel], cols[sel]
+        preview["points"] = {
+            "positions": np.asarray(pts, float).tolist(),
+            "colors": np.asarray(cols, float).tolist(),
+        }
+        return preview

@@ -1,0 +1,338 @@
+"""HTTP contract tests: live first-party server, httpx client, tiny model.
+
+Replays the reference frontend's request shapes
+(frontend/src/App.jsx:953-969: multipart file + 8 settings fields) and
+asserts the reference's response contracts on both API generations.
+"""
+
+import asyncio
+import json
+import threading
+import time
+
+import httpx
+import numpy as np
+import pytest
+
+from image_to_pointcloud_tpu.io.image import encode_png
+
+
+# ---------- shared tiny-model service fixture ----------
+
+
+class _ServerThread:
+    """Runs an HttpServer + app on a private event loop thread."""
+
+    def __init__(self, make_app):
+        self.make_app = make_app
+        self.port = None
+        self.loop = None
+        self._ready = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        assert self._ready.wait(30)
+
+    def _run(self):
+        from image_to_pointcloud_tpu.serve.http import HttpServer
+
+        self.loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self.loop)
+
+        async def boot():
+            app, cors = self.make_app()
+            server = HttpServer(app.router, "127.0.0.1", 0, cors_origin=cors)
+            if hasattr(app, "startup"):
+                await app.startup()
+            await server.start()
+            self.port = server.bound_port
+            self._ready.set()
+
+        self.loop.run_until_complete(boot())
+        self.loop.run_forever()
+
+    def stop(self):
+        self.loop.call_soon_threadsafe(self.loop.stop)
+
+
+def _tiny_model_manager():
+    """ModelManager whose depth-anything-v2 is a tiny random-init model."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model_parity import _build_pair
+
+    from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+    from image_to_pointcloud_tpu.serve.models import ModelManager
+
+    _, model, variables = _build_pair(hidden=32, layers=4, heads=2, image_size=56)
+    mm = ModelManager(use_bf16=False, use_flash_attention=False)
+    pipe = DepthPipeline(model.cfg, variables["params"], model_target=56)
+    mm._cache["depth-anything-v2"] = pipe
+    return mm
+
+
+@pytest.fixture(scope="module")
+def v1_server(tmp_path_factory):
+    out = tmp_path_factory.mktemp("outputs_v1")
+
+    def make():
+        from image_to_pointcloud_tpu.serve.app_v1 import create_v1_app
+
+        return (
+            create_v1_app(output_dir=str(out), models=_tiny_model_manager()),
+            "*",
+        )
+
+    srv = _ServerThread(make)
+    yield f"http://127.0.0.1:{srv.port}"
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def v2_server(tmp_path_factory):
+    out = tmp_path_factory.mktemp("outputs_v2")
+
+    def make():
+        from image_to_pointcloud_tpu.serve.app_v2 import create_v2_app
+
+        return (
+            create_v2_app(
+                output_dir=str(out),
+                models=_tiny_model_manager(),
+                model_name="depth-anything-v2",
+            ),
+            "http://localhost:3000",
+        )
+
+    srv = _ServerThread(make)
+    yield f"http://127.0.0.1:{srv.port}"
+    srv.stop()
+
+
+def _test_image_png(h=70, w=63) -> bytes:
+    rng = np.random.default_rng(7)
+    return encode_png(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+
+
+def _poll(base, job_id, timeout=120):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        r = httpx.get(f"{base}/status/{job_id}", timeout=30)
+        assert r.status_code == 200
+        data = r.json()
+        if data["status"] in ("completed", "error"):
+            return data
+        time.sleep(0.3)
+    raise TimeoutError(f"job {job_id} did not finish")
+
+
+# ---------- v1 contract ----------
+
+
+class TestV1:
+    def test_models_endpoint(self, v1_server):
+        r = httpx.get(f"{v1_server}/models", timeout=30)
+        cards = {m["id"]: m for m in r.json()["models"]}
+        assert cards["depth-anything-v2"]["supported"] is True
+        assert cards["triposr"]["supported"] is False
+        assert cards["instantmesh"]["supported"] is False
+
+    def test_health(self, v1_server):
+        r = httpx.get(f"{v1_server}/health", timeout=30)
+        data = r.json()
+        assert data["status"] == "healthy"
+        assert data["max_file_size_mb"] == 50.0
+        assert "models_loaded" in data and "active_jobs" in data
+
+    def test_full_frontend_flow_ply(self, v1_server):
+        """The exact FormData + query params the frontend sends."""
+        files = {"file": ("test.png", _test_image_png(), "image/png")}
+        params = {
+            "model": "depth-anything-v2",
+            "output_format": "ply",
+            "point_density": "medium",
+            "coordinate_system": "WGS84",
+            "invert_depth": "true",
+            "depth_scale": "15",
+            "smooth_depth": "false",
+            "fov": "75",
+        }
+        r = httpx.post(
+            f"{v1_server}/process", params=params, files=files, timeout=60
+        )
+        assert r.status_code == 200
+        body = r.json()
+        assert body["status"] == "queued" and "job_id" in body
+
+        final = _poll(v1_server, body["job_id"])
+        assert final["status"] == "completed", final["message"]
+        assert final["progress"] == 100
+        res = final["results"]
+        assert set(res) == {
+            "pointCloud", "gisData", "downloadUrl", "preview",
+            "meshPreview", "depthMap",
+        }
+        assert res["pointCloud"]["format"] == "PLY"
+        assert res["pointCloud"]["points"] > 100
+        assert res["downloadUrl"] == f"/download/{body['job_id']}"
+        assert res["depthMap"].startswith("data:image/png;base64,")
+        assert len(res["preview"]["points"]) == len(res["preview"]["colors"])
+        assert len(res["preview"]["points"]) <= 20000
+        g = res["gisData"]
+        assert g["coordinateSystem"] == "WGS84" and g["pointCount"] > 0
+
+        # download artifact and parse it
+        d = httpx.get(f"{v1_server}{res['downloadUrl']}", timeout=30)
+        assert d.status_code == 200
+        from image_to_pointcloud_tpu.io import read_ply
+
+        vert = read_ply(d.content)["vertex"]
+        assert len(vert) == res["pointCloud"]["points"]
+
+    def test_las_output_and_status_404(self, v1_server):
+        files = {"file": ("t.png", _test_image_png(), "image/png")}
+        r = httpx.post(
+            f"{v1_server}/process",
+            params={"output_format": "las", "point_density": "low"},
+            files=files,
+            timeout=60,
+        )
+        final = _poll(v1_server, r.json()["job_id"])
+        assert final["status"] == "completed", final["message"]
+        d = httpx.get(f"{v1_server}{final['results']['downloadUrl']}", timeout=30)
+        from image_to_pointcloud_tpu.io import read_las
+
+        out = read_las(d.content)
+        assert len(out["points"]) == final["results"]["pointCloud"]["points"]
+
+        assert httpx.get(f"{v1_server}/status/nope", timeout=30).status_code == 404
+
+    def test_dummy_model_path(self, v1_server):
+        files = {"file": ("t.png", _test_image_png(), "image/png")}
+        r = httpx.post(
+            f"{v1_server}/process",
+            params={"model": "triposr", "output_format": "xyz"},
+            files=files,
+            timeout=60,
+        )
+        final = _poll(v1_server, r.json()["job_id"])
+        assert final["status"] == "completed", final["message"]
+        assert final["results"]["depthMap"].startswith("data:image/png")
+
+    def test_mesh_ply_output(self, v1_server):
+        files = {"file": ("t.png", _test_image_png(), "image/png")}
+        r = httpx.post(
+            f"{v1_server}/process",
+            params={"output_format": "mesh_ply", "point_density": "high"},
+            files=files,
+            timeout=60,
+        )
+        final = _poll(v1_server, r.json()["job_id"])
+        assert final["status"] == "completed", final["message"]
+        mp = final["results"]["meshPreview"]
+        assert mp and len(mp["faces"]) % 3 == 0 and len(mp["vertices"]) > 0
+        d = httpx.get(f"{v1_server}{final['results']['downloadUrl']}", timeout=30)
+        from image_to_pointcloud_tpu.io import read_ply
+
+        parsed = read_ply(d.content)
+        assert len(parsed["face"]) > 0
+
+    def test_oversize_rejected(self, v1_server):
+        big = b"x" * (51 * 1024 * 1024)
+        files = {"file": ("big.png", big, "image/png")}
+        r = httpx.post(f"{v1_server}/process", files=files, timeout=120)
+        assert r.status_code == 413
+        assert "exceeds maximum allowed size" in r.json()["detail"]
+
+    def test_non_image_rejected(self, v1_server):
+        files = {"file": ("x.txt", b"hello", "text/plain")}
+        r = httpx.post(f"{v1_server}/process", files=files, timeout=30)
+        assert r.status_code == 400
+        assert r.json()["detail"] == "File must be an image"
+
+    def test_download_before_completion(self, v1_server):
+        assert (
+            httpx.get(f"{v1_server}/download/zzz", timeout=30).status_code == 404
+        )
+
+
+# ---------- v2 contract ----------
+
+
+class TestV2:
+    def test_root_and_models(self, v2_server):
+        r = httpx.get(f"{v2_server}/", timeout=30)
+        data = r.json()
+        assert data["status"] == "ready"
+        assert data["models"]["depth3d"] is True
+        m = httpx.get(f"{v2_server}/models", timeout=30).json()
+        assert m["total"] == 1 and m["models"][0]["id"] == "depth3d"
+
+    def test_generation_flow(self, v2_server):
+        files = {"file": ("t.png", _test_image_png(128, 128), "image/png")}
+        data = {
+            "model": "depth3d",
+            "texture_resolution": "4096",  # clamps to 2048
+            "guidance_scale": "20",  # clamps to 10
+            "foreground_ratio": "1.3",
+            "remove_background": "true",
+            "target_count": "2000",
+            "remesh_option": "none",
+        }
+        r = httpx.post(f"{v2_server}/process", data=data, files=files, timeout=60)
+        assert r.status_code == 200
+        body = r.json()
+        assert body["status"] == "started"
+
+        final = _poll(v2_server, body["job_id"])
+        assert final["status"] == "completed", final["message"]
+        res = final["results"]
+        assert res["mesh"]["format"] == "GLB"
+        assert res["metadata"]["texture_resolution"] == 2048
+        assert res["metadata"]["guidance_scale"] == 10.0
+        assert res["downloadUrl"].endswith("mesh.glb")
+
+        glb = httpx.get(f"{v2_server}{res['downloadUrl']}", timeout=30)
+        assert glb.status_code == 200
+        assert glb.headers["content-type"] == "model/gltf-binary"
+        assert glb.content[:4] == b"glTF"
+
+        ply = httpx.get(f"{v2_server}{res['pointCloudUrl']}", timeout=30)
+        assert ply.content[:3] == b"ply"
+
+        meta = httpx.get(f"{v2_server}{res['metadataUrl']}", timeout=30)
+        assert meta.json()["vertex_count"] == res["mesh"]["vertices"]
+
+        # static mount serves the same artifact
+        s = httpx.get(
+            f"{v2_server}/outputs/{body['job_id']}/mesh.glb", timeout=30
+        )
+        assert s.status_code == 200 and s.content[:4] == b"glTF"
+
+        # jobs list + delete
+        jl = httpx.get(f"{v2_server}/jobs", timeout=30).json()
+        assert jl["total"] >= 1
+        dl = httpx.delete(f"{v2_server}/jobs/{body['job_id']}", timeout=30)
+        assert "deleted successfully" in dl.json()["message"]
+        assert (
+            httpx.get(
+                f"{v2_server}/status/{body['job_id']}", timeout=30
+            ).status_code
+            == 404
+        )
+
+    def test_unknown_model_rejected(self, v2_server):
+        files = {"file": ("t.png", _test_image_png(), "image/png")}
+        r = httpx.post(
+            f"{v2_server}/process",
+            data={"model": "other"},
+            files=files,
+            timeout=30,
+        )
+        assert r.status_code == 400
+
+    def test_health(self, v2_server):
+        data = httpx.get(f"{v2_server}/health", timeout=30).json()
+        assert data["status"] == "healthy"
+        assert data["services"]["depth3d"] is True
+        assert "accelerator" in data and "device_count" in data["accelerator"]
