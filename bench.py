@@ -1,0 +1,76 @@
+"""Benchmark: 518x518 image -> point-cloud conversions/sec on one chip.
+
+The north-star metric (BASELINE.json): full pipeline per image =
+preprocess (resize+normalize) -> Depth-Anything-V2-Small forward (bf16,
+flash attention) -> depth normalize -> pinhole unprojection -> outlier
+removal -> packed point buffer pulled to host. The reference claims
+2-3 s per image on its stack (backend/app.py:713); vs_baseline is the
+speedup over that claim's 0.4 img/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from image_to_pointcloud_tpu.models import DepthAnything, preset
+    from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline, PipelineOptions
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    cfg = preset("depth-anything-v2-small")
+    if on_tpu:
+        cfg = cfg.with_dtype(jnp.bfloat16).with_flash_attention(True)
+    model = DepthAnything(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
+    )["params"]
+
+    pipe = DepthPipeline(cfg, params)
+    opts = PipelineOptions(density="medium", refine=True)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (batch, 518, 518, 3)).astype(np.uint8)
+
+    # Warmup: compile + one steady-state run.
+    pipe.run_batch(imgs, options=opts, want_preview=False)
+    pipe.run_batch(imgs, options=opts, want_preview=False)
+
+    iters = 8
+    lat: list[float] = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = time.perf_counter()
+        pipe.run_batch(imgs, options=opts, want_preview=False)
+        lat.append(time.perf_counter() - s)
+    elapsed = time.perf_counter() - t0
+
+    throughput = batch * iters / elapsed
+    p50_ms = float(np.percentile(lat, 50) * 1000 / batch)
+    baseline_img_s = 0.4  # reference's claimed 2-3 s/image
+    print(
+        json.dumps(
+            {
+                "metric": "img_to_pointcloud_conversions_per_sec_518",
+                "value": round(throughput, 2),
+                "unit": f"img/s/chip (batch={batch}, p50={p50_ms:.1f}ms/img, "
+                f"backend={jax.default_backend()})",
+                "vs_baseline": round(throughput / baseline_img_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

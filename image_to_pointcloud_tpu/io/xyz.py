@@ -20,6 +20,12 @@ def xyz_bytes(points: np.ndarray, colors: np.ndarray | None) -> bytes:
         c = np.asarray(colors, np.float64).astype(np.int64)  # trunc, like int()
     else:
         c = np.full((n, 3), 128, np.int64)
+
+    from image_to_pointcloud_tpu import native
+
+    fast = native.format_xyz(p, c.astype(np.int32))
+    if fast is not None:
+        return fast
     lines = [
         b"%.6f %.6f %.6f %d %d %d"
         % (p[i, 0], p[i, 1], p[i, 2], c[i, 0], c[i, 1], c[i, 2])

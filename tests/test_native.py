@@ -1,0 +1,66 @@
+"""Tests for the native C++ module (quadric decimation, XYZ formatting)."""
+
+import numpy as np
+import pytest
+
+from image_to_pointcloud_tpu import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_native():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+
+class TestDecimate:
+    def _grid_mesh(self, n=30):
+        """A simple n x n heightfield mesh."""
+        xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
+        z = np.sin(xs * 3) * np.cos(ys * 2) * 0.2
+        verts = np.stack([xs.ravel(), ys.ravel(), z.ravel()], 1)
+        idx = np.arange(n * n).reshape(n, n)
+        a, b = idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel()
+        c, d = idx[1:, :-1].ravel(), idx[1:, 1:].ravel()
+        faces = np.concatenate(
+            [np.stack([a, c, b], 1), np.stack([b, c, d], 1)], 0
+        ).astype(np.int32)
+        cols = np.full_like(verts, 128.0)
+        return verts, cols, faces
+
+    def test_reduces_to_target(self):
+        verts, cols, faces = self._grid_mesh(30)
+        out = native.decimate_mesh(verts, cols, faces, 400)
+        assert out is not None
+        dv, dc, df = out
+        assert len(df) <= 400
+        assert len(df) > 100  # not destroyed
+        assert df.max() < len(dv)
+        assert np.isfinite(dv).all()
+
+    def test_geometry_preserved(self):
+        verts, cols, faces = self._grid_mesh(24)
+        dv, dc, df = native.decimate_mesh(verts, cols, faces, 300)
+        # Decimated surface stays inside (slightly padded) original bounds.
+        lo, hi = verts.min(0) - 1e-6, verts.max(0) + 1e-6
+        assert (dv >= lo).all() and (dv <= hi).all()
+        # Surface error: decimated vertices stay close to the heightfield.
+        zs = np.sin(dv[:, 0] * 3) * np.cos(dv[:, 1] * 2) * 0.2
+        assert np.abs(dv[:, 2] - zs).mean() < 0.02
+
+    def test_noop_when_under_target(self):
+        verts, cols, faces = self._grid_mesh(6)
+        dv, dc, df = native.decimate_mesh(verts, cols, faces, 10_000)
+        assert len(df) == len(faces)
+
+
+class TestFormatXYZ:
+    def test_matches_python_fallback(self, rng):
+        pts = rng.normal(0, 5, (200, 3))
+        cols = rng.integers(0, 256, (200, 3)).astype(np.int32)
+        out = native.format_xyz(pts, cols)
+        ref = b"".join(
+            b"%.6f %.6f %.6f %d %d %d\n"
+            % (pts[i, 0], pts[i, 1], pts[i, 2], cols[i, 0], cols[i, 1], cols[i, 2])
+            for i in range(200)
+        )
+        assert out == ref
