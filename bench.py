@@ -23,6 +23,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from image_to_pointcloud_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from image_to_pointcloud_tpu.models import DepthAnything, preset
     from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline, PipelineOptions
 
@@ -44,15 +48,28 @@ def main() -> None:
     imgs = rng.integers(0, 255, (batch, 518, 518, 3)).astype(np.uint8)
 
     # Warmup: compile + one steady-state run.
-    pipe.run_batch(imgs, options=opts, want_preview=False)
-    pipe.run_batch(imgs, options=opts, want_preview=False)
+    pipe.run_batch(imgs, options=opts, want_preview=False, want_packed=False)
+    pipe.run_batch(imgs, options=opts, want_preview=False, want_packed=False)
 
-    iters = 8
+    # Pipelined steady state: several batches in flight so upload, compute
+    # and download overlap across the host link.
+    depth_q = 3
+    iters = 12
     lat: list[float] = []
+    from collections import deque
+
+    pending = deque()
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(depth_q):
+        pending.append(pipe.submit_batch(imgs, options=opts, want_preview=False))
+    for _ in range(iters - depth_q):
         s = time.perf_counter()
-        pipe.run_batch(imgs, options=opts, want_preview=False)
+        pending.append(pipe.submit_batch(imgs, options=opts, want_preview=False))
+        pipe.collect(pending.popleft(), want_preview=False, want_packed=False)
+        lat.append(time.perf_counter() - s)
+    while pending:
+        s = time.perf_counter()
+        pipe.collect(pending.popleft(), want_preview=False, want_packed=False)
         lat.append(time.perf_counter() - s)
     elapsed = time.perf_counter() - t0
 

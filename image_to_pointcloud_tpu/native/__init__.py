@@ -55,6 +55,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.ipc_reconstruct.restype = ctypes.c_int64
+        lib.ipc_reconstruct.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
         return lib
     except Exception as e:  # noqa: BLE001
@@ -91,6 +99,42 @@ def decimate_mesh(
         c[: new_nv.value].astype(np.float32),
         f[:nf].copy(),
     )
+
+
+def reconstruct_points(
+    d16: np.ndarray,
+    keep: np.ndarray,
+    rgb: np.ndarray,
+    *,
+    step: int,
+    depth_scale: float,
+    f: float,
+    cx: float,
+    cy: float,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused dequantize+unproject+color-gather+compact; None if unavailable.
+
+    Args:
+      d16: (hh, ww) uint16 quantized normalized depth.
+      keep: (hh, ww) bool/uint8 keep mask.
+      rgb: (hh, ww, 3) uint8 color source — may be a strided view.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    hh, ww = d16.shape
+    d16 = np.ascontiguousarray(d16, np.uint16)
+    keep_u8 = np.ascontiguousarray(keep, np.uint8)
+    assert rgb.dtype == np.uint8 and rgb.strides[2] == 1
+    out_xyz = np.empty((hh * ww, 3), np.float32)
+    out_rgb = np.empty((hh * ww, 3), np.float32)
+    m = lib.ipc_reconstruct(
+        d16.ctypes.data, keep_u8.ctypes.data, rgb.ctypes.data,
+        rgb.strides[0], rgb.strides[1],
+        hh, ww, step, float(depth_scale), float(f), float(cx), float(cy),
+        out_xyz.ctypes.data, out_rgb.ctypes.data,
+    )
+    return out_xyz[:m], out_rgb[:m]
 
 
 def format_xyz(points: np.ndarray, colors: np.ndarray) -> bytes | None:

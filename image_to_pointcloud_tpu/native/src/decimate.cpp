@@ -191,6 +191,43 @@ int32_t ipc_decimate(double* verts, double* cols, int32_t nv, int32_t* faces,
   return out_nf;
 }
 
+// Fused point-cloud reconstruction from the pipeline's quantized depth
+// transfer: dequantize u16 depth, pinhole-unproject (reference math,
+// backend/app.py:218-244), gather colors from the strided source image,
+// and compact by the keep mask — one pass, SIMD-friendly.
+// rgb strides are in bytes (numpy .strides of a possibly non-contiguous
+// strided view). Returns the number of kept points.
+int64_t ipc_reconstruct(const uint16_t* d16, const uint8_t* keep,
+                        const uint8_t* rgb, int64_t rgb_rs, int64_t rgb_cs,
+                        int32_t hh, int32_t ww, int32_t step, float depth_scale,
+                        float f, float cx, float cy, float* out_xyz,
+                        float* out_rgb) {
+  const float inv = depth_scale / 65535.0f;
+  const float invf = 1.0f / f;
+  int64_t m = 0;
+  for (int32_t r = 0; r < hh; r++) {
+    const float y0 = (float)(r * step) - cy;
+    const uint16_t* drow = d16 + (int64_t)r * ww;
+    const uint8_t* krow = keep + (int64_t)r * ww;
+    const uint8_t* crow = rgb + (int64_t)r * rgb_rs;
+    for (int32_t c = 0; c < ww; c++) {
+      if (!krow[c]) continue;
+      float z = (float)drow[c] * inv;
+      float zs = (z != 0.0f) ? z : 1e-6f;
+      float x0 = (float)(c * step) - cx;
+      out_xyz[3 * m] = x0 * zs * invf;
+      out_xyz[3 * m + 1] = y0 * zs * invf;
+      out_xyz[3 * m + 2] = z;
+      const uint8_t* px = crow + (int64_t)c * rgb_cs;
+      out_rgb[3 * m] = (float)px[0];
+      out_rgb[3 * m + 1] = (float)px[1];
+      out_rgb[3 * m + 2] = (float)px[2];
+      m++;
+    }
+  }
+  return m;
+}
+
 // Fast "%.6f %.6f %.6f %d %d %d\n" formatting (reference backend/app.py:387).
 // Returns bytes written (caller sizes out generously: 80 bytes/point).
 int64_t ipc_format_xyz(const double* pts, const int32_t* cols, int32_t n,

@@ -107,6 +107,103 @@ def knn_mean_distances(
     return jnp.where(valid, means, 0.0)
 
 
+@partial(jax.jit, static_argnames=("k", "window"))
+def grid_knn_mean_distances(
+    points_grid: jax.Array,
+    *,
+    k: int = 20,
+    window: int = 4,
+) -> jax.Array:
+    """Mean k-NN distance for depth-grid point clouds via window search.
+
+    Points unprojected from a depth map sit on a (hh, ww) grid whose 3D
+    nearest neighbours are (for any smooth surface) inside a small grid
+    window; searching a (2·window+1)² neighbourhood is exact there and
+    conservative at depth discontinuities (a missed far-side neighbour can
+    only *increase* the mean, pushing true outliers further out). This is
+    the production-path replacement for the O(N²) search — O(N·window²)
+    with no large top-k, ~1000× faster at 518².
+
+    Args:
+      points_grid: (hh, ww, 3) float32 positions in grid layout.
+
+    Returns:
+      (hh*ww,) float32 mean distances (row-major), matching
+      :func:`knn_mean_distances` away from discontinuities.
+    """
+    hh, ww, _ = points_grid.shape
+    p = points_grid.astype(jnp.float32)
+    r = window
+    # Sentinel-padded map; shifted-window taps are dynamic slices of it.
+    pad = jnp.pad(p, ((r, r), (r, r), (0, 0)), constant_values=1e9)
+    offsets = jnp.asarray(
+        [(dy, dx) for dy in range(2 * r + 1) for dx in range(2 * r + 1)],
+        jnp.int32,
+    )
+
+    # Scan over window offsets, maintaining the k smallest squared
+    # distances per point via an insertion cascade (20 compare-exchanges):
+    # pure VPU elementwise work, compact scan body — no patch
+    # materialization, no conv, no top-k sort.
+    def step(carry, off):
+        q = jax.lax.dynamic_slice(pad, (off[0], off[1], 0), (hh, ww, 3))
+        diff = q - p
+        d2 = jnp.sum(diff * diff, axis=-1)  # (hh, ww)
+        v = jnp.where(d2 > 1e17, _BIG, d2)
+        rows = []
+        for i in range(k):
+            s = carry[i]
+            lo = jnp.minimum(s, v)
+            v = jnp.maximum(s, v)
+            rows.append(lo)
+        return jnp.stack(rows), None
+
+    init = jnp.full((k, hh, ww), _BIG, jnp.float32)
+    best, _ = jax.lax.scan(step, init, offsets)
+    best = best.reshape(k, hh * ww)
+    found = best < _BIG * 0.5
+    dist = jnp.sqrt(jnp.maximum(best, 0.0))
+    cnt = jnp.maximum(jnp.sum(found, axis=0), 1)
+    return jnp.sum(jnp.where(found, dist, 0.0), axis=0) / cnt
+
+
+@partial(jax.jit, static_argnames=("k", "window", "std_ratio", "use_pallas"))
+def grid_statistical_outlier_mask(
+    points_grid: jax.Array,
+    *,
+    k: int = 20,
+    std_ratio: float = 2.0,
+    window: int = 4,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Open3D-semantics outlier mask using the windowed grid search.
+
+    Returns a (hh*ww,) keep mask (row-major grid order). On TPU the
+    neighbour search runs as the Pallas VMEM-resident kernel
+    (ops.outlier_pallas); elsewhere the XLA scan formulation is used.
+    """
+    hh, ww, _ = points_grid.shape
+    n = hh * ww
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" or (
+            jax.default_backend() not in ("cpu", "gpu")
+        )
+    if use_pallas:
+        from image_to_pointcloud_tpu.ops.outlier_pallas import (
+            grid_knn_mean_distances_pallas,
+        )
+
+        means = grid_knn_mean_distances_pallas(points_grid, k=k, window=window)
+    else:
+        means = grid_knn_mean_distances(points_grid, k=k, window=window)
+    pos = means > 0.0
+    cloud_mean = jnp.sum(jnp.where(pos, means, 0.0)) / n
+    sq = jnp.where(pos, (means - cloud_mean) ** 2, 0.0)
+    var = jnp.sum(sq) / jnp.maximum(n - 1, 1)
+    threshold = cloud_mean + std_ratio * jnp.sqrt(var)
+    return pos & (means < threshold)
+
+
 @partial(jax.jit, static_argnames=("k", "query_block", "key_block"))
 def statistical_outlier_mask(
     points: jax.Array,

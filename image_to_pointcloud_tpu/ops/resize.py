@@ -184,7 +184,15 @@ def resample_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
 
 
 def resize_batched(x: jax.Array, out_hw: tuple[int, int], method: str) -> jax.Array:
-    """Resize a (B, H, W, C) batch with the given filter (two MXU matmuls)."""
+    """Resize a (B, H, W, C) batch with the given filter (two MXU matmuls).
+
+    Same-size resizes are identities for every supported filter (all
+    kernels hit weight 1 at offset 0) and are skipped outright — a 518²
+    identity bicubic would otherwise cost ~2 GFLOP of full-precision
+    matmul per image.
+    """
+    if (x.shape[1], x.shape[2]) == tuple(out_hw):
+        return x.astype(jnp.float32)
     wr = jnp.asarray(resample_matrix(x.shape[1], out_hw[0], method))
     wc = jnp.asarray(resample_matrix(x.shape[2], out_hw[1], method))
     x = x.astype(jnp.float32)
@@ -205,6 +213,8 @@ def resize2d(img: jax.Array, out_hw: tuple[int, int], method: str) -> jax.Array:
     """
     out_h, out_w = out_hw
     in_h, in_w = img.shape[0], img.shape[1]
+    if (in_h, in_w) == (out_h, out_w):
+        return img.astype(jnp.float32)
     wr = jnp.asarray(resample_matrix(in_h, out_h, method))
     wc = jnp.asarray(resample_matrix(in_w, out_w, method))
     squeeze = img.ndim == 2

@@ -62,6 +62,9 @@ class PipelineOptions:
     smooth_ksize: int = 5
     fov: float | None = None
     refine: bool = True  # statistical outlier removal on/off
+    # Exact O(N²) kNN (Open3D-identical) vs windowed grid search (exact on
+    # smooth surfaces, ~1000× faster; see ops.outlier.grid_knn_mean_distances).
+    exact_outlier: bool = False
 
 
 @dataclasses.dataclass
@@ -90,6 +93,17 @@ def _proc_hw(h: int, w: int) -> tuple[int, int]:
         return h, w
     s = MAX_IMAGE_DIM / float(m)
     return int(round(h * s)), int(round(w * s))
+
+
+def _outlier_mask_from_means(means: jax.Array) -> jax.Array:
+    """Batched Open3D threshold rule on (B, N) mean kNN distances."""
+    n = means.shape[-1]
+    pos = means > 0.0
+    cloud_mean = jnp.sum(jnp.where(pos, means, 0.0), axis=-1, keepdims=True) / n
+    sq = jnp.where(pos, (means - cloud_mean) ** 2, 0.0)
+    var = jnp.sum(sq, axis=-1, keepdims=True) / max(n - 1, 1)
+    threshold = cloud_mean + 2.0 * jnp.sqrt(var)
+    return pos & (means < threshold)
 
 
 def depth_to_packed_points(
@@ -125,7 +139,17 @@ def depth_to_packed_points(
         fov_deg=opts.fov,
     )
     if opts.refine:
-        keep = statistical_outlier_mask(packed[:3].T)
+        if opts.exact_outlier:
+            keep = statistical_outlier_mask(packed[:3].T)
+        else:
+            hh, ww = -(-h // step), -(-w // step)
+            from image_to_pointcloud_tpu.ops.outlier import (
+                grid_statistical_outlier_mask,
+            )
+
+            keep = grid_statistical_outlier_mask(
+                packed[:3].T.reshape(hh, ww, 3)
+            )
         packed = packed.at[6].set(keep.astype(jnp.float32))
     return packed
 
@@ -139,17 +163,28 @@ class DepthPipeline:
         params: Any,
         *,
         model_target: int = 518,
-        donate: bool = False,
+        quantized_transfer: bool | None = None,
     ):
         self.cfg = cfg
         self.model = DepthAnything(cfg)
         self.params = params
         self.model_target = model_target
+        if quantized_transfer is None:
+            # Worth it on accelerators (device→host bandwidth bound); on CPU
+            # the copy is free and f32 keeps tests bit-simple.
+            quantized_transfer = jax.default_backend() != "cpu"
+        self.quantized_transfer = quantized_transfer
         self._compiled: dict[tuple, Callable] = {}
 
     # ---------- graph builders ----------
 
-    def _build(self, in_hw: tuple[int, int], opts: PipelineOptions, batch: int):
+    def _build(
+        self,
+        in_hw: tuple[int, int],
+        opts: PipelineOptions,
+        batch: int,
+        preview: bool = True,
+    ):
         """Compile the full fused graph for one (input size, batch) signature."""
         h0, w0 = in_hw
         h, w = _proc_hw(h0, w0)
@@ -162,16 +197,51 @@ class DepthPipeline:
         def graph(params, images_u8, depth_scales):
             img = images_u8.astype(jnp.float32)  # (B, h0, w0, 3)
             if (h, w) != (h0, w0):
-                img = resize_batched(img, (h, w), "area")
+                # cv2 resizes the uint8 image (rounding); match it.
+                img = jnp.clip(
+                    jnp.round(resize_batched(img, (h, w), "area")), 0, 255
+                )
             x = preprocess_for_model(img, (mh, mw))
             depth = self.model.apply({"params": params}, x)  # (B, mh, mw)
 
-            # Depth preview: normalize at model resolution, colorize, cap.
-            dn_prev = jax.vmap(lambda d: normalize_depth(d, opts.invert_depth))(depth)
-            prev_u8 = (dn_prev * 255.0).astype(jnp.uint8)
-            prev_rgb = jax.vmap(apply_colormap)(prev_u8)  # (B, mh, mw, 3)
-            if (pv_h, pv_w) != (mh, mw):
-                prev_rgb = jnp.clip(
+            # Point-cloud path: upscale depth to working size, re-normalize,
+            # unproject. Refine runs batched AFTER the vmap: the Pallas
+            # grid-kNN kernel is natively batched (vmapping a manual-grid
+            # pallas_call would shift its program_id axes).
+            def normalize_one(d):
+                if (mh, mw) != (h, w):
+                    d = resize_batched(d[None, :, :, None], (h, w), "linear")[
+                        0, :, :, 0
+                    ]
+                dn = normalize_depth(d, opts.invert_depth)
+                if opts.smooth_depth:
+                    kk = max(3, int(opts.smooth_ksize) // 2 * 2 + 1)
+                    dn = gaussian_blur(dn, kk)
+                return dn
+
+            dn_all = jax.vmap(normalize_one)(depth)  # (B, h, w)
+
+            # Depth preview: normalize at model resolution (shared with the
+            # point path when the sizes coincide), quantize to gray u8;
+            # the PLASMA LUT is applied host-side from the 256x3 constant
+            # (a 268k-element gather per image is wasted TPU time, and gray
+            # transfers 3x less). Oversized previews (never hit by the
+            # depth model's <=~700 px outputs) colorize+resize on device to
+            # preserve the reference's colorize-then-area-resize order.
+            if not preview:
+                prev_out = jnp.zeros((1,), jnp.uint8)
+            elif (pv_h, pv_w) != (mh, mw):
+                dn_prev = (
+                    dn_all
+                    if (mh, mw) == (h, w) and not opts.smooth_depth
+                    else jax.vmap(
+                        lambda d: normalize_depth(d, opts.invert_depth)
+                    )(depth)
+                )
+                prev_rgb = jax.vmap(apply_colormap)(
+                    (dn_prev * 255.0).astype(jnp.uint8)
+                )
+                prev_out = jnp.clip(
                     jnp.round(
                         resize_batched(
                             prev_rgb.astype(jnp.float32), (pv_h, pv_w), "area"
@@ -180,14 +250,67 @@ class DepthPipeline:
                     0,
                     255,
                 ).astype(jnp.uint8)
-
-            # Point-cloud path: upscale depth to working size, re-normalize.
-            packed = jax.vmap(
-                lambda d, im, s: depth_to_packed_points(
-                    d, im, s, opts=opts, h=h, w=w, step=step
+            else:
+                dn_prev = (
+                    dn_all
+                    if (mh, mw) == (h, w) and not opts.smooth_depth
+                    else jax.vmap(
+                        lambda d: normalize_depth(d, opts.invert_depth)
+                    )(depth)
                 )
-            )(depth, img, depth_scales)
-            return packed, prev_rgb
+                prev_out = (dn_prev * 255.0).astype(jnp.uint8)  # gray (B,mh,mw)
+            packed = jax.vmap(
+                lambda dn, im, s: unproject(
+                    dn, im, depth_scale=s, step=step, h=h, w=w, fov_deg=opts.fov
+                )
+            )(dn_all, img, depth_scales)
+            if opts.refine:
+                hh, ww = -(-h // step), -(-w // step)
+                if opts.exact_outlier:
+                    keep = jax.vmap(
+                        lambda pk: statistical_outlier_mask(pk[:3].T)
+                    )(packed)
+                else:
+                    from image_to_pointcloud_tpu.ops.outlier import (
+                        grid_knn_mean_distances,
+                    )
+                    from image_to_pointcloud_tpu.ops.outlier_pallas import (
+                        grid_knn_mean_distances_pallas,
+                    )
+
+                    grids = packed[:, :3, :].transpose(0, 2, 1).reshape(
+                        -1, hh, ww, 3
+                    )
+                    if jax.default_backend() == "cpu":
+                        means = jax.vmap(grid_knn_mean_distances)(grids)
+                    else:
+                        means = grid_knn_mean_distances_pallas(grids)
+                    keep = _outlier_mask_from_means(means)
+                packed = jnp.concatenate(
+                    [
+                        packed[:, :6, :],
+                        keep.astype(jnp.float32)[:, None, :],
+                        packed[:, 7:, :],
+                    ],
+                    axis=1,
+                )
+            if not self.quantized_transfer:
+                return packed, prev_out
+
+            # depth16 transfer: the unprojection is a deterministic function
+            # of (normalized depth, intrinsics), so only the u16-quantized
+            # strided depth and the keep mask cross the (slow) device→host
+            # link (~140 KB/image instead of ~2 MB); the host reconstructs
+            # points exactly (z error ≤ depth_scale/2¹⁶) and takes colors
+            # from its own copy of the input image. When the working image
+            # was downscaled on device, the strided RGB rides along too.
+            dn_s = dn_all[:, ::step, ::step]
+            d16 = jnp.round(dn_s * 65535.0).astype(jnp.uint16)
+            keep_mask = packed[:, 6, :] > 0.5
+            if (h, w) != (h0, w0):
+                rgb_dev = img[:, ::step, ::step, :].astype(jnp.uint8)
+                return (d16, keep_mask, rgb_dev), prev_rgb
+            return (d16, keep_mask), prev_out
 
         return jax.jit(graph)
 
@@ -200,6 +323,157 @@ class DepthPipeline:
 
     # ---------- host-facing API ----------
 
+    def submit_batch(
+        self,
+        images_rgb_u8: "np.ndarray | list[np.ndarray]",
+        *,
+        depth_scales: "np.ndarray | list[float] | float" = 10.0,
+        options: PipelineOptions = PipelineOptions(),
+        want_preview: bool = True,
+    ):
+        """Asynchronously dispatch one batch; returns a handle for
+        :meth:`collect`. Submitting batch k+1 before collecting batch k
+        double-buffers compute against the device→host transfer."""
+        imgs = np.stack(images_rgb_u8)
+        b, h0, w0 = imgs.shape[:3]
+        if np.isscalar(depth_scales):
+            depth_scales = np.full((b,), depth_scales, np.float32)
+        key = ("depth", b, h0, w0, options, want_preview)
+        fn = self._get(
+            key, lambda: self._build((h0, w0), options, b, preview=want_preview)
+        )
+        out, prev = fn(
+            self.params, jnp.asarray(imgs), jnp.asarray(depth_scales, jnp.float32)
+        )
+        h, w = _proc_hw(h0, w0)
+        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
+
+        step = DENSITY_STRIDES[options.density]
+        grid_hw = (-(-h // step), -(-w // step))
+        return (out, prev, b, grid_hw, imgs, np.asarray(depth_scales), options, (h, w), step)
+
+    def collect(
+        self, handle, *, want_preview: bool = True, want_packed: bool = True
+    ) -> list[PipelineResult]:
+        """Pull a submitted batch to host and assemble results."""
+        out, prev, b, grid_hw, imgs, depth_scales, options, (h, w), step = handle
+        prev_np = None
+        if want_preview:
+            prev_np = np.asarray(prev)
+            if prev_np.ndim == 3:  # gray u8 → PLASMA LUT on host
+                from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
+
+                prev_np = PLASMA_RGB[prev_np]
+        results = []
+        if self.quantized_transfer:
+            outs = [np.asarray(x) for x in out]
+            d16, keep_all = outs[0], outs[1]
+            hh, ww = grid_hw
+            n = hh * ww
+            from image_to_pointcloud_tpu.ops.unproject import focal_length
+
+            f = focal_length(h, w, options.fov)
+            cx, cy = w / 2.0, h / 2.0
+
+            if not want_packed:
+                # Fast path: fused native dequant+unproject+compact.
+                from image_to_pointcloud_tpu import native
+
+                if native.available():
+                    rgb_views = (
+                        outs[2]
+                        if len(outs) > 2
+                        else imgs[:, ::step, ::step, :]
+                    )
+                    for i in range(b):
+                        pts, cols = native.reconstruct_points(
+                            d16[i],
+                            keep_all[i].reshape(hh, ww),
+                            rgb_views[i],
+                            step=step,
+                            depth_scale=float(depth_scales[i]),
+                            f=f,
+                            cx=cx,
+                            cy=cy,
+                        )
+                        results.append(
+                            PipelineResult(
+                                points=pts,
+                                colors=cols,
+                                depth_preview_rgb=(
+                                    prev_np[i] if want_preview else None
+                                ),
+                                raw_point_count=n,
+                                kept_point_count=len(pts),
+                                packed=None,
+                                grid_hw=grid_hw,
+                            )
+                        )
+                    return results
+
+            if len(outs) > 2:
+                rgb = outs[2].reshape(b, n, 3).astype(np.float32)
+            else:
+                rgb = (
+                    imgs[:, ::step, ::step, :]
+                    .reshape(b, n, 3)
+                    .astype(np.float32)
+                )
+
+            # Host-side exact unprojection from the quantized depth
+            # (reference math, backend/app.py:218-244).
+            dn = d16.astype(np.float32) * np.float32(1.0 / 65535.0)
+            z = dn * depth_scales[:, None, None].astype(np.float32)
+            zs = np.where(z != 0.0, z, np.float32(1e-6))
+            u = (np.arange(ww, dtype=np.float32) * step - cx)[None, None, :]
+            v = (np.arange(hh, dtype=np.float32) * step - cy)[None, :, None]
+            x = u * zs / f
+            y = v * zs / f
+            xyz = np.stack(
+                [x.reshape(b, n), y.reshape(b, n), z.reshape(b, n)], axis=1
+            )
+            for i in range(b):
+                keep = keep_all[i]
+                packed = None
+                if want_packed:
+                    packed = np.concatenate(
+                        [
+                            xyz[i],
+                            rgb[i].T,
+                            keep[None].astype(np.float32),
+                            np.zeros((1, n), np.float32),
+                        ],
+                        axis=0,
+                    )
+                results.append(
+                    PipelineResult(
+                        points=np.ascontiguousarray(xyz[i].T[keep]),
+                        colors=np.ascontiguousarray(rgb[i][keep]),
+                        depth_preview_rgb=prev_np[i] if want_preview else None,
+                        raw_point_count=n,
+                        kept_point_count=int(keep.sum()),
+                        packed=packed,
+                        grid_hw=grid_hw,
+                    )
+                )
+            return results
+
+        packed_all = np.asarray(out)
+        for i in range(b):
+            keep = packed_all[i, 6] > 0.5
+            results.append(
+                PipelineResult(
+                    points=np.ascontiguousarray(packed_all[i, :3].T[keep]),
+                    colors=np.ascontiguousarray(packed_all[i, 3:6].T[keep]),
+                    depth_preview_rgb=prev_np[i] if want_preview else None,
+                    raw_point_count=packed_all.shape[2],
+                    kept_point_count=int(keep.sum()),
+                    packed=packed_all[i] if want_packed else None,
+                    grid_hw=grid_hw,
+                )
+            )
+        return results
+
     def run_batch(
         self,
         images_rgb_u8: "np.ndarray | list[np.ndarray]",
@@ -207,39 +481,18 @@ class DepthPipeline:
         depth_scales: "np.ndarray | list[float] | float" = 10.0,
         options: PipelineOptions = PipelineOptions(),
         want_preview: bool = True,
+        want_packed: bool = True,
     ) -> list[PipelineResult]:
         """Run the fused pipeline on a batch of same-size RGB uint8 images."""
-        imgs = np.stack(images_rgb_u8)
-        b, h0, w0 = imgs.shape[:3]
-        if np.isscalar(depth_scales):
-            depth_scales = np.full((b,), depth_scales, np.float32)
-        key = ("depth", b, h0, w0, options)
-        fn = self._get(key, lambda: self._build((h0, w0), options, b))
-        packed, prev = fn(
-            self.params, jnp.asarray(imgs), jnp.asarray(depth_scales, jnp.float32)
+        handle = self.submit_batch(
+            images_rgb_u8,
+            depth_scales=depth_scales,
+            options=options,
+            want_preview=want_preview,
         )
-        packed = np.asarray(packed)
-        prev = np.asarray(prev) if want_preview else None
-        h, w = _proc_hw(h0, w0)
-        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
-
-        step = DENSITY_STRIDES[options.density]
-        grid_hw = (-(-h // step), -(-w // step))
-        results = []
-        for i in range(b):
-            keep = packed[i, 6] > 0.5
-            results.append(
-                PipelineResult(
-                    points=np.ascontiguousarray(packed[i, :3].T[keep]),
-                    colors=np.ascontiguousarray(packed[i, 3:6].T[keep]),
-                    depth_preview_rgb=prev[i] if want_preview else None,
-                    raw_point_count=packed.shape[2],
-                    kept_point_count=int(keep.sum()),
-                    packed=packed[i],
-                    grid_hw=grid_hw,
-                )
-            )
-        return results
+        return self.collect(
+            handle, want_preview=want_preview, want_packed=want_packed
+        )
 
     def run(
         self,

@@ -30,6 +30,9 @@ def main() -> None:
 
     from image_to_pointcloud_tpu.serve.http import HttpServer
     from image_to_pointcloud_tpu.serve.models import ModelManager
+    from image_to_pointcloud_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     models = ModelManager(checkpoint_dir=args.checkpoint_dir)
 

@@ -64,3 +64,29 @@ class TestFormatXYZ:
             for i in range(200)
         )
         assert out == ref
+
+
+class TestReconstruct:
+    def test_matches_numpy_path(self, rng):
+        hh, ww, step = 30, 40, 2
+        h, w = hh * step, ww * step
+        d16 = rng.integers(0, 65536, (hh, ww)).astype(np.uint16)
+        keep = rng.random((hh, ww)) > 0.3
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rgb = img[::step, ::step, :]
+        f = max(h, w) * 1.2
+        out = native.reconstruct_points(
+            d16, keep, rgb, step=step, depth_scale=10.0, f=f,
+            cx=w / 2, cy=h / 2,
+        )
+        assert out is not None
+        pts, cols = out
+
+        dn = d16.astype(np.float32) / 65535.0
+        z = dn * 10.0
+        zs = np.where(z != 0, z, 1e-6)
+        u = (np.arange(ww, dtype=np.float32) * step - w / 2)[None, :]
+        v = (np.arange(hh, dtype=np.float32) * step - h / 2)[:, None]
+        ref = np.stack([(u * zs / f)[keep], (v * zs / f)[keep], z[keep]], 1)
+        np.testing.assert_allclose(pts, ref, rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(cols, rgb[keep].astype(np.float32))

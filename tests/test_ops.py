@@ -182,3 +182,76 @@ class TestVoxel:
         for (rp, rc), (up, uc) in zip(sorted(ref, key=lambda t: tuple(t[0])), ours):
             np.testing.assert_allclose(up, rp, atol=1e-5)
             np.testing.assert_allclose(uc, rc, atol=1e-5)
+
+
+class TestGridOutlier:
+    def test_matches_exact_on_grid_cloud(self, rng):
+        """Windowed grid search equals the exact O(N²) search on a smooth
+        depth-grid cloud with injected outliers."""
+        import jax.numpy as jnp
+
+        hh, ww = 24, 30
+        u, v = np.meshgrid(np.arange(ww, dtype=np.float32),
+                           np.arange(hh, dtype=np.float32))
+        z = 5.0 + 0.5 * np.sin(u / 5) * np.cos(v / 4)
+        z[3, 7] = 12.0   # outliers
+        z[15, 20] = 0.2
+        f = max(hh, ww) * 1.2
+        pts = np.stack(
+            [(u - ww / 2) * z / f, (v - hh / 2) * z / f, z], axis=-1
+        ).astype(np.float32)
+
+        exact = np.asarray(
+            ops.statistical_outlier_mask(pts.reshape(-1, 3), k=10)
+        )
+        from image_to_pointcloud_tpu.ops.outlier import (
+            grid_statistical_outlier_mask,
+        )
+
+        grid = np.asarray(
+            grid_statistical_outlier_mask(jnp.asarray(pts), k=10, window=7)
+        )
+        assert (grid == exact).mean() > 0.995
+        assert not grid.reshape(hh, ww)[3, 7]
+        assert not grid.reshape(hh, ww)[15, 20]
+
+    def test_grid_mean_distances_match(self, rng):
+        import jax.numpy as jnp
+
+        from image_to_pointcloud_tpu.ops.outlier import grid_knn_mean_distances
+
+        hh, ww = 16, 20
+        u, v = np.meshgrid(np.arange(ww, dtype=np.float32),
+                           np.arange(hh, dtype=np.float32))
+        z = 4.0 + 0.3 * np.sin(u / 3) + 0.05 * rng.random((hh, ww))
+        f = max(hh, ww) * 1.2
+        pts = np.stack(
+            [(u - ww / 2) * z / f, (v - hh / 2) * z / f, z], axis=-1
+        ).astype(np.float32)
+        exact = np.asarray(ops.knn_mean_distances(pts.reshape(-1, 3), k=8))
+        grid = np.asarray(grid_knn_mean_distances(jnp.asarray(pts), k=8, window=7))
+        # Identical where the window captures the true neighbours; the exact
+        # kernel's |q|²+|k|²−2qk form carries f32 cancellation noise on tiny
+        # distances, so compare with an absolute floor.
+        close = np.isclose(grid, exact, rtol=1e-3, atol=2e-5).mean()
+        assert close > 0.95
+
+    def test_pallas_kernel_matches_scan(self, rng):
+        import jax.numpy as jnp
+
+        from image_to_pointcloud_tpu.ops.outlier import grid_knn_mean_distances
+        from image_to_pointcloud_tpu.ops.outlier_pallas import (
+            grid_knn_mean_distances_pallas,
+        )
+
+        pts = (rng.random((2, 40, 50, 3)) * 3).astype(np.float32)
+        ref = np.stack(
+            [np.asarray(grid_knn_mean_distances(jnp.asarray(p), k=20, window=4))
+             for p in pts]
+        )
+        out = np.asarray(
+            grid_knn_mean_distances_pallas(
+                jnp.asarray(pts), k=20, window=4, tile=(16, 32), interpret=True
+            )
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-7)

@@ -50,7 +50,7 @@ class TestDepthToPoints:
             img_bgr, depth, density, True, 10.0, smooth, 5, None
         )
 
-        opts = PipelineOptions(density=density, smooth_depth=smooth)
+        opts = PipelineOptions(density=density, smooth_depth=smooth, exact_outlier=True)
         from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
 
         packed = np.asarray(
@@ -77,7 +77,7 @@ class TestDepthToPoints:
         pts_ref, _, keep_ref = _reference_chain(
             img_bgr, depth, "high", True, 10.0, False, 5, 60.0
         )
-        opts = PipelineOptions(density="high", fov=60.0)
+        opts = PipelineOptions(density="high", fov=60.0, exact_outlier=True)
         packed = np.asarray(
             depth_to_packed_points(
                 jnp.asarray(depth), jnp.asarray(img_bgr[:, :, ::-1].copy()),
@@ -146,3 +146,29 @@ class TestFullPipeline:
         assert res.depth_preview_rgb.dtype == np.uint8
         assert res.depth_preview_rgb.shape[2] == 3
         assert np.isfinite(res.points).all()
+
+
+class TestQuantizedTransfer:
+    def test_depth16_matches_f32_path(self, rng):
+        """The depth16 transfer mode reconstructs the same cloud (±2e-4)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
+        a = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=False,
+        ).run(img, depth_scale=10.0)
+        b = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        ).run(img, depth_scale=10.0)
+        assert a.raw_point_count == b.raw_point_count
+        assert a.kept_point_count == b.kept_point_count
+        np.testing.assert_allclose(a.points, b.points, atol=2e-4)
+        np.testing.assert_array_equal(a.colors, b.colors)
