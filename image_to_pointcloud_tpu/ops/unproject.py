@@ -49,6 +49,45 @@ def num_points(h: int, w: int, step: int) -> int:
     return -(-h // step) * -(-w // step)
 
 
+@partial(jax.jit, static_argnames=("step",))
+def unproject_intrinsics(
+    depth_metric: jax.Array,
+    image_rgb: jax.Array,
+    *,
+    fx: jax.Array | float,
+    fy: jax.Array | float,
+    cx: jax.Array | float,
+    cy: jax.Array | float,
+    step: int = 1,
+) -> jax.Array:
+    """Metric-depth unprojection with a real camera model (ZoeDepth-class
+    config, BASELINE.json config 3): ``x=(u-cx)·z/fx, y=(v-cy)·z/fy`` with
+    z the metric depth itself (no normalization). Returns the packed
+    planar (8, N) buffer; intrinsics may be traced scalars so one compiled
+    graph serves any camera."""
+    d, rgb = _prepare(depth_metric, image_rgb, step)
+    hh, ww = d.shape
+    u = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 1) * step - cx
+    v = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 0) * step - cy
+    z = d
+    x = u * z / fx
+    y = v * z / fy
+    n = hh * ww
+    return jnp.stack(
+        [
+            x.reshape(n),
+            y.reshape(n),
+            z.reshape(n),
+            rgb[:, :, 0].reshape(n),
+            rgb[:, :, 1].reshape(n),
+            rgb[:, :, 2].reshape(n),
+            (z.reshape(n) > 0).astype(jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
 def _prepare(depth_norm, image_rgb, step):
     """Strided sampling + color cast; shared by both implementations."""
     d = depth_norm[::step, ::step].astype(jnp.float32)

