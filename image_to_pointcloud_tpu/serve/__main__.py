@@ -24,6 +24,10 @@ def main() -> None:
     parser.add_argument("--output-dir", default="outputs")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--honor-fov", action="store_true")
+    parser.add_argument(
+        "--warmup", default=None,
+        help="comma-separated HxW sizes to pre-compile at startup, e.g. '518x518,480x640'",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -40,12 +44,22 @@ def main() -> None:
         if args.generation == "v1":
             from image_to_pointcloud_tpu.serve.app_v1 import create_v1_app
 
+            warmup_sizes = []
+            if args.warmup:
+                for tok in args.warmup.split(","):
+                    hh, ww = tok.lower().split("x")
+                    warmup_sizes.append((int(hh), int(ww)))
             app = create_v1_app(
                 output_dir=args.output_dir,
                 models=models,
                 honor_fov=args.honor_fov,
+                warmup_sizes=warmup_sizes,
             )
             server = HttpServer(app.router, args.host, args.port)
+            if warmup_sizes:
+                import threading
+
+                threading.Thread(target=app.warmup, daemon=True).start()
         else:
             from image_to_pointcloud_tpu.serve.app_v2 import create_v2_app
 

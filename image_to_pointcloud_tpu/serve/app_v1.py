@@ -118,6 +118,7 @@ class V1Service:
         models: ModelManager | None = None,
         honor_fov: bool = False,
         batch_window_ms: float = 5.0,
+        warmup_sizes: "list[tuple[int, int]] | None" = None,
     ):
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(exist_ok=True, parents=True)
@@ -128,7 +129,23 @@ class V1Service:
         self.executor = ThreadPoolExecutor(max_workers=2)
         self.batch_window_ms = batch_window_ms
         self._batchers: dict[str, object] = {}
+        self.warmup_sizes = warmup_sizes or []
         self.router = self._build_router()
+
+    def warmup(self, model_name: str = "depth-anything-v2") -> None:
+        """Pre-compile the pipeline for standard input sizes so the first
+        request isn't a minutes-long XLA compile (pairs with the
+        persistent compilation cache — each signature compiles once ever).
+        Blocking; call from a startup thread."""
+        import numpy as _np
+
+        pipeline = self.models.get(model_name)
+        self.loaded_model_names.add(model_name)
+        for h, w in self.warmup_sizes:
+            logger.info("Warmup compile %dx%d", h, w)
+            img = _np.zeros((h, w, 3), _np.uint8)
+            pipeline.run(img, options=PipelineOptions())
+        logger.info("Warmup complete (%d signatures)", len(self.warmup_sizes))
 
     # ---------- pipeline task ----------
 
