@@ -64,12 +64,15 @@ class Block(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm1")(x)
+        # Flash attention pays off once the (N, N) score tensor dominates
+        # HBM traffic; below ~2k tokens XLA's fused attention is on par.
+        use_flash = cfg.use_flash_attention and h.shape[1] >= 2048
         h = multi_head_attention(
             nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="q")(h),
             nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="k")(h),
             nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="v")(h),
             num_heads=cfg.num_heads,
-            use_flash=cfg.use_flash_attention,
+            use_flash=use_flash,
         )
         h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="proj")(h)
         g1 = self.param("ls1", nn.initializers.ones, (cfg.hidden_size,))

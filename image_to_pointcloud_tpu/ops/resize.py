@@ -186,24 +186,28 @@ def resample_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
 def resize_batched(x: jax.Array, out_hw: tuple[int, int], method: str) -> jax.Array:
     """Resize a (B, H, W, C) batch with the given filter (two MXU matmuls).
 
-    Same-size resizes are identities for every supported filter (all
-    kernels hit weight 1 at offset 0) and are skipped outright — a 518²
-    identity bicubic would otherwise cost ~2 GFLOP of full-precision
-    matmul per image.
+    Dtype-aware: float32 inputs resample in full (HIGHEST) precision —
+    the cv2/PIL-exact parity paths; bfloat16 inputs (model-internal
+    feature maps) stay bf16 at native MXU speed. Same-size resizes are
+    identities for every supported filter and are skipped.
     """
     if (x.shape[1], x.shape[2]) == tuple(out_hw):
-        return x.astype(jnp.float32)
-    wr = jnp.asarray(resample_matrix(x.shape[1], out_hw[0], method))
-    wc = jnp.asarray(resample_matrix(x.shape[2], out_hw[1], method))
-    x = x.astype(jnp.float32)
-    x = jnp.einsum(
+        return x if jnp.issubdtype(x.dtype, jnp.floating) else x.astype(jnp.float32)
+    bf16 = x.dtype == jnp.bfloat16
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    wdt = x.dtype
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    wr = jnp.asarray(resample_matrix(x.shape[1], out_hw[0], method)).astype(wdt)
+    wc = jnp.asarray(resample_matrix(x.shape[2], out_hw[1], method)).astype(wdt)
+    y = jnp.einsum(
         "oi,biwc->bowc", wr, x,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(wdt)
     return jnp.einsum(
-        "oj,bhjc->bhoc", wc, x,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+        "oj,bhjc->bhoc", wc, y,
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(wdt)
 
 
 def resize2d(img: jax.Array, out_hw: tuple[int, int], method: str) -> jax.Array:
@@ -211,27 +215,10 @@ def resize2d(img: jax.Array, out_hw: tuple[int, int], method: str) -> jax.Array:
 
     Implemented as two MXU matmuls with host-precomputed weights.
     """
-    out_h, out_w = out_hw
-    in_h, in_w = img.shape[0], img.shape[1]
-    if (in_h, in_w) == (out_h, out_w):
-        return img.astype(jnp.float32)
-    wr = jnp.asarray(resample_matrix(in_h, out_h, method))
-    wc = jnp.asarray(resample_matrix(in_w, out_w, method))
     squeeze = img.ndim == 2
     if squeeze:
         img = img[:, :, None]
-    x = img.astype(jnp.float32)
-    # rows: (out_h, in_h) @ (in_h, in_w*C)
-    c = x.shape[2]
-    x = jnp.einsum(
-        "oi,iwc->owc", wr, x,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
-    x = jnp.einsum(
-        "oj,hjc->hoc", wc, x,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
-    del c
+    x = resize_batched(img.astype(jnp.float32)[None], out_hw, method)[0]
     if squeeze:
         x = x[:, :, 0]
     return x
