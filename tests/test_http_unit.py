@@ -1,0 +1,220 @@
+"""Unit tests for the first-party HTTP runtime: parsing, routing, registry,
+micro-batching."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from image_to_pointcloud_tpu.serve.http import (
+    HTTPError,
+    Request,
+    Response,
+    Router,
+    json_response,
+)
+from image_to_pointcloud_tpu.serve.jobs import JobRegistry, JobStatus
+
+
+def _req(method="GET", path="/", headers=None, body=b"", query=None):
+    return Request(
+        method=method,
+        path=path,
+        query=query or {},
+        headers=headers or {},
+        body=body,
+    )
+
+
+class TestMultipart:
+    def _multipart(self, boundary, parts):
+        out = b""
+        for head, content in parts:
+            out += b"--" + boundary + b"\r\n" + head + b"\r\n\r\n" + content + b"\r\n"
+        return out + b"--" + boundary + b"--\r\n"
+
+    def test_file_and_fields(self):
+        b = b"XbOuNdX"
+        body = self._multipart(
+            b,
+            [
+                (
+                    b'Content-Disposition: form-data; name="file"; filename="a.png"\r\n'
+                    b"Content-Type: image/png",
+                    b"\x89PNGdata",
+                ),
+                (b'Content-Disposition: form-data; name="model"', b"depth-anything-v2"),
+            ],
+        )
+        req = _req(
+            "POST",
+            "/process",
+            headers={"content-type": f'multipart/form-data; boundary="{b.decode()}"'},
+            body=body,
+        )
+        assert req.files["file"].filename == "a.png"
+        assert req.files["file"].content_type == "image/png"
+        assert req.files["file"].data == b"\x89PNGdata"
+        assert req.form["model"] == "depth-anything-v2"
+
+    def test_binary_content_with_crlf(self):
+        b = b"bnd"
+        payload = b"ab\r\ncd" * 10
+        body = self._multipart(
+            b,
+            [(b'Content-Disposition: form-data; name="file"; filename="x"', payload)],
+        )
+        req = _req(
+            "POST", "/p",
+            headers={"content-type": f"multipart/form-data; boundary={b.decode()}"},
+            body=body,
+        )
+        assert req.files["file"].data == payload
+
+    def test_urlencoded_form(self):
+        req = _req(
+            "POST", "/p",
+            headers={"content-type": "application/x-www-form-urlencoded"},
+            body=b"a=1&b=hello%20world",
+        )
+        assert req.form == {"a": "1", "b": "hello world"}
+
+    def test_garbage_body_no_crash(self):
+        req = _req(
+            "POST", "/p",
+            headers={"content-type": "multipart/form-data; boundary=zz"},
+            body=b"\x00\xff random garbage without boundary",
+        )
+        assert req.files == {} and req.form == {}
+
+
+class TestRouter:
+    def _dispatch(self, router, req):
+        return asyncio.get_event_loop().run_until_complete(router.dispatch(req))
+
+    def test_path_params_and_405(self):
+        r = Router()
+
+        @r.get("/status/{job_id}")
+        async def status(req):
+            return json_response({"id": req.path_params["job_id"]})
+
+        loop = asyncio.new_event_loop()
+        try:
+            resp = loop.run_until_complete(r.dispatch(_req(path="/status/abc-123")))
+            assert b"abc-123" in resp.body
+            with pytest.raises(HTTPError) as e:
+                loop.run_until_complete(
+                    r.dispatch(_req("POST", "/status/abc-123"))
+                )
+            assert e.value.status == 405
+            with pytest.raises(HTTPError) as e:
+                loop.run_until_complete(r.dispatch(_req(path="/nope")))
+            assert e.value.status == 404
+        finally:
+            loop.close()
+
+    def test_static_mount_traversal_blocked(self, tmp_path):
+        (tmp_path / "ok.txt").write_bytes(b"fine")
+        secret = tmp_path.parent / "secret.txt"
+        secret.write_bytes(b"secret")
+        r = Router()
+        r.mount_static("/outputs", tmp_path)
+        loop = asyncio.new_event_loop()
+        try:
+            resp = loop.run_until_complete(r.dispatch(_req(path="/outputs/ok.txt")))
+            assert resp.body == b"fine"
+            with pytest.raises(HTTPError) as e:
+                loop.run_until_complete(
+                    r.dispatch(_req(path="/outputs/../secret.txt"))
+                )
+            assert e.value.status == 404
+        finally:
+            loop.close()
+
+    def test_cors_preflight(self):
+        r = Router()
+        loop = asyncio.new_event_loop()
+        try:
+            resp = loop.run_until_complete(r.dispatch(_req("OPTIONS", "/anything")))
+            assert resp.status == 204
+        finally:
+            loop.close()
+
+    def test_response_encoding(self):
+        resp = json_response({"a": 1}, 200)
+        raw = resp.encode("*")
+        assert raw.startswith(b"HTTP/1.1 200 OK\r\n")
+        assert b"access-control-allow-origin: *" in raw
+        assert raw.endswith(b'{"a": 1}')
+
+
+class TestJobRegistry:
+    def test_concurrent_updates_are_serialized(self):
+        async def run():
+            reg = JobRegistry()
+            job = await reg.create(model="m")
+
+            async def bump(n):
+                for _ in range(n):
+                    await reg.update(job.job_id, progress=min(100, 1))
+
+            await asyncio.gather(*[bump(50) for _ in range(8)])
+            await reg.update(
+                job.job_id, status=JobStatus.COMPLETED, progress=100
+            )
+            got = reg.get(job.job_id)
+            assert got.status == "completed" and got.progress == 100
+            assert len(reg) == 1
+            assert await reg.delete(job.job_id)
+            assert not await reg.delete(job.job_id)
+
+        asyncio.run(run())
+
+    def test_v1_v2_shapes(self):
+        async def run():
+            reg = JobRegistry()
+            job = await reg.create(model="depth-anything-v2")
+            v1 = job.to_v1()
+            assert set(v1) == {"job_id", "status", "progress", "message", "results"}
+            v2 = job.to_v2()
+            assert "created_at" in v2 and "model" in v2 and "results" not in v2
+
+        asyncio.run(run())
+
+
+class TestBatchingQueue:
+    def test_coalesces_same_signature(self, rng):
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            PipelineOptions,
+            PipelineResult,
+        )
+        from image_to_pointcloud_tpu.serve.batching import BatchingQueue
+
+        calls = []
+
+        class FakePipeline:
+            def run_batch(self, images, depth_scales=None, options=None):
+                calls.append(len(images))
+                return [
+                    PipelineResult(
+                        points=np.zeros((1, 3), np.float32),
+                        colors=np.zeros((1, 3), np.float32),
+                        depth_preview_rgb=None,
+                        raw_point_count=1,
+                        kept_point_count=1,
+                    )
+                    for _ in images
+                ]
+
+        async def run():
+            q = BatchingQueue(FakePipeline(), max_batch=8, window_ms=30.0)
+            img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+            opts = PipelineOptions()
+            outs = await asyncio.gather(
+                *[q.submit(img, 10.0, opts) for _ in range(5)]
+            )
+            assert len(outs) == 5
+
+        asyncio.run(run())
+        assert max(calls) >= 4  # most requests coalesced into one dispatch

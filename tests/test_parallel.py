@@ -151,3 +151,44 @@ class TestTrainer:
         losses = [float(tr.train_step(x, y)) for _ in range(3)]
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestTrainCheckpointResume:
+    def test_save_restore_resume(self, rng, tmp_path):
+        """Fine-tune → checkpoint → restore → resume continues descending."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        import dataclasses
+
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.models import DepthAnythingConfig
+        from image_to_pointcloud_tpu.train.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+        from image_to_pointcloud_tpu.train.trainer import TrainConfig, Trainer
+
+        _, model, variables = _build_pair(hidden=32, layers=4, heads=2, image_size=56)
+        cfg = DepthAnythingConfig(
+            backbone=model.cfg.backbone,
+            neck=dataclasses.replace(model.cfg.neck, metric_depth=True, max_depth=2.0),
+        )
+        mesh = make_mesh(model=2)
+        tr = Trainer(cfg, variables["params"], mesh,
+                     TrainConfig(learning_rate=1e-3, loss="silog"))
+        x = jnp.asarray(rng.normal(0, 1, (4, 56, 56, 3)).astype(np.float32))
+        y = jnp.asarray(rng.random((4, 56, 56)).astype(np.float32) + 0.5)
+        l0 = float(tr.train_step(x, y))
+        l1 = float(tr.train_step(x, y))
+
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, jax.device_get(tr.params), step=2)
+        ck = restore_checkpoint(path)
+        assert ck["step"] == 2
+
+        tr2 = Trainer(cfg, ck["params"], mesh,
+                      TrainConfig(learning_rate=1e-3, loss="silog"))
+        l2 = float(tr2.train_step(x, y))
+        assert l2 < l0  # resumed model better than initial
