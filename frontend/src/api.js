@@ -1,0 +1,98 @@
+// Backend API client: job submission, 1.5 s status polling, downloads.
+// Matches the reference frontend's wire behavior (reference
+// frontend/src/App.jsx:63 API_BASE, 948-1021 processImage/poll,
+// 1036-1056 downloads): FormData POST /process with the 8 settings
+// fields, then GET /status/{id} until completed|error.
+
+// Same-origin by default when served from the backend's /ui mount;
+// override with ?api=http://host:8000 or window.API_BASE.
+const qs = new URLSearchParams(window.location.search);
+export const API_BASE =
+  qs.get("api") ||
+  window.API_BASE ||
+  (window.location.pathname.startsWith("/ui")
+    ? ""                      // mounted on the backend itself
+    : "http://localhost:8000"); // standalone dev server (App.jsx:63)
+
+export const POLL_MS = 1500; // App.jsx:1014
+
+export async function fetchHealth() {
+  const r = await fetch(`${API_BASE}/health`);
+  if (!r.ok) throw new Error(`health ${r.status}`);
+  return r.json();
+}
+
+export async function fetchModels() {
+  const r = await fetch(`${API_BASE}/models`);
+  if (!r.ok) throw new Error(`models ${r.status}`);
+  return r.json();
+}
+
+/** POST /process with the same field set the reference sends
+ *  (App.jsx:953-962). Returns {job_id, status}. */
+export async function submitJob(file, settings) {
+  const fd = new FormData();
+  fd.append("file", file);
+  fd.append("model", settings.model);
+  fd.append("output_format", settings.outputFormat);
+  fd.append("point_density", settings.pointDensity);
+  fd.append("coordinate_system", settings.coordinateSystem);
+  fd.append("invert_depth", String(settings.invertDepth));
+  fd.append("depth_scale", String(settings.depthScale));
+  fd.append("smooth_depth", String(settings.smoothDepth));
+  fd.append("fov", String(settings.fov));
+  const r = await fetch(`${API_BASE}/process`, { method: "POST", body: fd });
+  if (!r.ok) {
+    let detail = `HTTP ${r.status}`;
+    try { detail = (await r.json()).detail || detail; } catch { /* text */ }
+    throw new Error(detail);
+  }
+  return r.json();
+}
+
+export async function fetchStatus(jobId) {
+  const r = await fetch(`${API_BASE}/status/${jobId}`);
+  if (!r.ok) throw new Error(`status ${r.status}`);
+  return r.json();
+}
+
+/** Poll /status every POLL_MS, invoking onProgress each tick; resolves
+ *  with the final job object (completed) or rejects (error). */
+export function pollJob(jobId, onProgress) {
+  return new Promise((resolve, reject) => {
+    const tick = async () => {
+      let job;
+      try {
+        job = await fetchStatus(jobId);
+      } catch (e) {
+        reject(e);
+        return;
+      }
+      onProgress?.(job);
+      if (job.status === "completed") resolve(job);
+      else if (job.status === "error") reject(new Error(job.message || "failed"));
+      else setTimeout(tick, POLL_MS);
+    };
+    tick();
+  });
+}
+
+/** Open the backend download URL (App.jsx downloadFile 'pointcloud'). */
+export function downloadPointCloud(results) {
+  if (results?.downloadUrl) window.open(API_BASE + results.downloadUrl);
+}
+
+/** GIS metadata is serialized client-side to a Blob JSON download
+ *  (App.jsx:1045-1055). */
+export function downloadGisJson(results) {
+  if (!results?.gisData) return;
+  const blob = new Blob(
+    [JSON.stringify(results.gisData, null, 2)],
+    { type: "application/json" },
+  );
+  const a = document.createElement("a");
+  a.href = URL.createObjectURL(blob);
+  a.download = "gis_metadata.json";
+  a.click();
+  URL.revokeObjectURL(a.href);
+}

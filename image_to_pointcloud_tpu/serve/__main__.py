@@ -28,6 +28,12 @@ def main() -> None:
         "--warmup", default=None,
         help="comma-separated HxW sizes to pre-compile at startup, e.g. '518x518,480x640'",
     )
+    parser.add_argument(
+        "--ui", action="store_true",
+        help="serve the first-party frontend at /ui (the reference runs its "
+        "frontend as a separate Vite server on :3000; ours can also ride the "
+        "backend process)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -69,6 +75,11 @@ def main() -> None:
                 cors_origin="http://localhost:3000",
             )
             await app.startup()
+        if args.ui:
+            from pathlib import Path
+
+            ui_dir = Path(__file__).resolve().parents[2] / "frontend"
+            app.router.mount_static("/ui", ui_dir)
         await server.start()
         logging.info(
             "Serving %s API on %s:%d", args.generation, args.host, server.bound_port

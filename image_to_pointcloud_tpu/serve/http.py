@@ -158,20 +158,18 @@ def file_response(
     path: str | Path,
     media_type: str | None = None,
     filename: str | None = None,
+    inline: bool = False,
 ) -> Response:
     p = Path(path)
     if not p.exists():
         raise HTTPError(404, "File not found")
     if media_type is None:
         media_type = mimetypes.guess_type(str(p))[0] or "application/octet-stream"
-    name = filename or p.name
-    return Response(
-        headers={
-            "content-type": media_type,
-            "content-disposition": f'attachment; filename="{name}"',
-        },
-        body=p.read_bytes(),
-    )
+    headers = {"content-type": media_type}
+    if not inline:
+        name = filename or p.name
+        headers["content-disposition"] = f'attachment; filename="{name}"'
+    return Response(headers=headers, body=p.read_bytes())
 
 
 Handler = Callable[[Request], Awaitable[Response]]
@@ -211,12 +209,23 @@ class Router:
         if req.method == "OPTIONS":  # CORS preflight
             return Response(status=204)
         for prefix, directory in self._static:
-            if req.method == "GET" and req.path.startswith(prefix):
+            stripped = prefix.rstrip("/")
+            if req.method == "GET" and (
+                req.path.startswith(prefix) or req.path == stripped
+            ):
                 rel = urllib.parse.unquote(req.path[len(prefix):])
                 target = (directory / rel).resolve()
                 if not str(target).startswith(str(directory.resolve())):
                     raise HTTPError(404, "Not found")
-                return file_response(target)
+                if rel == "" or target.is_dir():
+                    target = target / "index.html"
+                # UI assets render inline; anything else (e.g. /outputs
+                # artifacts, reference main.py:397) downloads as before.
+                inline = target.suffix in {
+                    ".html", ".js", ".css", ".png", ".jpg", ".svg", ".ico",
+                    ".json", ".map",
+                }
+                return file_response(target, inline=inline)
         allowed_other_method = False
         for method, pattern, fn in self._routes:
             m = pattern.match(req.path)

@@ -218,3 +218,59 @@ class TestBatchingQueue:
 
         asyncio.run(run())
         assert max(calls) >= 4  # most requests coalesced into one dispatch
+
+
+class TestStaticUI:
+    """The first-party frontend is served from the /ui static mount
+    (frontend/ at the repo root; reference serves its React app from a
+    separate Vite server — frontend/vite.config.js)."""
+
+    def _router(self):
+        from pathlib import Path
+
+        r = Router()
+        r.mount_static("/ui", Path(__file__).resolve().parents[1] / "frontend")
+        return r
+
+    def test_index_and_assets_inline(self):
+        r = self._router()
+
+        async def run():
+            for path, ctype in [
+                ("/ui/", "text/html"),
+                ("/ui", "text/html"),
+                ("/ui/index.html", "text/html"),
+                ("/ui/src/app.js", "text/javascript"),
+                ("/ui/src/viewer.js", "text/javascript"),
+                ("/ui/src/style.css", "text/css"),
+            ]:
+                resp = await r.dispatch(_req("GET", path))
+                assert resp.status == 200, path
+                assert resp.headers["content-type"].startswith(ctype), path
+                # UI assets must render inline, not download.
+                assert "content-disposition" not in {
+                    k.lower() for k in resp.headers
+                }, path
+                assert len(resp.body) > 100, path
+
+        asyncio.run(run())
+
+    def test_traversal_blocked(self):
+        r = self._router()
+
+        async def run():
+            with pytest.raises(HTTPError) as ei:
+                await r.dispatch(_req("GET", "/ui/../SURVEY.md"))
+            assert ei.value.status == 404
+
+        asyncio.run(run())
+
+    def test_missing_asset_404(self):
+        r = self._router()
+
+        async def run():
+            with pytest.raises(HTTPError) as ei:
+                await r.dispatch(_req("GET", "/ui/src/nope.js"))
+            assert ei.value.status == 404
+
+        asyncio.run(run())
