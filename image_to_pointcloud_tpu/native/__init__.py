@@ -32,14 +32,15 @@ def _load() -> ctypes.CDLL | None:
     if _LIB is not None:
         return _LIB
     so = _BUILD / "libipc_native.so"
-    src = _SRC / "decimate.cpp"
+    srcs = sorted(_SRC.glob("*.cpp"))
     try:
-        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        newest_src = max(s.stat().st_mtime for s in srcs)
+        if not so.exists() or so.stat().st_mtime < newest_src:
             _BUILD.mkdir(exist_ok=True)
             subprocess.run(
                 [
                     "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                    str(src), "-o", str(so),
+                    *map(str, srcs), "-o", str(so),
                 ],
                 check=True,
                 capture_output=True,
@@ -54,6 +55,18 @@ def _load() -> ctypes.CDLL | None:
         lib.ipc_format_xyz.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.ipc_surface_reconstruct.restype = ctypes.c_int32
+        lib.ipc_surface_reconstruct.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ipc_surface_release.restype = None
+        lib.ipc_surface_release.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.ipc_reconstruct.restype = ctypes.c_int64
         lib.ipc_reconstruct.argtypes = [
@@ -151,3 +164,63 @@ def format_xyz(points: np.ndarray, colors: np.ndarray) -> bytes | None:
     if written < 0:
         return None
     return buf.raw[:written]
+
+
+def surface_reconstruct(
+    points: np.ndarray,
+    colors: np.ndarray | None = None,
+    *,
+    depth: int = 6,
+    orient: str = "centroid",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Poisson-class implicit reconstruction of an arbitrary point cloud.
+
+    Native SDF (oriented PCA normals, Hoppe-style tangent-plane
+    projection) + marching tetrahedra — the framework's equivalent of the
+    reference's Open3D ``create_from_point_cloud_poisson(depth=8)`` /
+    ball-pivoting (backend/app.py:283-305) for clouds with no known grid
+    topology. Returns (verts f32 (V,3), colors u8 (V,3), faces i32 (F,3))
+    or None if the native module is unavailable / reconstruction fails.
+
+    Args:
+      points: (N, 3) positions.
+      colors: optional (N, 3) uint8 (0-255) per-point colors.
+      depth: resolution exponent (grid ≈ 2**depth per axis, clamped).
+      orient: 'centroid' (closed objects — normals point away from the
+        centroid) or 'camera' (depth clouds — normals toward the origin).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(points, np.float32)
+    if colors is not None:
+        c = np.ascontiguousarray(np.clip(colors, 0, 255), np.uint8)
+        cptr = c.ctypes.data
+    else:
+        c, cptr = None, None
+    vp = ctypes.c_void_p()
+    cp = ctypes.c_void_p()
+    fp = ctypes.c_void_p()
+    nv = ctypes.c_int64(0)
+    nf = ctypes.c_int64(0)
+    status = lib.ipc_surface_reconstruct(
+        p.ctypes.data, cptr, len(p), int(depth),
+        1 if orient == "camera" else 0,
+        ctypes.byref(vp), ctypes.byref(cp), ctypes.byref(nv),
+        ctypes.byref(fp), ctypes.byref(nf),
+    )
+    if status != 0:
+        return None
+    try:
+        verts = np.ctypeslib.as_array(
+            ctypes.cast(vp, ctypes.POINTER(ctypes.c_float)), (nv.value, 3)
+        ).copy()
+        vcols = np.ctypeslib.as_array(
+            ctypes.cast(cp, ctypes.POINTER(ctypes.c_uint8)), (nv.value, 3)
+        ).copy()
+        faces = np.ctypeslib.as_array(
+            ctypes.cast(fp, ctypes.POINTER(ctypes.c_int32)), (nf.value, 3)
+        ).copy()
+    finally:
+        lib.ipc_surface_release(vp, cp, fp)
+    return verts, vcols, faces

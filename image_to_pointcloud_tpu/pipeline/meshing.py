@@ -102,3 +102,40 @@ def decimate_grid_mesh(
     while 2 * ((hh - 1) // stride) * ((ww - 1) // stride) > target_tris:
         stride += 1
     return grid_mesh_from_packed(packed, grid_hw, stride=stride)
+
+
+def reconstruct_cloud(
+    points: np.ndarray,
+    colors: np.ndarray | None = None,
+    *,
+    depth: int = 6,
+    orient: str = "camera",
+    target_faces: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Poisson-class reconstruction for clouds with no grid topology.
+
+    Wraps the native implicit-surface module (SDF from oriented PCA
+    normals + marching tetrahedra, native/src/surface.cpp) — the
+    framework's equivalent of the reference's Open3D Poisson/BPA path
+    (backend/app.py:283-305) — with optional quadric decimation to a
+    face budget (backend/app.py:516). Returns (verts f32 (V,3),
+    colors f32 0-255 (V,3), faces i32 (F,3)) or None when the native
+    toolchain is unavailable or the cloud is degenerate.
+    """
+    from image_to_pointcloud_tpu import native
+
+    cols_u8 = None
+    if colors is not None:
+        cols_u8 = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
+    out = native.surface_reconstruct(
+        np.asarray(points, np.float32), cols_u8, depth=depth, orient=orient
+    )
+    if out is None:
+        return None
+    verts, vcols, faces = out
+    vcols = vcols.astype(np.float32)
+    if target_faces is not None and len(faces) > target_faces:
+        dec = native.decimate_mesh(verts, vcols, faces, target_faces)
+        if dec is not None:
+            verts, vcols, faces = dec
+    return verts, vcols, faces

@@ -148,34 +148,58 @@ class Depth3DProcessor:
         verts, vcols, faces, grid_idx = grid_mesh_from_packed(res.packed, res.grid_hw)
         norms = vertex_normals(verts, faces)
 
-        # Remesh option: vertex-budget decimation via grid stride.
+        # Remesh option (SPAR3D's retopology knob, clamped at
+        # backend/main.py:263-267): true re-topologization through the
+        # native Poisson-class implicit reconstruction + quadric
+        # decimation; grid-stride decimation as fallback.
+        remeshed = False
         if remesh_option != "none" and len(verts) > target_count:
             from image_to_pointcloud_tpu.pipeline.meshing import (
                 decimate_grid_mesh,
+                reconstruct_cloud,
             )
 
             budget_tris = max(2 * target_count, 4)
-            verts, vcols, faces, grid_idx = decimate_grid_mesh(
-                res.packed, res.grid_hw, budget_tris
+            rec = reconstruct_cloud(
+                res.points, res.colors, depth=6, orient="camera",
+                target_faces=budget_tris,
             )
+            if rec is not None:
+                verts, vcols, faces = rec
+                remeshed = True
+            else:
+                verts, vcols, faces, grid_idx = decimate_grid_mesh(
+                    res.packed, res.grid_hw, budget_tris
+                )
             norms = vertex_normals(verts, faces)
 
-        # UV map: grid positions normalized to [0, 1]² over the texture.
-        uvs = self._grid_uvs(res.grid_hw, grid_idx)
         tex_side = int(texture_resolution)
         from PIL import Image
 
         tex = np.asarray(
             Image.fromarray(processed).resize((tex_side, tex_side), Image.LANCZOS)
         )
-        mesh_data = glb_bytes(
-            verts,
-            faces,
-            normals=norms,
-            uvs=uvs,
-            texture_png=encode_png(tex),
-            name="depth3d",
-        )
+        if remeshed:
+            # Retopologized vertices have no grid indices; bake colors
+            # per-vertex instead of a UV texture.
+            mesh_data = glb_bytes(
+                verts,
+                faces,
+                normals=norms,
+                colors01=np.clip(vcols / 255.0, 0.0, 1.0),
+                name="depth3d",
+            )
+        else:
+            # UV map: grid positions normalized to [0, 1]² over the texture.
+            uvs = self._grid_uvs(res.grid_hw, grid_idx)
+            mesh_data = glb_bytes(
+                verts,
+                faces,
+                normals=norms,
+                uvs=uvs,
+                texture_png=encode_png(tex),
+                name="depth3d",
+            )
         point_cloud_data = ply_points_bytes(res.points, res.colors)
 
         preview = {}
@@ -190,7 +214,7 @@ class Depth3DProcessor:
             "seed": seed,
             "vertex_count": int(len(verts)),
             "face_count": int(len(faces)),
-            "has_textures": True,
+            "has_textures": not remeshed,
             "remesh_option": remesh_option,
         }
         return {

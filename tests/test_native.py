@@ -90,3 +90,64 @@ class TestReconstruct:
         ref = np.stack([(u * zs / f)[keep], (v * zs / f)[keep], z[keep]], 1)
         np.testing.assert_allclose(pts, ref, rtol=1e-6, atol=1e-7)
         np.testing.assert_array_equal(cols, rgb[keep].astype(np.float32))
+
+
+class TestSurfaceReconstruct:
+    """Poisson-class implicit reconstruction (native/src/surface.cpp) —
+    the framework's equivalent of the reference's Open3D Poisson/BPA
+    (backend/app.py:283-305)."""
+
+    def _sphere(self, n=3000, seed=0):
+        r = np.random.default_rng(seed)
+        v = r.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        cols = ((v * 0.5 + 0.5) * 255).astype(np.uint8)
+        return v.astype(np.float32), cols
+
+    def test_sphere_geometry_and_winding(self):
+        from image_to_pointcloud_tpu import native
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        pts, cols = self._sphere()
+        out = native.surface_reconstruct(pts, cols, depth=5, orient="centroid")
+        assert out is not None
+        verts, vcols, faces = out
+        assert len(faces) > 100
+        radii = np.linalg.norm(verts, axis=1)
+        # Surface reproduces the unit sphere to a few % of the radius.
+        assert abs(radii.mean() - 1.0) < 0.05
+        assert radii.std() < 0.05
+        # Consistent outward winding everywhere.
+        a, b, c = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        nrm = np.cross(b - a, c - a)
+        ctr = (a + b + c) / 3
+        outward = (nrm * ctr).sum(1) > 0
+        assert outward.mean() > 0.99
+        # Colors transferred from nearest points (position-correlated).
+        cc = vcols[:, 0].astype(np.float32) / 255 * 2 - 1
+        assert np.corrcoef(cc, verts[:, 0] / radii)[0, 1] > 0.95
+
+    def test_face_budget_decimation(self):
+        from image_to_pointcloud_tpu.pipeline.meshing import reconstruct_cloud
+
+        pts, cols = self._sphere()
+        out = reconstruct_cloud(
+            pts, cols.astype(np.float32), depth=5, orient="centroid",
+            target_faces=2000,
+        )
+        if out is None:
+            pytest.skip("native toolchain unavailable")
+        verts, vcols, faces = out
+        assert len(faces) <= 2000
+        radii = np.linalg.norm(verts, axis=1)
+        assert abs(radii.mean() - 1.0) < 0.08
+
+    def test_degenerate_returns_none(self):
+        from image_to_pointcloud_tpu import native
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        assert native.surface_reconstruct(
+            np.zeros((4, 3), np.float32), None
+        ) is None

@@ -321,6 +321,33 @@ class TestV2:
             == 404
         )
 
+    def test_remesh_retopology(self, v2_server):
+        """remesh_option != none routes through the native Poisson-class
+        reconstruction (vertex-colored GLB, face budget honored)."""
+        from image_to_pointcloud_tpu import native
+
+        files = {"file": ("t.png", _test_image_png(128, 128), "image/png")}
+        data = {
+            "model": "depth3d",
+            "texture_resolution": "512",
+            "target_count": "1500",
+            "remesh_option": "triangle",
+            "remove_background": "false",
+        }
+        r = httpx.post(f"{v2_server}/process", data=data, files=files, timeout=60)
+        assert r.status_code == 200
+        final = _poll(v2_server, r.json()["job_id"])
+        assert final["status"] == "completed", final["message"]
+        meta = final["results"]["metadata"]
+        assert meta["remesh_option"] == "triangle"
+        if native.available():
+            assert meta["has_textures"] is False
+            assert meta["face_count"] <= 3000
+        glb = httpx.get(
+            f"{v2_server}{final['results']['downloadUrl']}", timeout=30
+        )
+        assert glb.content[:4] == b"glTF"
+
     def test_unknown_model_rejected(self, v2_server):
         files = {"file": ("t.png", _test_image_png(), "image/png")}
         r = httpx.post(
