@@ -119,12 +119,17 @@ class V1Service:
         honor_fov: bool = False,
         batch_window_ms: float = 5.0,
         warmup_sizes: "list[tuple[int, int]] | None" = None,
+        durable_jobs: bool = True,
     ):
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(exist_ok=True, parents=True)
         self.models = models or ModelManager()
         self.honor_fov = honor_fov
-        self.jobs = JobRegistry()
+        # Durable registry: finished jobs (and their /download URLs)
+        # survive restarts — the reference loses all jobs (SURVEY.md §5).
+        self.jobs = JobRegistry(
+            journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None
+        )
         self.loaded_model_names: set[str] = set()
         self.executor = ThreadPoolExecutor(max_workers=2)
         self.batch_window_ms = batch_window_ms

@@ -59,13 +59,18 @@ class V2Service:
         output_dir: str = "outputs",
         models: ModelManager | None = None,
         model_name: str = "depth-anything-v2",
+        durable_jobs: bool = True,
     ):
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(exist_ok=True, parents=True)
         self.models = models or ModelManager()
         self.model_name = model_name
         self.processor: Depth3DProcessor | None = None
-        self.jobs = JobRegistry()
+        # Durable registry (reference loses all jobs on restart —
+        # SURVEY.md §5); per-job artifact dirs under outputs/ stay valid.
+        self.jobs = JobRegistry(
+            journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None
+        )
         self.executor = ThreadPoolExecutor(max_workers=2)
         self.router = self._build_router()
 

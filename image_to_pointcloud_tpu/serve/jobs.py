@@ -1,22 +1,40 @@
-"""Job registry: the reference's in-memory dict, done safely.
+"""Job registry: the reference's in-memory dict, done safely + durably.
 
 Reference semantics (backend/app.py:40, 642-647; backend/main.py:47):
 UUID job ids, states pending → processing → completed | error, integer
 progress 0-100, a human message, results attached on completion. The
 reference mutates a bare module dict from background tasks (benign only
-under the GIL, SURVEY.md §5); here a single-writer registry guards all
-mutation with an asyncio lock and supports the v2 list/delete surface.
+under the GIL, SURVEY.md §5) and **loses every job on process restart**
+(SURVEY.md §5 checkpoint/resume: none). Here a single-writer registry
+guards all mutation with an asyncio lock, supports the v2 list/delete
+surface, and can journal job state to disk: on restart, finished jobs
+(and their download URLs) survive; jobs that were mid-flight are marked
+failed with an explanatory message instead of vanishing.
+
+Journaled results are slimmed (inline preview arrays / depth PNGs are
+dropped) — the artifacts on disk are the durable part, and the frontend
+regenerates previews client-side when the arrays are absent (its P2/P3
+fallback chain, reference App.jsx:805-897).
 """
 
 from __future__ import annotations
 
 import asyncio
 import datetime
+import json
+import logging
+import os
 import uuid
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Any
 
 __all__ = ["JobStatus", "Job", "JobRegistry"]
+
+logger = logging.getLogger(__name__)
+
+# Heavy inline payloads not worth journaling (regenerable client-side).
+_EPHEMERAL_RESULT_KEYS = ("preview", "meshPreview", "depthMap", "preview_data")
 
 
 class JobStatus:
@@ -60,10 +78,112 @@ class Job:
         return out
 
 
+def _slim_results(results: Any) -> Any:
+    if not isinstance(results, dict):
+        return results
+    return {k: v for k, v in results.items() if k not in _EPHEMERAL_RESULT_KEYS}
+
+
 class JobRegistry:
-    def __init__(self) -> None:
+    """In-memory registry with an optional append-only JSONL journal.
+
+    Journal records are full job snapshots (``{"op": "put"|"delete", ...}``);
+    replay keeps the last state per id. Progress-only updates are not
+    journaled — only terminal transitions and creation — so the journal
+    stays small and the write path off the polling hot loop.
+    """
+
+    def __init__(self, journal_path: str | os.PathLike | None = None) -> None:
         self._jobs: dict[str, Job] = {}
         self._lock = asyncio.Lock()
+        self._journal: Any = None
+        if journal_path is not None:
+            path = Path(journal_path)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            self._replay(path)
+            self._journal = open(path, "a", encoding="utf-8")
+            self._compact(path)
+
+    # ---------- persistence ----------
+
+    def _replay(self, path: Path) -> None:
+        if not path.exists():
+            return
+        restored = 0
+        for line in path.read_text(encoding="utf-8").splitlines():
+            if not line.strip():
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                logger.warning("jobs journal: skipping corrupt line")
+                continue
+            if rec.get("op") == "delete":
+                self._jobs.pop(rec.get("job_id", ""), None)
+                continue
+            j = rec.get("job", {})
+            if "job_id" not in j:
+                continue
+            self._jobs[j["job_id"]] = Job(
+                job_id=j["job_id"],
+                status=j.get("status", JobStatus.PENDING),
+                progress=j.get("progress", 0),
+                message=j.get("message", ""),
+                results=j.get("results"),
+                created_at=j.get("created_at", ""),
+                model=j.get("model", ""),
+            )
+            restored += 1
+        # Jobs interrupted mid-flight cannot resume (their in-process task
+        # died with the server); fail them explicitly rather than leaving
+        # clients polling forever.
+        for job in self._jobs.values():
+            if job.status in (JobStatus.PENDING, JobStatus.PROCESSING):
+                job.status = JobStatus.ERROR
+                job.message = "Error: job interrupted by server restart"
+                job.progress = 0
+        if self._jobs:
+            logger.info("jobs journal: restored %d job(s)", len(self._jobs))
+
+    def _compact(self, path: Path) -> None:
+        """Rewrite the journal as one snapshot per surviving job."""
+        tmp = path.with_suffix(".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for job in self._jobs.values():
+                f.write(self._record(job))
+        self._journal.close()
+        os.replace(tmp, path)
+        self._journal = open(path, "a", encoding="utf-8")
+
+    def _record(self, job: Job) -> str:
+        return (
+            json.dumps(
+                {
+                    "op": "put",
+                    "job": {
+                        "job_id": job.job_id,
+                        "status": job.status,
+                        "progress": job.progress,
+                        "message": job.message,
+                        "results": _slim_results(job.results),
+                        "created_at": job.created_at,
+                        "model": job.model,
+                    },
+                }
+            )
+            + "\n"
+        )
+
+    def _persist(self, job: Job) -> None:
+        if self._journal is None:
+            return
+        try:
+            self._journal.write(self._record(job))
+            self._journal.flush()
+        except OSError as e:  # journal failure must not kill serving
+            logger.warning("jobs journal write failed: %s", e)
+
+    # ---------- registry API ----------
 
     async def create(self, *, message: str = "Job queued", model: str = "") -> Job:
         job = Job(
@@ -74,6 +194,7 @@ class JobRegistry:
         )
         async with self._lock:
             self._jobs[job.job_id] = job
+            self._persist(job)
         return job
 
     async def update(
@@ -95,6 +216,8 @@ class JobRegistry:
                 job.message = message
             if results is not None:
                 job.results = results
+            if status in (JobStatus.COMPLETED, JobStatus.ERROR):
+                self._persist(job)
 
     def get(self, job_id: str) -> Job | None:
         return self._jobs.get(job_id)
@@ -107,9 +230,23 @@ class JobRegistry:
 
     async def delete(self, job_id: str) -> bool:
         async with self._lock:
-            return self._jobs.pop(job_id, None) is not None
+            existed = self._jobs.pop(job_id, None) is not None
+            if existed and self._journal is not None:
+                try:
+                    self._journal.write(
+                        json.dumps({"op": "delete", "job_id": job_id}) + "\n"
+                    )
+                    self._journal.flush()
+                except OSError as e:
+                    logger.warning("jobs journal write failed: %s", e)
+            return existed
 
     def list(self, status: str | None = None) -> list[Job]:
         return [
             j for j in self._jobs.values() if status is None or j.status == status
         ]
+
+    def close(self) -> None:
+        if self._journal is not None:
+            self._journal.close()
+            self._journal = None

@@ -274,3 +274,82 @@ class TestStaticUI:
             assert ei.value.status == 404
 
         asyncio.run(run())
+
+
+class TestJobJournal:
+    """Durable job registry: survives restarts (the reference loses all
+    jobs — SURVEY.md §5 checkpoint/resume: none)."""
+
+    def test_restart_semantics(self, tmp_path):
+        path = tmp_path / "jobs.jsonl"
+
+        async def first_life():
+            reg = JobRegistry(journal_path=path)
+            done = await reg.create(model="depth-anything-v2")
+            await reg.update(
+                done.job_id, status=JobStatus.COMPLETED, progress=100,
+                results={
+                    "pointCloud": {"filepath": "/tmp/x.ply", "points": 9},
+                    "downloadUrl": f"/download/{done.job_id}",
+                    "preview": {"points": [[0, 0, 0]] * 1000},
+                    "depthMap": "data:image/png;base64,xxxx",
+                },
+            )
+            inflight = await reg.create(model="depth-anything-v2")
+            await reg.update(
+                inflight.job_id, status=JobStatus.PROCESSING, progress=40
+            )
+            gone = await reg.create()
+            await reg.update(gone.job_id, status=JobStatus.ERROR, message="x")
+            assert await reg.delete(gone.job_id)
+            reg.close()
+            return done.job_id, inflight.job_id, gone.job_id
+
+        done_id, inflight_id, gone_id = asyncio.run(first_life())
+
+        reg2 = JobRegistry(journal_path=path)
+        # Completed job survives with download info; heavy inline preview
+        # payloads are slimmed (frontend regenerates them client-side).
+        job = reg2.get(done_id)
+        assert job is not None and job.status == JobStatus.COMPLETED
+        assert job.results["pointCloud"]["points"] == 9
+        assert "preview" not in job.results and "depthMap" not in job.results
+        # Mid-flight job fails explicitly instead of polling forever.
+        j2 = reg2.get(inflight_id)
+        assert j2.status == JobStatus.ERROR
+        assert "restart" in j2.message
+        # Deleted job stays deleted.
+        assert reg2.get(gone_id) is None
+        reg2.close()
+
+    def test_corrupt_lines_skipped_and_compaction(self, tmp_path):
+        path = tmp_path / "jobs.jsonl"
+
+        async def make():
+            reg = JobRegistry(journal_path=path)
+            for _ in range(5):
+                j = await reg.create()
+                await reg.update(
+                    j.job_id, status=JobStatus.COMPLETED, results={"ok": 1}
+                )
+            reg.close()
+
+        asyncio.run(make())
+        with open(path, "a") as f:
+            f.write("{corrupt json\n")
+        size_before = path.stat().st_size
+        reg2 = JobRegistry(journal_path=path)
+        assert len(reg2) == 5
+        reg2.close()
+        # Compaction rewrote one snapshot per job (creation + completion
+        # records collapsed, corrupt line dropped).
+        assert path.stat().st_size < size_before
+
+    def test_no_journal_is_pure_memory(self, tmp_path):
+        async def run():
+            reg = JobRegistry()
+            j = await reg.create()
+            assert reg.get(j.job_id) is not None
+
+        asyncio.run(run())
+        assert list(tmp_path.iterdir()) == []
