@@ -1,0 +1,170 @@
+"""Pipeline parallelism (PP): GPipe-style microbatching over a mesh axis.
+
+The reference has no model parallelism of any kind (SURVEY.md §2.2); its
+closest analog to "pipelining" is running the whole pipeline as one
+background task per image. Here PP is a first-class mesh axis: the ViT
+encoder's blocks are split into S contiguous stages, one per device
+along the ``pipe`` axis, and M microbatches stream through the classic
+GPipe schedule — tick t has stage s working on microbatch t−s, with
+activations handed to the next stage over ICI via ``lax.ppermute``.
+Bubble fraction is (S−1)/(M+S−1); choose M ≥ 4·S for >80% utilization.
+
+For Depth-Anything backbones the DPT neck's tap layers are the last
+block of each quarter of the encoder (e.g. (2, 5, 8, 11) of 12 — see
+models/dinov2.py out_layers), so with S=4 every tap is exactly a stage
+boundary: each stage's output *is* one tap, gathered across the pipe
+axis at the end at zero extra cost.
+
+All collectives are expressed through shard_map so XLA schedules the
+ppermute ring on ICI neighbors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.lax import ppermute, psum
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax ≥0.8 moves shard_map out of experimental
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["make_pipe_mesh", "stack_block_params", "make_stage_fn", "gpipe_apply"]
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipe_mesh(
+    pipe: int,
+    data: int | None = None,
+    *,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """(data, pipe) mesh; data fills the remaining devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if data is None:
+        assert len(devs) % pipe == 0, (len(devs), pipe)
+        data = len(devs) // pipe
+    arr = np.array(devs[: data * pipe]).reshape(data, pipe)
+    return Mesh(arr, ("data", PIPE_AXIS))
+
+
+def stack_block_params(
+    params: Any, num_layers: int, num_stages: int, *, prefix: str = "block"
+) -> Any:
+    """Stack ``params[f'{prefix}{i}']`` into a (S, L/S, ...) pytree.
+
+    Leading axis S is sharded over the pipe axis (each stage device holds
+    only its own L/S blocks); the second axis is scanned inside the stage.
+    """
+    assert num_layers % num_stages == 0, (num_layers, num_stages)
+    blocks = [params[f"{prefix}{i}"] for i in range(num_layers)]
+    per = num_layers // num_stages
+
+    def stack(*leaves):
+        s = jnp.stack(leaves)
+        return s.reshape(num_stages, per, *s.shape[1:])
+
+    return jax.tree_util.tree_map(stack, *blocks)
+
+
+def make_stage_fn(block_module) -> Callable[[Any, jax.Array], jax.Array]:
+    """Stage = scan of one Flax block module over its stacked params."""
+
+    def stage_fn(stage_params, x):
+        def body(h, p):
+            return block_module.apply({"params": p}, h), None
+
+        y, _ = jax.lax.scan(body, x, stage_params)
+        return y
+
+    return stage_fn
+
+
+def gpipe_apply(
+    mesh: Mesh,
+    stage_fn: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    x: jax.Array,
+    *,
+    num_microbatches: int,
+    axis: str = PIPE_AXIS,
+) -> tuple[jax.Array, jax.Array]:
+    """Run ``x`` through S pipelined stages with M microbatches.
+
+    Args:
+      stage_fn: ``(stage_params, (mb, ...)) -> (mb, ...)``.
+      stacked_params: leading axis S (one slice per stage).
+      x: (B, ...) with B divisible by num_microbatches.
+
+    Returns:
+      (y, taps): y is (B, ...) — the final stage's output, replicated;
+      taps is (S, B, ...) — every stage's boundary activation (the DPT
+      tap pattern when S divides the encoder depth by the tap spacing).
+    """
+    m = num_microbatches
+    b = x.shape[0]
+    assert b % m == 0, (b, m)
+    xs = x.reshape(m, b // m, *x.shape[1:])
+    s_total = mesh.shape[axis]
+
+    # Composes with DP: the microbatch rows are sharded over 'data' while
+    # stages are sharded over 'pipe' — each data slice runs its own
+    # pipeline on its share of every microbatch.
+    dp = "data" if "data" in mesh.shape and mesh.shape["data"] > 1 else None
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(None, dp)),
+        out_specs=(P(None, dp), P(axis, None, dp)),
+        check_vma=False,
+    )
+    def run(params_sharded, xs_rep):
+        params = jax.tree_util.tree_map(lambda p: p[0], params_sharded)
+        sid = jax.lax.axis_index(axis)
+        mb_shape = xs_rep.shape[1:]
+        state = jnp.zeros(mb_shape, xs_rep.dtype)
+        taps = jnp.zeros((m,) + mb_shape, xs_rep.dtype)
+        outs = jnp.zeros((m,) + mb_shape, xs_rep.dtype)
+
+        def tick(carry, t):
+            state, taps, outs = carry
+            # Stage 0 ingests microbatch t; later stages consume what the
+            # previous stage handed them last tick.
+            feed = xs_rep[jnp.clip(t, 0, m - 1)]
+            inp = jnp.where(sid == 0, feed, state)
+            out = stage_fn(params, inp)
+            # Microbatch id at stage `sid` during tick t is t − sid.
+            mid = t - sid
+            valid = (mid >= 0) & (mid < m)
+            mc = jnp.clip(mid, 0, m - 1)
+            upd = jnp.where(valid, out, taps[mc])
+            taps = jax.lax.dynamic_update_index_in_dim(taps, upd, mc, 0)
+            fin = jnp.where(valid & (sid == s_total - 1), out, outs[mc])
+            outs = jax.lax.dynamic_update_index_in_dim(outs, fin, mc, 0)
+            state_next = ppermute(
+                out, axis, [(i, (i + 1) % s_total) for i in range(s_total)]
+            )
+            return (state_next, taps, outs), None
+
+        (state, taps, outs), _ = jax.lax.scan(
+            tick, (state, taps, outs), jnp.arange(m + s_total - 1)
+        )
+        # Only the last stage holds real outputs; a masked psum replicates
+        # them to every pipe device (satisfying the P() out spec).
+        outs = psum(
+            jnp.where(sid == s_total - 1, outs, jnp.zeros_like(outs)), axis
+        )
+        return outs, taps[None]
+
+    outs, taps = run(stacked_params, xs)
+    y = outs.reshape(b, *x.shape[1:])
+    taps = taps.reshape(taps.shape[0], b, *x.shape[1:])
+    return y, taps

@@ -192,3 +192,82 @@ class TestTrainCheckpointResume:
                       TrainConfig(learning_rate=1e-3, loss="silog"))
         l2 = float(tr2.train_step(x, y))
         assert l2 < l0  # resumed model better than initial
+
+
+class TestPipelineParallel:
+    """GPipe microbatching over the pipe mesh axis (parallel/pipeline_par):
+    PP output must equal running the block stack sequentially, and the
+    per-stage taps must equal the activations at stage boundaries (the
+    DPT tap pattern, models/dinov2.py out_layers)."""
+
+    def _blocks(self, num_layers=8, hidden=32, heads=2, tokens=10, batch=8):
+        from image_to_pointcloud_tpu.models.dinov2 import Block, DinoV2Config
+
+        cfg = DinoV2Config(hidden_size=hidden, num_layers=num_layers,
+                           num_heads=heads)
+        block = Block(cfg)
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.normal(0, 1, (batch, tokens, hidden)).astype(np.float32))
+        params = {}
+        key = jax.random.PRNGKey(0)
+        for i in range(num_layers):
+            key, sub = jax.random.split(key)
+            params[f"block{i}"] = block.init(sub, x)["params"]
+        return block, params, x
+
+    def test_matches_sequential_and_taps(self):
+        from image_to_pointcloud_tpu.parallel.pipeline_par import (
+            gpipe_apply,
+            make_pipe_mesh,
+            make_stage_fn,
+            stack_block_params,
+        )
+
+        num_layers, stages, micro = 8, 4, 4
+        block, params, x = self._blocks(num_layers=num_layers)
+        mesh = make_pipe_mesh(pipe=stages, data=2)
+        stacked = stack_block_params(params, num_layers, stages)
+        stage_fn = make_stage_fn(block)
+
+        with mesh:
+            y, taps = jax.jit(
+                lambda p, xx: gpipe_apply(
+                    mesh, stage_fn, p, xx, num_microbatches=micro
+                )
+            )(stacked, x)
+
+        # Sequential oracle + boundary activations.
+        ref = x
+        boundaries = []
+        per = num_layers // stages
+        for i in range(num_layers):
+            ref = block.apply({"params": params[f"block{i}"]}, ref)
+            if (i + 1) % per == 0:
+                boundaries.append(ref)
+
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+        assert taps.shape == (stages, *x.shape)
+        for s, bnd in enumerate(boundaries):
+            np.testing.assert_allclose(
+                np.asarray(taps[s]), np.asarray(bnd), atol=1e-5
+            )
+
+    def test_pipe_only_mesh(self):
+        from image_to_pointcloud_tpu.parallel.pipeline_par import (
+            gpipe_apply,
+            make_pipe_mesh,
+            make_stage_fn,
+            stack_block_params,
+        )
+
+        block, params, x = self._blocks(num_layers=4, batch=6)
+        mesh = make_pipe_mesh(pipe=2, data=1)
+        stacked = stack_block_params(params, 4, 2)
+        with mesh:
+            y, taps = gpipe_apply(
+                mesh, make_stage_fn(block), stacked, x, num_microbatches=3
+            )
+        ref = x
+        for i in range(4):
+            ref = block.apply({"params": params[f"block{i}"]}, ref)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
