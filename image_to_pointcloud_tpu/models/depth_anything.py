@@ -89,6 +89,14 @@ PRESETS: dict[str, DepthAnythingConfig] = {
 # Canonical alias used by the reference API (`model=depth-anything-v2`,
 # backend/app.py:613).
 PRESETS["depth-anything-v2"] = PRESETS["depth-anything-v2-small"]
+# Model-class aliases matching the north-star config names
+# (BASELINE.json): MiDaS-small / DPT-Large are relative-depth DPT
+# architectures of the same class as DA-S / DA-L; ZoeDepth is the
+# metric-head class.
+PRESETS["midas-small"] = PRESETS["depth-anything-v2-small"]
+PRESETS["dpt-large"] = PRESETS["depth-anything-v2-large"]
+PRESETS["zoedepth"] = PRESETS["depth-anything-v2-metric-base"]
+PRESETS["zoedepth-small"] = PRESETS["depth-anything-v2-metric-small"]
 
 
 def preset(name: str) -> DepthAnythingConfig:

@@ -172,3 +172,23 @@ class TestQuantizedTransfer:
         assert a.kept_point_count == b.kept_point_count
         np.testing.assert_allclose(a.points, b.points, atol=2e-4)
         np.testing.assert_array_equal(a.colors, b.colors)
+
+
+class TestPresets:
+    def test_all_presets_resolve(self):
+        from image_to_pointcloud_tpu.models import PRESETS, preset
+
+        for name in PRESETS:
+            cfg = preset(name)
+            assert cfg.backbone.hidden_size % cfg.backbone.num_heads == 0
+
+    def test_class_aliases(self):
+        """North-star config names (BASELINE.json) resolve to the right
+        model class."""
+        from image_to_pointcloud_tpu.models import preset
+
+        assert preset("midas-small") == preset("depth-anything-v2-small")
+        assert preset("dpt-large") == preset("depth-anything-v2-large")
+        assert preset("zoedepth").neck.metric_depth is True
+        with pytest.raises(ValueError):
+            preset("nonexistent-model")
