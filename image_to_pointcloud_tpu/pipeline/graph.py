@@ -164,10 +164,10 @@ class DepthPipeline:
         *,
         model_target: int = 518,
         quantized_transfer: bool | None = None,
+        mesh: Any = None,
     ):
         self.cfg = cfg
         self.model = DepthAnything(cfg)
-        self.params = params
         self.model_target = model_target
         if quantized_transfer is None:
             # Worth it on accelerators (device→host bandwidth bound); on CPU
@@ -175,6 +175,23 @@ class DepthPipeline:
             quantized_transfer = jax.default_backend() != "cpu"
         self.quantized_transfer = quantized_transfer
         self._compiled: dict[tuple, Callable] = {}
+        # Multi-chip serving: place params per the megatron TP rules over
+        # the 'model' axis (replicated elsewhere) and shard request
+        # batches over 'data' — XLA propagates the shardings through the
+        # fused graph and inserts the ICI collectives.
+        self.mesh = mesh
+        if mesh is not None:
+            from image_to_pointcloud_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
+
+    def _place_batch(self, arr: jax.Array) -> jax.Array:
+        if self.mesh is None:
+            return arr
+        from image_to_pointcloud_tpu.parallel.sharding import batch_sharding
+
+        return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
 
     # ---------- graph builders ----------
 
@@ -343,7 +360,9 @@ class DepthPipeline:
             key, lambda: self._build((h0, w0), options, b, preview=want_preview)
         )
         out, prev = fn(
-            self.params, jnp.asarray(imgs), jnp.asarray(depth_scales, jnp.float32)
+            self.params,
+            self._place_batch(jnp.asarray(imgs)),
+            self._place_batch(jnp.asarray(depth_scales, jnp.float32)),
         )
         h, w = _proc_hw(h0, w0)
         from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES

@@ -29,6 +29,12 @@ def main() -> None:
         help="comma-separated HxW sizes to pre-compile at startup, e.g. '518x518,480x640'",
     )
     parser.add_argument(
+        "--mesh", default=None,
+        help="multi-chip serving mesh: 'auto' (DP over all devices) or "
+        "'data=N,model=M[,seq=S]' — batches shard over data, encoder "
+        "params shard megatron-style over model",
+    )
+    parser.add_argument(
         "--ui", action="store_true",
         help="serve the first-party frontend at /ui (the reference runs its "
         "frontend as a separate Vite server on :3000; ours can also ride the "
@@ -44,7 +50,16 @@ def main() -> None:
 
     enable_persistent_cache()
 
-    models = ModelManager(checkpoint_dir=args.checkpoint_dir)
+    mesh = None
+    if args.mesh == "auto":
+        mesh = "auto"
+    elif args.mesh:
+        from image_to_pointcloud_tpu.parallel.sharding import make_mesh
+
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        mesh = make_mesh(**{k: int(v) for k, v in spec.items()})
+
+    models = ModelManager(checkpoint_dir=args.checkpoint_dir, mesh=mesh)
 
     async def run() -> None:
         if args.generation == "v1":

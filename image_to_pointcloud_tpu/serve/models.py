@@ -42,6 +42,7 @@ class ModelManager:
         *,
         use_bf16: bool = True,
         use_flash_attention: bool | None = None,
+        mesh: Any = None,
     ):
         self._cache: dict[str, DepthPipeline] = {}
         self.checkpoint_dir = checkpoint_dir or os.environ.get(CHECKPOINT_ENV)
@@ -52,6 +53,13 @@ class ModelManager:
             use_flash_attention if use_flash_attention is not None else on_tpu
         )
         self.random_weights: dict[str, bool] = {}
+        # Multi-chip serving mesh (DP over 'data', megatron TP over
+        # 'model'); "auto" = DP over every visible device.
+        if mesh == "auto":
+            from image_to_pointcloud_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh() if len(jax.devices()) > 1 else None
+        self.mesh = mesh
 
     def loaded(self) -> list[str]:
         return sorted(self._cache)
@@ -107,6 +115,6 @@ class ModelManager:
         if self.use_flash:
             cfg = cfg.with_flash_attention(True)
         params = self._load_params(name, cfg)
-        pipe = DepthPipeline(cfg, params)
+        pipe = DepthPipeline(cfg, params, mesh=self.mesh)
         self._cache[name] = pipe
         return pipe

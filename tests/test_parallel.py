@@ -271,3 +271,37 @@ class TestPipelineParallel:
         for i in range(4):
             ref = block.apply({"params": params[f"block{i}"]}, ref)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+class TestMeshedServing:
+    """DepthPipeline with a (data, model) mesh — DP batch sharding + TP
+    params — must produce the same points as the single-device pipeline."""
+
+    def test_pipeline_mesh_equivalence(self, rng):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            PipelineOptions,
+        )
+
+        _, model, variables = _build_pair(
+            hidden=32, layers=4, heads=2, image_size=56
+        )
+        params = variables["params"]
+        imgs = rng.integers(0, 255, (4, 56, 56, 3)).astype(np.uint8)
+        opts = PipelineOptions(density="medium")
+
+        plain = DepthPipeline(model.cfg, params, model_target=56)
+        mesh = make_mesh(data=4, model=2)
+        meshed = DepthPipeline(model.cfg, params, model_target=56, mesh=mesh)
+
+        r0 = plain.run_batch(imgs, options=opts, want_preview=False)
+        r1 = meshed.run_batch(imgs, options=opts, want_preview=False)
+        for a, b in zip(r0, r1):
+            assert a.kept_point_count == b.kept_point_count
+            np.testing.assert_allclose(a.points, b.points, atol=2e-4)
+            np.testing.assert_allclose(a.colors, b.colors, atol=1e-3)
