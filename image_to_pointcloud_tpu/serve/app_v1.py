@@ -52,9 +52,11 @@ from image_to_pointcloud_tpu.pipeline.meshing import (
     grid_mesh_from_packed,
     vertex_normals,
 )
+from image_to_pointcloud_tpu.serve import metrics as m
 from image_to_pointcloud_tpu.serve.http import (
     HTTPError,
     Request,
+    Response,
     Router,
     file_response,
     json_response,
@@ -303,8 +305,12 @@ class V1Service:
             job = jobs.get(job_id)
             if job is not None:
                 job.extra["timings"] = timings
+            m.JOBS_TOTAL.inc(api="v1", status="completed")
+            m.JOB_DURATION.observe(timings["total"], api="v1")
+            m.IMAGES_PROCESSED.inc(model=model_name)
         except Exception as e:  # noqa: BLE001
             logger.exception("Job %s failed", job_id)
+            m.JOBS_TOTAL.inc(api="v1", status="error")
             await jobs.update(
                 job_id, status=JobStatus.ERROR, message=f"Error: {e}"
             )
@@ -425,6 +431,15 @@ class V1Service:
             if job is None:
                 raise HTTPError(404, "Job not found")
             return json_response({"job_id": job.job_id, "timings": job.extra.get("timings", {})})
+
+        @r.get("/metrics")
+        async def metrics_route(req: Request):
+            """Prometheus text exposition (framework observability — the
+            reference has no metrics at all, SURVEY.md §5)."""
+            return Response(
+                headers={"content-type": "text/plain; version=0.0.4"},
+                body=m.REGISTRY.render().encode(),
+            )
 
         @r.post("/profile/start")
         async def profile_start(req: Request):

@@ -27,9 +27,11 @@ from pathlib import Path
 import numpy as np
 
 from image_to_pointcloud_tpu.io.image import decode_image_rgb
+from image_to_pointcloud_tpu.serve import metrics as m
 from image_to_pointcloud_tpu.serve.http import (
     HTTPError,
     Request,
+    Response,
     Router,
     file_response,
     json_response,
@@ -153,8 +155,12 @@ class V2Service:
                 message="3D generation completed successfully!",
                 results=results,
             )
+            m.JOBS_TOTAL.inc(api="v2", status="completed")
+            m.JOB_DURATION.observe(md["generation_time"], api="v2")
+            m.IMAGES_PROCESSED.inc(model=MODEL_ID)
         except Exception as e:  # noqa: BLE001
             logger.exception("Job %s failed", job_id)
+            m.JOBS_TOTAL.inc(api="v2", status="error")
             await jobs.update(job_id, status=JobStatus.ERROR, message=str(e))
 
     def _build_router(self) -> Router:
@@ -322,6 +328,14 @@ class V2Service:
                 shutil.rmtree(out)
             return json_response(
                 {"message": f"Job {job_id} deleted successfully"}
+            )
+
+        @r.get("/metrics")
+        async def metrics_route(req: Request):
+            """Prometheus text exposition (framework observability)."""
+            return Response(
+                headers={"content-type": "text/plain; version=0.0.4"},
+                body=m.REGISTRY.render().encode(),
             )
 
         @r.get("/health")

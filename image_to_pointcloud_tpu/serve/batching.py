@@ -80,6 +80,9 @@ class BatchingQueue:
                 groups[(item.image.shape, item.options)].append(item)
 
             for (_, options), items in groups.items():
+                from image_to_pointcloud_tpu.serve.metrics import BATCH_SIZE
+
+                BATCH_SIZE.observe(len(items))
                 try:
                     results = await loop.run_in_executor(
                         None,

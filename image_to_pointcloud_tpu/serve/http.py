@@ -18,10 +18,13 @@ import asyncio
 import json
 import mimetypes
 import re
+import time
 import urllib.parse
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Awaitable, Callable
+
+from image_to_pointcloud_tpu.serve import metrics
 
 __all__ = [
     "Request",
@@ -290,12 +293,18 @@ class HttpServer:
                 req = await self._read_request(reader)
                 if req is None:
                     break
+                t0 = time.perf_counter()
                 try:
                     resp = await self.router.dispatch(req)
                 except HTTPError as e:
                     resp = json_response({"detail": e.detail}, e.status)
                 except Exception as e:  # noqa: BLE001
                     resp = json_response({"detail": f"Internal error: {e}"}, 500)
+                pc = metrics.path_class(req.path)
+                metrics.HTTP_REQUESTS.inc(
+                    method=req.method, path=pc, status=str(resp.status)
+                )
+                metrics.HTTP_LATENCY.observe(time.perf_counter() - t0, path=pc)
                 writer.write(resp.encode(self.cors_origin))
                 await writer.drain()
                 if req.headers.get("connection", "").lower() == "close":

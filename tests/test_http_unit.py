@@ -353,3 +353,51 @@ class TestJobJournal:
 
         asyncio.run(run())
         assert list(tmp_path.iterdir()) == []
+
+
+class TestMetrics:
+    """First-party Prometheus exposition (serve/metrics) — the reference
+    has no metrics at all (SURVEY.md §5)."""
+
+    def test_counter_gauge_histogram_render(self):
+        from image_to_pointcloud_tpu.serve.metrics import MetricsRegistry
+
+        reg = MetricsRegistry()
+        c = reg.counter("t_requests_total", "reqs")
+        c.inc(method="GET", status="200")
+        c.inc(method="GET", status="200")
+        c.inc(method="POST", status="500")
+        g = reg.gauge("t_temp", "gauge")
+        g.set(3.5)
+        h = reg.histogram("t_lat", "latency", buckets=(0.1, 1.0))
+        h.observe(0.05)
+        h.observe(0.5)
+        h.observe(5.0)
+        out = reg.render()
+        assert 't_requests_total{method="GET",status="200"} 2' in out
+        assert 't_requests_total{method="POST",status="500"} 1' in out
+        assert "t_temp 3.5" in out
+        assert 't_lat_bucket{le="0.1"} 1' in out
+        assert 't_lat_bucket{le="1"} 2' in out
+        assert 't_lat_bucket{le="+Inf"} 3' in out
+        assert "t_lat_count 3" in out
+        assert "# TYPE t_requests_total counter" in out
+        assert "# TYPE t_lat histogram" in out
+
+    def test_histogram_timer(self):
+        from image_to_pointcloud_tpu.serve.metrics import MetricsRegistry
+
+        reg = MetricsRegistry()
+        h = reg.histogram("t_timer", "t", buckets=(10.0,))
+        with h.time(stage="x"):
+            pass
+        assert 't_timer_count{stage="x"} 1' in reg.render()
+
+    def test_path_class_bounds_cardinality(self):
+        from image_to_pointcloud_tpu.serve.metrics import path_class
+
+        a = path_class("/status/0c9f5a6e-1111-2222-3333-444455556666")
+        b = path_class("/status/ffff0000-aaaa-bbbb-cccc-ddddeeee9999")
+        assert a == b == "/status/{id}"
+        assert path_class("/download/abc12345678901234/mesh.glb") == "/download/{id}/{id}"
+        assert path_class("/health") == "/health"

@@ -191,6 +191,18 @@ class TestV1:
         vert = read_ply(d.content)["vertex"]
         assert len(vert) == res["pointCloud"]["points"]
 
+    def test_metrics_endpoint(self, v1_server):
+        """GET /metrics renders Prometheus exposition with request and job
+        series (runs after the flow tests populate them)."""
+        r = httpx.get(f"{v1_server}/metrics", timeout=30)
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/plain")
+        body = r.text
+        assert "# TYPE ipc_http_requests_total counter" in body
+        assert "ipc_http_requests_total" in body
+        assert 'path="/status/{id}"' in body  # cardinality-bounded labels
+        assert "ipc_job_seconds_bucket" in body
+
     def test_las_output_and_status_404(self, v1_server):
         files = {"file": ("t.png", _test_image_png(), "image/png")}
         r = httpx.post(
