@@ -99,7 +99,26 @@ def main() -> None:
         logging.info(
             "Serving %s API on %s:%d", args.generation, args.host, server.bound_port
         )
-        await server.serve_forever()
+        # Graceful shutdown: stop accepting, flush the job journal, run
+        # app shutdown hooks (the reference relies on process kill and
+        # loses all state — SURVEY.md §5).
+        import signal
+
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except NotImplementedError:  # non-unix
+                pass
+        serve_task = asyncio.create_task(server.serve_forever())
+        await stop.wait()
+        logging.info("Shutting down...")
+        serve_task.cancel()
+        await server.stop()
+        if hasattr(app, "shutdown"):
+            await app.shutdown()
+        app.jobs.close()
 
     asyncio.run(run())
 

@@ -104,6 +104,17 @@ MODEL_CARDS = [
 ]
 
 
+def _is_transient(e: Exception) -> bool:
+    """Accelerator-runtime errors worth one retry (tunnel resets, device
+    momentarily unavailable) vs real pipeline bugs."""
+    text = f"{type(e).__name__}: {e}"
+    return any(
+        s in text
+        for s in ("UNAVAILABLE", "DEADLINE_EXCEEDED", "RESOURCE_EXHAUSTED",
+                  "Socket closed", "Connection reset")
+    )
+
+
 def _parse_bool(v: str | bool, default: bool) -> bool:
     if isinstance(v, bool):
         return v
@@ -215,7 +226,23 @@ class V1Service:
                     job_id, progress=60, message="Generating 3D point cloud..."
                 )
                 t0 = _time.perf_counter()
-                res = await batcher.submit(image, req["depth_scale"], opts)
+                # Bounded retry: accelerator tunnels/runtimes can throw
+                # transient UNAVAILABLE-class errors (observed on this
+                # rig's relay); one backoff+retry masks a hiccup without
+                # hiding a real failure. The reference has no retries
+                # anywhere (SURVEY.md §5 failure detection).
+                try:
+                    res = await batcher.submit(image, req["depth_scale"], opts)
+                except Exception as first_err:  # noqa: BLE001
+                    if not _is_transient(first_err):
+                        raise
+                    logger.warning(
+                        "Job %s: transient inference failure (%s); retrying",
+                        job_id, first_err,
+                    )
+                    m.JOBS_TOTAL.inc(api="v1", status="retried")
+                    await asyncio.sleep(1.0)
+                    res = await batcher.submit(image, req["depth_scale"], opts)
                 _mark("inference_unproject_refine", t0)
                 t0 = _time.perf_counter()
                 depth_data_url = png_data_url(res.depth_preview_rgb)

@@ -401,3 +401,80 @@ class TestMetrics:
         assert a == b == "/status/{id}"
         assert path_class("/download/abc12345678901234/mesh.glb") == "/download/{id}/{id}"
         assert path_class("/health") == "/health"
+
+
+class TestTransientRetry:
+    def test_classifier(self):
+        from image_to_pointcloud_tpu.serve.app_v1 import _is_transient
+
+        class FakeJaxError(Exception):
+            pass
+
+        assert _is_transient(
+            FakeJaxError("UNAVAILABLE: TPU backend setup/compile error")
+        )
+        assert _is_transient(FakeJaxError("Socket closed"))
+        assert not _is_transient(ValueError("bad input shape"))
+
+    def test_job_retries_once_on_transient(self, rng, tmp_path):
+        """A single transient inference failure completes the job on
+        retry instead of erroring it."""
+        from image_to_pointcloud_tpu.pipeline.graph import PipelineResult
+        from image_to_pointcloud_tpu.serve.app_v1 import V1Service
+        from image_to_pointcloud_tpu.serve.models import ModelManager
+
+        calls = {"n": 0}
+
+        class FlakyPipeline:
+            quantized_transfer = False
+
+            def run_batch(self, images, depth_scales=None, options=None,
+                          want_preview=True, want_packed=True):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise RuntimeError("UNAVAILABLE: tunnel reset")
+                return [
+                    PipelineResult(
+                        points=np.zeros((5, 3), np.float32),
+                        colors=np.zeros((5, 3), np.float32),
+                        depth_preview_rgb=np.zeros((4, 4, 3), np.uint8),
+                        raw_point_count=5,
+                        kept_point_count=5,
+                    )
+                    for _ in images
+                ]
+
+        mm = ModelManager(use_bf16=False, use_flash_attention=False)
+        mm._cache["depth-anything-v2"] = FlakyPipeline()
+        svc = V1Service(
+            output_dir=str(tmp_path), models=mm, durable_jobs=False,
+            batch_window_ms=0.0,
+        )
+
+        from PIL import Image
+        import io as _io
+
+        buf = _io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        ).save(buf, "PNG")
+
+        async def run():
+            job = await svc.jobs.create(model="depth-anything-v2")
+            await svc._process_job(
+                job.job_id, buf.getvalue(),
+                {
+                    "model": "depth-anything-v2",
+                    "output_format": "ply",
+                    "point_density": "medium",
+                    "coordinate_system": "WGS84",
+                    "invert_depth": True,
+                    "depth_scale": 10.0,
+                    "smooth_depth": False,
+                },
+            )
+            return svc.jobs.get(job.job_id)
+
+        job = asyncio.run(run())
+        assert calls["n"] == 2
+        assert job.status == JobStatus.COMPLETED, job.message
