@@ -380,6 +380,9 @@ class V1Service:
     def _build_router(self) -> Router:
         r = Router()
         svc = self
+        # v2's static artifact mount folded into the unified v1 service
+        # (SURVEY.md §0; reference backend/main.py:397).
+        r.mount_static("/outputs", self.output_dir)
 
         @r.post("/process")
         async def process(req: Request):
@@ -458,6 +461,41 @@ class V1Service:
             if job is None:
                 raise HTTPError(404, "Job not found")
             return json_response({"job_id": job.job_id, "timings": job.extra.get("timings", {})})
+
+        @r.get("/jobs")
+        async def list_jobs(req: Request):
+            """v2's job listing folded into the unified v1 service
+            (SURVEY.md §0; shape matches backend/main.py:355-376)."""
+            limit = int(req.query.get("limit", 10))
+            status_f = req.query.get("status")
+            rows = [
+                {
+                    "job_id": j.job_id,
+                    "status": j.status,
+                    "progress": j.progress,
+                    "created_at": j.created_at,
+                    "model": j.model,
+                }
+                for j in svc.jobs.list(status_f)
+            ]
+            rows.sort(key=lambda x: x["created_at"], reverse=True)
+            return json_response({"jobs": rows[:limit], "total": len(rows)})
+
+        @r.delete("/jobs/{job_id}")
+        async def delete_job(req: Request):
+            """v2's job deletion folded into v1 (backend/main.py:378-395);
+            removes the job's exported artifacts too."""
+            job_id = req.path_params["job_id"]
+            job = svc.jobs.get(job_id)
+            if not await svc.jobs.delete(job_id):
+                raise HTTPError(404, "Job not found")
+            if job is not None and job.results:
+                fp = (job.results.get("pointCloud") or {}).get("filepath")
+                if fp and Path(fp).exists():
+                    Path(fp).unlink()
+            return json_response(
+                {"message": f"Job {job_id} deleted successfully"}
+            )
 
         @r.get("/metrics")
         async def metrics_route(req: Request):

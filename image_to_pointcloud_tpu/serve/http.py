@@ -217,6 +217,10 @@ class Router:
                 req.path.startswith(prefix) or req.path == stripped
             ):
                 rel = urllib.parse.unquote(req.path[len(prefix):])
+                # Hidden files (e.g. the .jobs.jsonl journal living in the
+                # outputs dir) are not servable artifacts.
+                if any(part.startswith(".") for part in rel.split("/") if part):
+                    raise HTTPError(404, "Not found")
                 target = (directory / rel).resolve()
                 if not str(target).startswith(str(directory.resolve())):
                     raise HTTPError(404, "Not found")

@@ -265,6 +265,18 @@ class TestStaticUI:
 
         asyncio.run(run())
 
+    def test_dotfiles_blocked(self, tmp_path):
+        (tmp_path / ".jobs.jsonl").write_text("secret")
+        r = Router()
+        r.mount_static("/outputs", tmp_path)
+
+        async def run():
+            with pytest.raises(HTTPError) as ei:
+                await r.dispatch(_req("GET", "/outputs/.jobs.jsonl"))
+            assert ei.value.status == 404
+
+        asyncio.run(run())
+
     def test_missing_asset_404(self):
         r = self._router()
 

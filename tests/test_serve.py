@@ -191,6 +191,35 @@ class TestV1:
         vert = read_ply(d.content)["vertex"]
         assert len(vert) == res["pointCloud"]["points"]
 
+    def test_v1_jobs_surface(self, v1_server):
+        """The unified v1 service also carries v2's job-management shape
+        (SURVEY.md §0): GET /jobs, DELETE /jobs/{id}, /outputs mount."""
+        files = {"file": ("t.png", _test_image_png(), "image/png")}
+        r = httpx.post(
+            f"{v1_server}/process?output_format=ply", files=files, timeout=60
+        )
+        job_id = r.json()["job_id"]
+        final = _poll(v1_server, job_id)
+        assert final["status"] == "completed"
+
+        jl = httpx.get(f"{v1_server}/jobs", timeout=30).json()
+        assert jl["total"] >= 1
+        assert any(j["job_id"] == job_id for j in jl["jobs"])
+
+        # Artifact reachable through the static mount too.
+        fname = final["results"]["pointCloud"]["filepath"].split("/")[-1]
+        s = httpx.get(f"{v1_server}/outputs/{fname}", timeout=30)
+        assert s.status_code == 200 and s.content[:3] == b"ply"
+
+        d = httpx.delete(f"{v1_server}/jobs/{job_id}", timeout=30)
+        assert "deleted successfully" in d.json()["message"]
+        assert httpx.get(
+            f"{v1_server}/status/{job_id}", timeout=30
+        ).status_code == 404
+        assert httpx.get(
+            f"{v1_server}/outputs/{fname}", timeout=30
+        ).status_code == 404  # artifact removed with the job
+
     def test_metrics_endpoint(self, v1_server):
         """GET /metrics renders Prometheus exposition with request and job
         series (runs after the flow tests populate them)."""
