@@ -64,6 +64,10 @@ class ServiceConfig:
     mesh_preview_tris: int = 20000  # backend/app.py:516
     honor_fov: bool = False  # bug-compatible default (SURVEY.md §8 quirk 1)
     batch_window_ms: float = 5.0
+    durable_jobs: bool = True  # JSONL job journal (beyond reference)
+    serve_ui: bool = False  # mount frontend/ at /ui
+    mesh: str | None = None  # 'auto' or 'data=N,model=M[,seq=S]'
+    warmup: str | None = None  # pre-compile sizes, e.g. '518x518'
     cors_origin_v1: str = "*"  # backend/app.py:32
     cors_origin_v2: str = "http://localhost:3000"  # backend/main.py:33
     polling_hint_s: float = 1.5  # frontend/src/App.jsx:1014

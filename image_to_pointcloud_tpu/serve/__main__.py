@@ -13,29 +13,40 @@ import logging
 
 
 def main() -> None:
+    # Defaults come from the typed config tree (core/config.py): built-in
+    # reference defaults ← optional JSON file (IPC_TPU_CONFIG) ←
+    # IPC_TPU_* env vars ← CLI flags (highest precedence).
+    import os
+
+    from image_to_pointcloud_tpu.core.config import load_config
+
+    cfg = load_config(os.environ.get("IPC_TPU_CONFIG"))
+
     parser = argparse.ArgumentParser(description="TPU image→point-cloud service")
-    parser.add_argument("--host", default="0.0.0.0")
-    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", default=cfg.host)
+    parser.add_argument("--port", type=int, default=cfg.port)
     parser.add_argument(
         "--generation", choices=["v1", "v2"], default="v1",
         help="v1 = depth point-cloud API (reference backend/app.py); "
         "v2 = textured 3D asset API (reference backend/main.py)",
     )
-    parser.add_argument("--output-dir", default="outputs")
-    parser.add_argument("--checkpoint-dir", default=None)
-    parser.add_argument("--honor-fov", action="store_true")
+    parser.add_argument("--output-dir", default=cfg.output_dir)
+    parser.add_argument("--checkpoint-dir", default=cfg.checkpoint_dir)
     parser.add_argument(
-        "--warmup", default=None,
+        "--honor-fov", action="store_true", default=cfg.honor_fov
+    )
+    parser.add_argument(
+        "--warmup", default=cfg.warmup,
         help="comma-separated HxW sizes to pre-compile at startup, e.g. '518x518,480x640'",
     )
     parser.add_argument(
-        "--mesh", default=None,
+        "--mesh", default=cfg.mesh,
         help="multi-chip serving mesh: 'auto' (DP over all devices) or "
         "'data=N,model=M[,seq=S]' — batches shard over data, encoder "
         "params shard megatron-style over model",
     )
     parser.add_argument(
-        "--ui", action="store_true",
+        "--ui", action="store_true", default=cfg.serve_ui,
         help="serve the first-party frontend at /ui (the reference runs its "
         "frontend as a separate Vite server on :3000; ours can also ride the "
         "backend process)",
@@ -75,6 +86,8 @@ def main() -> None:
                 models=models,
                 honor_fov=args.honor_fov,
                 warmup_sizes=warmup_sizes,
+                batch_window_ms=cfg.batch_window_ms,
+                durable_jobs=cfg.durable_jobs,
             )
             server = HttpServer(app.router, args.host, args.port)
             if warmup_sizes:
@@ -84,7 +97,11 @@ def main() -> None:
         else:
             from image_to_pointcloud_tpu.serve.app_v2 import create_v2_app
 
-            app = create_v2_app(output_dir=args.output_dir, models=models)
+            app = create_v2_app(
+                output_dir=args.output_dir,
+                models=models,
+                durable_jobs=cfg.durable_jobs,
+            )
             server = HttpServer(
                 app.router, args.host, args.port,
                 cors_origin="http://localhost:3000",
