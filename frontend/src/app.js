@@ -270,19 +270,19 @@ $("btn-generate").addEventListener("click", async () => {
 
 // ---------- demo mode (App.jsx:1164-1229, button 1249-1254) ----------
 
-$("btn-demo").addEventListener("click", async () => {
+$("btn-demo").addEventListener("click", async (e) => {
   state.results = demoResults();
   state.jobId = null;
   depthView.setImage(state.results.depthMap);
   depthViewFull.setImage(state.results.depthMap);
   updateStats(state.results);
   setProgress(100, "Demo data loaded (no backend)");
-  await display3DData();
-});
-
-// Hidden extra: shift-click demo shows the demo mesh path.
-$("btn-demo").addEventListener("click", (e) => {
-  if (e.shiftKey) viewer.setMesh(demoMesh());
+  if (e.shiftKey) {
+    // Shift-click exercises the mesh display path (demo mesh).
+    viewer.setMesh(demoMesh());
+  } else {
+    await display3DData();
+  }
 });
 
 // ---------- downloads ----------
