@@ -305,3 +305,66 @@ class TestMeshedServing:
             assert a.kept_point_count == b.kept_point_count
             np.testing.assert_allclose(a.points, b.points, atol=2e-4)
             np.testing.assert_allclose(a.colors, b.colors, atol=1e-3)
+
+
+class TestInputPipeline:
+    """Double-buffered host→device staging (train/data.py)."""
+
+    def test_prefetch_preserves_order_and_shards(self):
+        from image_to_pointcloud_tpu.parallel.sharding import batch_sharding
+        from image_to_pointcloud_tpu.train.data import prefetch_to_device
+
+        mesh = make_mesh(data=8)
+        sh = batch_sharding(mesh, 2)
+        batches = [np.full((8, 4), i, np.float32) for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), size=2, sharding=sh))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert b.sharding.is_equivalent_to(sh, 2)
+            np.testing.assert_array_equal(np.asarray(b), batches[i])
+
+    def test_prefetch_propagates_errors(self):
+        from image_to_pointcloud_tpu.train.data import prefetch_to_device
+
+        def gen():
+            yield np.zeros((2, 2), np.float32)
+            raise RuntimeError("source died")
+
+        it = prefetch_to_device(gen(), size=2)
+        next(it)
+        with pytest.raises(RuntimeError, match="source died"):
+            list(it)
+
+    def test_trainer_descends_on_synthetic_stream(self, rng):
+        import sys
+
+        sys.path.insert(0, "tests")
+        import dataclasses
+
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.models import DepthAnythingConfig
+        from image_to_pointcloud_tpu.parallel.sharding import batch_sharding
+        from image_to_pointcloud_tpu.train.data import (
+            prefetch_to_device,
+            synthetic_depth_batches,
+        )
+        from image_to_pointcloud_tpu.train.trainer import TrainConfig, Trainer
+
+        _, model, variables = _build_pair(hidden=32, layers=4, heads=2, image_size=56)
+        cfg = DepthAnythingConfig(
+            backbone=model.cfg.backbone,
+            neck=dataclasses.replace(model.cfg.neck, metric_depth=True, max_depth=2.0),
+        )
+        mesh = make_mesh(model=2)
+        tr = Trainer(cfg, variables["params"], mesh,
+                     TrainConfig(learning_rate=1e-3, loss="silog"))
+        stream = prefetch_to_device(
+            synthetic_depth_batches(batch_size=4, image_hw=(56, 56), steps=4),
+            sharding=lambda x: batch_sharding(mesh, x.ndim),
+        )
+        losses = []
+        for imgs, depth in stream:
+            losses.append(float(tr.train_step(imgs, depth)))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
