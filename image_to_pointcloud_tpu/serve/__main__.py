@@ -51,9 +51,18 @@ def main() -> None:
         "frontend as a separate Vite server on :3000; ours can also ride the "
         "backend process)",
     )
+    parser.add_argument(
+        "--log-json", action="store_true",
+        default=os.environ.get("IPC_TPU_LOG_JSON", "").lower()
+        in ("1", "true", "yes"),
+        help="JSON-lines structured logging (the reference declares "
+        "python-json-logger but never wires it — SURVEY.md §5)",
+    )
     args = parser.parse_args()
 
-    logging.basicConfig(level=logging.INFO)
+    from image_to_pointcloud_tpu.utils.logging import configure_logging
+
+    configure_logging(json_lines=args.log_json)
 
     from image_to_pointcloud_tpu.serve.http import HttpServer
     from image_to_pointcloud_tpu.serve.models import ModelManager
