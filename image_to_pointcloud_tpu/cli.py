@@ -1,0 +1,183 @@
+"""Offline CLI: batch image→point-cloud/mesh conversion, no HTTP needed.
+
+The reference is only operable through its web service; this framework
+also works as a command-line tool:
+
+    python -m image_to_pointcloud_tpu convert photo.jpg -o cloud.ply
+    python -m image_to_pointcloud_tpu convert *.jpg --format las --density high
+    python -m image_to_pointcloud_tpu mesh photo.jpg -o mesh.ply
+    python -m image_to_pointcloud_tpu serve --ui          # → serve/__main__
+
+Same-size inputs are batched through one fused XLA program (the DP path
+the HTTP micro-batcher uses); options mirror the v1 API fields
+(reference backend/app.py:609-620).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("images", nargs="+", help="input image file(s)")
+    p.add_argument("-o", "--output", default=None,
+                   help="output file (single input) or directory")
+    p.add_argument("--model", default="depth-anything-v2")
+    p.add_argument("--density", default="medium",
+                   choices=["low", "medium", "high"])
+    p.add_argument("--depth-scale", type=float, default=10.0)
+    p.add_argument("--invert-depth", action="store_true", default=True)
+    p.add_argument("--no-invert-depth", dest="invert_depth",
+                   action="store_false")
+    p.add_argument("--smooth-depth", action="store_true")
+    p.add_argument("--fov", type=float, default=None,
+                   help="horizontal field of view in degrees (default: the "
+                   "reference's max(h,w)*1.2 focal heuristic)")
+    p.add_argument("--checkpoint-dir", default=None)
+
+
+def _load_pipeline(args):
+    from image_to_pointcloud_tpu.serve.models import ModelManager
+    from image_to_pointcloud_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    return ModelManager(checkpoint_dir=args.checkpoint_dir).get(args.model)
+
+
+def _decode_all(paths):
+    import numpy as np
+
+    from image_to_pointcloud_tpu.io import decode_image_rgb
+
+    imgs = []
+    for p in paths:
+        imgs.append(decode_image_rgb(Path(p).read_bytes()))
+    return imgs
+
+
+def _out_path(args, src: Path, ext: str, multi: bool) -> Path:
+    if args.output is None:
+        return src.with_suffix(ext)
+    out = Path(args.output)
+    if multi or out.is_dir():
+        out.mkdir(parents=True, exist_ok=True)
+        return out / (src.stem + ext)
+    return out
+
+
+def cmd_convert(args) -> int:
+    from collections import defaultdict
+
+    from image_to_pointcloud_tpu.io import write_las, write_ply_points, write_xyz
+    from image_to_pointcloud_tpu.pipeline.graph import PipelineOptions
+
+    writers = {"ply": write_ply_points, "las": write_las, "laz": write_las,
+               "xyz": write_xyz}
+    writer = writers[args.format]
+    ext = ".las" if args.format == "laz" else f".{args.format}"
+
+    pipe = _load_pipeline(args)
+    opts = PipelineOptions(
+        density=args.density, invert_depth=args.invert_depth,
+        smooth_depth=args.smooth_depth, fov=args.fov,
+    )
+    paths = [Path(p) for p in args.images]
+    imgs = _decode_all(paths)
+    multi = len(paths) > 1
+
+    # Batch same-shape images through one compiled graph.
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for i, im in enumerate(imgs):
+        groups[im.shape].append(i)
+    t0 = time.perf_counter()
+    results: dict[int, object] = {}
+    for idxs in groups.values():
+        batch = [imgs[i] for i in idxs]
+        outs = pipe.run_batch(
+            batch, depth_scales=args.depth_scale, options=opts,
+            want_preview=False, want_packed=False,
+        )
+        for i, r in zip(idxs, outs):
+            results[i] = r
+    dt = time.perf_counter() - t0
+
+    total_pts = 0
+    for i, src in enumerate(paths):
+        r = results[i]
+        out = _out_path(args, src, ext, multi)
+        writer(str(out), r.points, r.colors)
+        total_pts += len(r.points)
+        print(f"{src} -> {out}  ({len(r.points)} points)")
+    print(
+        f"{len(paths)} image(s), {total_pts} points in {dt:.2f}s "
+        f"({len(paths)/dt:.1f} img/s)"
+    )
+    return 0
+
+
+def cmd_mesh(args) -> int:
+    from image_to_pointcloud_tpu.io import write_ply_mesh
+    from image_to_pointcloud_tpu.pipeline.graph import PipelineOptions
+    from image_to_pointcloud_tpu.pipeline.meshing import (
+        grid_mesh_from_packed,
+        vertex_normals,
+    )
+
+    pipe = _load_pipeline(args)
+    opts = PipelineOptions(
+        density=args.density, invert_depth=args.invert_depth,
+        smooth_depth=args.smooth_depth, fov=args.fov,
+    )
+    paths = [Path(p) for p in args.images]
+    imgs = _decode_all(paths)
+    multi = len(paths) > 1
+    for src, im in zip(paths, imgs):
+        r = pipe.run(
+            im, depth_scale=args.depth_scale, options=opts, want_preview=False
+        )
+        verts, vcols, faces, _ = grid_mesh_from_packed(r.packed, r.grid_hw)
+        norms = vertex_normals(verts, faces)
+        out = _out_path(args, src, ".ply", multi)
+        write_ply_mesh(str(out), verts, faces, colors=vcols, normals=norms)
+        print(f"{src} -> {out}  ({len(verts)} verts, {len(faces)} tris)")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="image_to_pointcloud_tpu",
+        description="TPU image→point-cloud framework CLI",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    pc = sub.add_parser("convert", help="image(s) → point cloud file(s)")
+    _add_common(pc)
+    pc.add_argument("--format", default="ply",
+                    choices=["ply", "las", "laz", "xyz"])
+    pc.set_defaults(fn=cmd_convert)
+
+    pm = sub.add_parser("mesh", help="image(s) → surface mesh PLY")
+    _add_common(pm)
+    pm.set_defaults(fn=cmd_mesh)
+
+    ps = sub.add_parser("serve", help="run the HTTP service",
+                        add_help=False)
+    ps.set_defaults(fn=None)
+
+    args, rest = parser.parse_known_args(argv)
+    if args.command == "serve":
+        from image_to_pointcloud_tpu.serve.__main__ import main as serve_main
+
+        sys.argv = ["serve", *rest]
+        serve_main()
+        return 0
+    if rest:
+        parser.error(f"unrecognized arguments: {' '.join(rest)}")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -192,3 +192,47 @@ class TestPresets:
         assert preset("zoedepth").neck.metric_depth is True
         with pytest.raises(ValueError):
             preset("nonexistent-model")
+
+
+class TestCLI:
+    """Offline CLI (image_to_pointcloud_tpu.cli) with a stubbed pipeline."""
+
+    def _stub_pipeline(self):
+        from image_to_pointcloud_tpu.pipeline.graph import PipelineResult
+
+        class Stub:
+            def run_batch(self, images, depth_scales=None, options=None,
+                          want_preview=True, want_packed=True):
+                out = []
+                for im in images:
+                    n = im.shape[0] * im.shape[1] // 4
+                    out.append(PipelineResult(
+                        points=np.zeros((n, 3), np.float32),
+                        colors=np.zeros((n, 3), np.float32),
+                        depth_preview_rgb=None,
+                        raw_point_count=n, kept_point_count=n,
+                    ))
+                return out
+
+        return Stub()
+
+    def test_convert_batches_by_shape(self, rng, tmp_path, monkeypatch):
+        from PIL import Image
+
+        from image_to_pointcloud_tpu import cli
+
+        for name, hw in [("a.png", (16, 20)), ("b.png", (16, 20)),
+                         ("c.png", (12, 12))]:
+            Image.fromarray(
+                rng.integers(0, 255, (*hw, 3)).astype(np.uint8)
+            ).save(tmp_path / name)
+        monkeypatch.setattr(cli, "_load_pipeline", lambda a: self._stub_pipeline())
+        rc = cli.main([
+            "convert", str(tmp_path / "a.png"), str(tmp_path / "b.png"),
+            str(tmp_path / "c.png"), "-o", str(tmp_path / "out"),
+            "--format", "xyz",
+        ])
+        assert rc == 0
+        outs = sorted(p.name for p in (tmp_path / "out").iterdir())
+        assert outs == ["a.xyz", "b.xyz", "c.xyz"]
+        assert (tmp_path / "out" / "a.xyz").stat().st_size > 0
