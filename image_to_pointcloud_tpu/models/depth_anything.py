@@ -43,6 +43,14 @@ class DepthAnythingConfig:
             neck=self.neck,
         )
 
+    def with_quantized(self, on: bool = True) -> "DepthAnythingConfig":
+        """Int8 W8A8 encoder matmuls; convert trained params with
+        models.quantize.quantize_encoder_params."""
+        return DepthAnythingConfig(
+            backbone=dataclasses.replace(self.backbone, quantized=on),
+            neck=self.neck,
+        )
+
 
 def _cfg(
     hidden: int,

@@ -43,6 +43,16 @@ class DinoV2Config:
     out_layers: Sequence[int] = (2, 5, 8, 11)  # 0-indexed block outputs
     use_flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32  # compute dtype (bfloat16 on TPU)
+    quantized: bool = False  # int8 W8A8 block matmuls (models/quantize.py)
+
+
+def _dense(cfg: "DinoV2Config", features: int, name: str):
+    """Block matmul: f32/bf16 Dense, or int8 QuantDense when quantized."""
+    if cfg.quantized:
+        from image_to_pointcloud_tpu.models.quantize import QuantDense
+
+        return QuantDense(features, dtype=cfg.dtype, name=name)
+    return nn.Dense(features, dtype=cfg.dtype, name=name)
 
 
 class Mlp(nn.Module):
@@ -51,9 +61,9 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = self.cfg.hidden_size
-        x = nn.Dense(d * self.cfg.mlp_ratio, dtype=self.cfg.dtype, name="fc1")(x)
+        x = _dense(self.cfg, d * self.cfg.mlp_ratio, "fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(d, dtype=self.cfg.dtype, name="fc2")(x)
+        x = _dense(self.cfg, d, "fc2")(x)
         return x
 
 
@@ -68,13 +78,13 @@ class Block(nn.Module):
         # HBM traffic; below ~2k tokens XLA's fused attention is on par.
         use_flash = cfg.use_flash_attention and h.shape[1] >= 2048
         h = multi_head_attention(
-            nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="q")(h),
-            nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="k")(h),
-            nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="v")(h),
+            _dense(cfg, cfg.hidden_size, "q")(h),
+            _dense(cfg, cfg.hidden_size, "k")(h),
+            _dense(cfg, cfg.hidden_size, "v")(h),
             num_heads=cfg.num_heads,
             use_flash=use_flash,
         )
-        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="proj")(h)
+        h = _dense(cfg, cfg.hidden_size, "proj")(h)
         g1 = self.param("ls1", nn.initializers.ones, (cfg.hidden_size,))
         x = x + g1.astype(h.dtype) * h
 

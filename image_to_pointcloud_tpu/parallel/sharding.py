@@ -64,18 +64,20 @@ def make_mesh(
 
 
 # (regex over '/'-joined param path) -> PartitionSpec. First match wins.
+# kernel_q / kernel_scale are the int8 layout (models/quantize.py) and
+# shard exactly like their float counterparts.
 _TP_RULES: list[tuple[str, P]] = [
     # Attention q/k/v: column-parallel (shard heads on the output dim).
-    (r"block\d+/(q|k|v)/kernel$", P(None, MODEL_AXIS)),
-    (r"block\d+/(q|k|v)/bias$", P(MODEL_AXIS)),
+    (r"block\d+/(q|k|v)/kernel(_q)?$", P(None, MODEL_AXIS)),
+    (r"block\d+/(q|k|v)/(bias|kernel_scale)$", P(MODEL_AXIS)),
     # Attention output projection: row-parallel (shard the input dim).
-    (r"block\d+/proj/kernel$", P(MODEL_AXIS, None)),
-    (r"block\d+/proj/bias$", P(None)),
+    (r"block\d+/proj/kernel(_q)?$", P(MODEL_AXIS, None)),
+    (r"block\d+/proj/(bias|kernel_scale)$", P(None)),
     # MLP: column then row parallel.
-    (r"block\d+/mlp/fc1/kernel$", P(None, MODEL_AXIS)),
-    (r"block\d+/mlp/fc1/bias$", P(MODEL_AXIS)),
-    (r"block\d+/mlp/fc2/kernel$", P(MODEL_AXIS, None)),
-    (r"block\d+/mlp/fc2/bias$", P(None)),
+    (r"block\d+/mlp/fc1/kernel(_q)?$", P(None, MODEL_AXIS)),
+    (r"block\d+/mlp/fc1/(bias|kernel_scale)$", P(MODEL_AXIS)),
+    (r"block\d+/mlp/fc2/kernel(_q)?$", P(MODEL_AXIS, None)),
+    (r"block\d+/mlp/fc2/(bias|kernel_scale)$", P(None)),
 ]
 
 

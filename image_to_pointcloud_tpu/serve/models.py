@@ -43,6 +43,7 @@ class ModelManager:
         use_bf16: bool = True,
         use_flash_attention: bool | None = None,
         mesh: Any = None,
+        int8: bool | None = None,
     ):
         self._cache: dict[str, DepthPipeline] = {}
         self.checkpoint_dir = checkpoint_dir or os.environ.get(CHECKPOINT_ENV)
@@ -60,6 +61,13 @@ class ModelManager:
 
             mesh = make_mesh() if len(jax.devices()) > 1 else None
         self.mesh = mesh
+        # Int8 W8A8 encoder matmuls (models/quantize.py): ~2× MXU rate,
+        # ~1% depth error. Opt-in via flag or IPC_TPU_INT8=1.
+        if int8 is None:
+            int8 = os.environ.get("IPC_TPU_INT8", "").lower() in (
+                "1", "true", "yes",
+            )
+        self.int8 = int8
 
     def loaded(self) -> list[str]:
         return sorted(self._cache)
@@ -115,6 +123,13 @@ class ModelManager:
         if self.use_flash:
             cfg = cfg.with_flash_attention(True)
         params = self._load_params(name, cfg)
+        if self.int8:
+            from image_to_pointcloud_tpu.models.quantize import (
+                quantize_encoder_params,
+            )
+
+            cfg = cfg.with_quantized(True)
+            params = quantize_encoder_params(params, cfg.backbone.num_layers)
         pipe = DepthPipeline(cfg, params, mesh=self.mesh)
         self._cache[name] = pipe
         return pipe

@@ -113,3 +113,65 @@ def test_flash_attention_matches_xla(rng):
         flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
     )
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+class TestQuantized:
+    """Int8 W8A8 encoder quantization (models/quantize.py)."""
+
+    def test_quant_dense_error_bound(self, rng):
+        from image_to_pointcloud_tpu.models.quantize import (
+            QuantDense,
+            quantize_dense_params,
+        )
+
+        w = rng.normal(0, 0.05, (64, 48)).astype(np.float32)
+        b = rng.normal(0, 0.01, (48,)).astype(np.float32)
+        x = rng.normal(0, 1.0, (10, 64)).astype(np.float32)
+        ref = x @ w + b
+        qp = quantize_dense_params({"kernel": w, "bias": b})
+        out = QuantDense(48).apply({"params": qp}, jnp.asarray(x))
+        rel = np.abs(np.asarray(out) - ref) / (np.abs(ref).mean() + 1e-8)
+        assert rel.mean() < 0.02, rel.mean()
+
+    def test_backbone_quantized_close_to_f32(self, rng):
+        """Full tiny model: int8 depth within ~2% relative of f32."""
+        import dataclasses
+
+        from image_to_pointcloud_tpu.models import DepthAnything
+        from image_to_pointcloud_tpu.models.quantize import (
+            quantize_encoder_params,
+        )
+
+        _, model, variables = _build_pair(
+            hidden=32, layers=4, heads=2, image_size=56
+        )
+        params = variables["params"]
+        x = rng.normal(0, 1, (1, 56, 56, 3)).astype(np.float32)
+        ref = np.asarray(model.apply({"params": params}, x))
+
+        qcfg = dataclasses.replace(
+            model.cfg,
+            backbone=dataclasses.replace(model.cfg.backbone, quantized=True),
+        )
+        qmodel = DepthAnything(qcfg)
+        qparams = quantize_encoder_params(
+            params, model.cfg.backbone.num_layers
+        )
+        out = np.asarray(qmodel.apply({"params": qparams}, x))
+        assert out.shape == ref.shape
+        denom = np.abs(ref).mean() + 1e-8
+        rel = np.abs(out - ref).mean() / denom
+        assert rel < 0.05, rel
+
+    def test_quantized_params_shard_like_float(self):
+        from image_to_pointcloud_tpu.parallel.sharding import (
+            param_sharding_rules,
+        )
+
+        assert param_sharding_rules("backbone/block0/q/kernel_q") == \
+            param_sharding_rules("backbone/block0/q/kernel")
+        assert param_sharding_rules("backbone/block2/mlp/fc2/kernel_q") == \
+            param_sharding_rules("backbone/block2/mlp/fc2/kernel")
+        # Scales shard like biases of the same layer.
+        assert param_sharding_rules("backbone/block0/v/kernel_scale") == \
+            param_sharding_rules("backbone/block0/v/bias")
