@@ -34,17 +34,27 @@ def _load() -> ctypes.CDLL | None:
     so = _BUILD / "libipc_native.so"
     srcs = sorted(_SRC.glob("*.cpp"))
     try:
-        newest_src = max(s.stat().st_mtime for s in srcs)
+        newest_src = max((s.stat().st_mtime for s in srcs), default=0.0)
         if not so.exists() or so.stat().st_mtime < newest_src:
-            _BUILD.mkdir(exist_ok=True)
-            subprocess.run(
-                [
-                    "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                    *map(str, srcs), "-o", str(so),
-                ],
-                check=True,
-                capture_output=True,
-            )
+            try:
+                _BUILD.mkdir(exist_ok=True)
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        *map(str, srcs), "-o", str(so),
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            except Exception as build_err:  # noqa: BLE001
+                # No toolchain (or stale checkout mtimes): a previously
+                # built library is still better than the Python fallback.
+                if not so.exists():
+                    raise
+                logger.warning(
+                    "native rebuild failed (%s); loading existing library",
+                    build_err,
+                )
         lib = ctypes.CDLL(str(so))
         lib.ipc_decimate.restype = ctypes.c_int32
         lib.ipc_decimate.argtypes = [

@@ -193,6 +193,13 @@ class DepthPipeline:
 
         return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
 
+    def _data_pad(self, b: int) -> int:
+        """Rows of padding so the batch divides the mesh data axis (a
+        lone request on an 8-chip mesh must still shard)."""
+        if self.mesh is None or "data" not in self.mesh.shape:
+            return 0
+        return (-b) % self.mesh.shape["data"]
+
     # ---------- graph builders ----------
 
     def _build(
@@ -355,9 +362,17 @@ class DepthPipeline:
         b, h0, w0 = imgs.shape[:3]
         if np.isscalar(depth_scales):
             depth_scales = np.full((b,), depth_scales, np.float32)
-        key = ("depth", b, h0, w0, options, want_preview)
+        depth_scales = np.asarray(depth_scales, np.float32)
+        pad = self._data_pad(b)
+        if pad:
+            imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
+            depth_scales = np.concatenate(
+                [depth_scales, depth_scales[-1:].repeat(pad)]
+            )
+        key = ("depth", b + pad, h0, w0, options, want_preview)
         fn = self._get(
-            key, lambda: self._build((h0, w0), options, b, preview=want_preview)
+            key,
+            lambda: self._build((h0, w0), options, b + pad, preview=want_preview),
         )
         out, prev = fn(
             self.params,

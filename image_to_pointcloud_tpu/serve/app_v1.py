@@ -466,7 +466,10 @@ class V1Service:
         async def list_jobs(req: Request):
             """v2's job listing folded into the unified v1 service
             (SURVEY.md §0; shape matches backend/main.py:355-376)."""
-            limit = int(req.query.get("limit", 10))
+            try:
+                limit = int(req.query.get("limit", 10))
+            except ValueError:
+                raise HTTPError(422, "limit must be an integer")
             status_f = req.query.get("status")
             rows = [
                 {

@@ -303,7 +303,10 @@ class V2Service:
 
         @r.get("/jobs")
         async def list_jobs(req: Request):
-            limit = int(req.query.get("limit", 10))
+            try:
+                limit = int(req.query.get("limit", 10))
+            except ValueError:
+                raise HTTPError(422, "limit must be an integer")
             status_f = req.query.get("status")
             rows = [
                 {

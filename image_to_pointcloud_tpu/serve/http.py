@@ -132,8 +132,10 @@ class Response:
 
     def encode(self, cors_origin: str = "*") -> bytes:
         reason = {
-            200: "OK", 204: "No Content", 400: "Bad Request", 404: "Not Found",
+            200: "OK", 204: "No Content", 308: "Permanent Redirect",
+            400: "Bad Request", 404: "Not Found",
             405: "Method Not Allowed", 413: "Payload Too Large",
+            422: "Unprocessable Entity",
             500: "Internal Server Error", 503: "Service Unavailable",
         }.get(self.status, "OK")
         head = [f"HTTP/1.1 {self.status} {reason}"]
@@ -213,9 +215,13 @@ class Router:
             return Response(status=204)
         for prefix, directory in self._static:
             stripped = prefix.rstrip("/")
-            if req.method == "GET" and (
-                req.path.startswith(prefix) or req.path == stripped
-            ):
+            if req.method == "GET" and req.path == stripped:
+                # Redirect so relative asset URLs in index.html resolve
+                # under the mount (/ui → /ui/).
+                return Response(
+                    status=308, headers={"location": prefix}, body=b""
+                )
+            if req.method == "GET" and req.path.startswith(prefix):
                 rel = urllib.parse.unquote(req.path[len(prefix):])
                 # Hidden files (e.g. the .jobs.jsonl journal living in the
                 # outputs dir) are not servable artifacts.
@@ -294,7 +300,18 @@ class HttpServer:
     async def _handle(self, reader, writer) -> None:
         try:
             while True:
-                req = await self._read_request(reader)
+                try:
+                    req = await self._read_request(reader)
+                except HTTPError as e:
+                    # e.g. 413 body-too-large: answer properly, then close
+                    # (the oversized body was never drained).
+                    writer.write(
+                        json_response({"detail": e.detail}, e.status).encode(
+                            self.cors_origin
+                        )
+                    )
+                    await writer.drain()
+                    break
                 if req is None:
                     break
                 t0 = time.perf_counter()

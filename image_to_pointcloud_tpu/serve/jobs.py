@@ -180,7 +180,9 @@ class JobRegistry:
         try:
             self._journal.write(self._record(job))
             self._journal.flush()
-        except OSError as e:  # journal failure must not kill serving
+        # ValueError: write on a file closed by shutdown while a job task
+        # finishes; neither failure may kill serving.
+        except (OSError, ValueError) as e:
             logger.warning("jobs journal write failed: %s", e)
 
     # ---------- registry API ----------
@@ -237,7 +239,7 @@ class JobRegistry:
                         json.dumps({"op": "delete", "job_id": job_id}) + "\n"
                     )
                     self._journal.flush()
-                except OSError as e:
+                except (OSError, ValueError) as e:
                     logger.warning("jobs journal write failed: %s", e)
             return existed
 

@@ -26,10 +26,15 @@ DEFAULT_BUCKETS = (
 )
 
 
+def _esc(v: str) -> str:
+    """Escape a label value per the exposition format."""
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: dict[str, str]) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    inner = ",".join(f'{k}="{_esc(v)}"' for k, v in sorted(labels.items()))
     return "{" + inner + "}"
 
 
@@ -167,11 +172,25 @@ BATCH_SIZE = REGISTRY.histogram(
 )
 
 
+_KNOWN_CLASSES: set[str] = set()
+_MAX_PATH_CLASSES = 64  # hard cardinality cap for client-chosen paths
+
+
 def path_class(path: str) -> str:
-    """Collapse per-job paths so label cardinality stays bounded."""
+    """Collapse per-job paths so label cardinality stays bounded.
+
+    UUID-ish/filename segments become ``{id}``; once the number of
+    distinct classes hits the cap, any new path collapses to ``other``
+    (a crawler probing random URLs cannot grow the registry unboundedly).
+    """
     parts = path.split("/")
     out = []
     for p in parts:
-        # UUIDs and filenames become placeholders.
         out.append("{id}" if len(p) >= 16 or "." in p else p)
-    return "/".join(out) or "/"
+    cls = "/".join(out) or "/"
+    if cls in _KNOWN_CLASSES:
+        return cls
+    if len(_KNOWN_CLASSES) >= _MAX_PATH_CLASSES:
+        return "other"
+    _KNOWN_CLASSES.add(cls)
+    return cls

@@ -236,9 +236,11 @@ class TestStaticUI:
         r = self._router()
 
         async def run():
+            # extensionless mount redirects so relative asset URLs work
+            resp = await r.dispatch(_req("GET", "/ui"))
+            assert resp.status == 308 and resp.headers["location"] == "/ui/"
             for path, ctype in [
                 ("/ui/", "text/html"),
-                ("/ui", "text/html"),
                 ("/ui/index.html", "text/html"),
                 ("/ui/src/app.js", "text/javascript"),
                 ("/ui/src/viewer.js", "text/javascript"),
@@ -490,3 +492,77 @@ class TestTransientRetry:
         job = asyncio.run(run())
         assert calls["n"] == 2
         assert job.status == JobStatus.COMPLETED, job.message
+
+
+class TestReviewRegressions:
+    """Regression coverage for the session code-review findings."""
+
+    def test_ui_mount_redirects_extensionless(self):
+        from pathlib import Path
+
+        r = Router()
+        r.mount_static("/ui", Path(__file__).resolve().parents[1] / "frontend")
+
+        async def run():
+            resp = await r.dispatch(_req("GET", "/ui"))
+            assert resp.status == 308
+            assert resp.headers["location"] == "/ui/"
+
+        asyncio.run(run())
+
+    def test_metric_label_escaping(self):
+        from image_to_pointcloud_tpu.serve.metrics import MetricsRegistry
+
+        reg = MetricsRegistry()
+        c = reg.counter("t_esc", "")
+        c.inc(path='/a"b\\c')
+        out = reg.render()
+        assert 'path="/a\\"b\\\\c"' in out
+
+    def test_path_class_cardinality_cap(self):
+        from image_to_pointcloud_tpu.serve import metrics as mm
+
+        known_before = set(mm._KNOWN_CLASSES)
+        try:
+            mm._KNOWN_CLASSES.clear()
+            for i in range(mm._MAX_PATH_CLASSES):
+                mm.path_class(f"/probe{i}")
+            assert mm.path_class("/brand-new-path") == "other"
+            # Known classes keep resolving to themselves.
+            assert mm.path_class("/probe0") == "/probe0"
+        finally:
+            mm._KNOWN_CLASSES.clear()
+            mm._KNOWN_CLASSES.update(known_before)
+
+    def test_journal_write_after_close_is_swallowed(self, tmp_path):
+        async def run():
+            reg = JobRegistry(journal_path=tmp_path / "j.jsonl")
+            job = await reg.create()
+            reg.close()
+            # Terminal update after close (graceful-shutdown race) must
+            # not raise.
+            await reg.update(job.job_id, status=JobStatus.COMPLETED)
+            assert await reg.delete(job.job_id)
+
+        asyncio.run(run())
+
+    def test_jobs_limit_validation(self):
+        # Handler-level: non-integer limit → 422 (not a 500).
+        import tempfile
+
+        from image_to_pointcloud_tpu.serve.app_v1 import create_v1_app
+        from image_to_pointcloud_tpu.serve.models import ModelManager
+
+        with tempfile.TemporaryDirectory() as d:
+            app = create_v1_app(
+                output_dir=d, models=ModelManager(), durable_jobs=False
+            )
+
+            async def run():
+                with pytest.raises(HTTPError) as ei:
+                    await app.router.dispatch(
+                        _req("GET", "/jobs", query={"limit": "abc"})
+                    )
+                assert ei.value.status == 422
+
+            asyncio.run(run())

@@ -306,6 +306,16 @@ class TestMeshedServing:
             np.testing.assert_allclose(a.points, b.points, atol=2e-4)
             np.testing.assert_allclose(a.colors, b.colors, atol=1e-3)
 
+        # Batches not divisible by the data axis (incl. a single request,
+        # the common micro-batcher case) must pad, run, and return exactly
+        # len(inputs) results identical to the unmeshed pipeline.
+        for n in (1, 3):
+            rm = meshed.run_batch(imgs[:n], options=opts, want_preview=False)
+            assert len(rm) == n
+            for a, b in zip(r0[:n], rm):
+                assert a.kept_point_count == b.kept_point_count
+                np.testing.assert_allclose(a.points, b.points, atol=2e-4)
+
 
 class TestInputPipeline:
     """Double-buffered host→device staging (train/data.py)."""
