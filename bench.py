@@ -13,15 +13,45 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 
 def main() -> None:
+    # The remote TPU backend on this rig can hang outright — at backend
+    # init or at the first compile. Arm a watchdog BEFORE touching jax:
+    # if warmup hasn't completed by the deadline, re-exec forced to CPU
+    # so the round records a labeled number instead of timing out
+    # silently.
+    warmed = threading.Event()
+    if os.environ.get("IPC_BENCH_NO_FALLBACK") != "1":
+        deadline = float(os.environ.get("IPC_BENCH_COMPILE_DEADLINE_S", "240"))
+
+        def watchdog():
+            if not warmed.wait(deadline):
+                sys.stderr.write(
+                    f"bench: TPU init/warmup exceeded {deadline:.0f}s "
+                    "(backend or compile helper hung) — re-exec on CPU\n"
+                )
+                sys.stderr.flush()
+                env = dict(os.environ)
+                env["JAX_PLATFORMS"] = "cpu"
+                env["IPC_BENCH_NO_FALLBACK"] = "1"
+                os.execve(sys.executable, [sys.executable, __file__, "1"], env)
+
+        threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("IPC_BENCH_NO_FALLBACK") == "1":
+        # Re-exec'd after a hung TPU attempt: the env var alone does not
+        # override the preset axon platform on this rig.
+        jax.config.update("jax_platforms", "cpu")
 
     from image_to_pointcloud_tpu.utils.cache import enable_persistent_cache
 
@@ -30,8 +60,8 @@ def main() -> None:
     from image_to_pointcloud_tpu.models import DepthAnything, preset
     from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline, PipelineOptions
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     on_tpu = jax.default_backend() not in ("cpu",)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (16 if on_tpu else 2)
 
     cfg = preset("depth-anything-v2-small")
     if on_tpu:
@@ -47,14 +77,15 @@ def main() -> None:
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 255, (batch, 518, 518, 3)).astype(np.uint8)
 
-    # Warmup: compile + one steady-state run.
+    # Warmup: compile + one steady-state run (disarms the watchdog).
     pipe.run_batch(imgs, options=opts, want_preview=False, want_packed=False)
+    warmed.set()
     pipe.run_batch(imgs, options=opts, want_preview=False, want_packed=False)
 
     # Pipelined steady state: several batches in flight so upload, compute
     # and download overlap across the host link.
-    depth_q = 3
-    iters = 12
+    depth_q = 3 if on_tpu else 1
+    iters = 12 if on_tpu else 3
     lat: list[float] = []
     from collections import deque
 

@@ -191,6 +191,30 @@ class TestV1:
         vert = read_ply(d.content)["vertex"]
         assert len(vert) == res["pointCloud"]["points"]
 
+    def test_concurrent_requests_all_complete(self, v1_server):
+        """Eight simultaneous POSTs (same image size) are micro-batched
+        onto the accelerator and every job completes with points."""
+        import concurrent.futures as cf
+
+        png = _test_image_png(70, 63)
+
+        def submit():
+            files = {"file": ("t.png", png, "image/png")}
+            r = httpx.post(
+                f"{v1_server}/process?output_format=ply",
+                files=files, timeout=60,
+            )
+            assert r.status_code == 200
+            return r.json()["job_id"]
+
+        with cf.ThreadPoolExecutor(8) as pool:
+            ids = list(pool.map(lambda _: submit(), range(8)))
+        assert len(set(ids)) == 8
+        for job_id in ids:
+            final = _poll(v1_server, job_id)
+            assert final["status"] == "completed", final["message"]
+            assert final["results"]["pointCloud"]["points"] > 0
+
     def test_v1_jobs_surface(self, v1_server):
         """The unified v1 service also carries v2's job-management shape
         (SURVEY.md §0): GET /jobs, DELETE /jobs/{id}, /outputs mount."""
