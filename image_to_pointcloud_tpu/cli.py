@@ -146,6 +146,33 @@ def cmd_mesh(args) -> int:
     return 0
 
 
+def cmd_video(args) -> int:
+    """Frames → temporally batched depth → one fused cloud (the
+    north-star video config; pipeline/advanced.VideoPipeline)."""
+    import numpy as np
+
+    from image_to_pointcloud_tpu.io import write_ply_points
+    from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
+    from image_to_pointcloud_tpu.pipeline.advanced import VideoPipeline
+
+    base = _load_pipeline(args)  # reuses ModelManager weights/config
+    vp = VideoPipeline(base.cfg, base.params, model_target=base.model_target)
+    frames = np.stack(_decode_all([Path(p) for p in args.frames]))
+    t0 = time.perf_counter()
+    pts, cols = vp.run(
+        frames,
+        depth_scale=args.depth_scale,
+        step=DENSITY_STRIDES[args.density],
+        fuse_voxel=args.voxel,
+    )
+    write_ply_points(args.output, pts, cols)
+    print(
+        f"{len(frames)} frames -> {args.output}  ({len(pts)} fused points, "
+        f"{time.perf_counter() - t0:.2f}s)"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="image_to_pointcloud_tpu",
@@ -162,6 +189,20 @@ def main(argv=None) -> int:
     pm = sub.add_parser("mesh", help="image(s) → surface mesh PLY")
     _add_common(pm)
     pm.set_defaults(fn=cmd_mesh)
+
+    pv = sub.add_parser(
+        "video", help="frame sequence → one fused point cloud"
+    )
+    pv.add_argument("frames", nargs="+", help="ordered frame images")
+    pv.add_argument("-o", "--output", default="video_cloud.ply")
+    pv.add_argument("--model", default="depth-anything-v2")
+    pv.add_argument("--density", default="medium",
+                    choices=["low", "medium", "high"])
+    pv.add_argument("--depth-scale", type=float, default=10.0)
+    pv.add_argument("--voxel", type=float, default=None,
+                    help="fuse with voxel-grid downsampling at this cell size")
+    pv.add_argument("--checkpoint-dir", default=None)
+    pv.set_defaults(fn=cmd_video)
 
     ps = sub.add_parser("serve", help="run the HTTP service",
                         add_help=False)

@@ -378,3 +378,43 @@ class TestInputPipeline:
             losses.append(float(tr.train_step(imgs, depth)))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestDepthMetrics:
+    """Standard depth eval metrics (train/eval.py) vs a NumPy oracle."""
+
+    def test_against_numpy_oracle(self, rng):
+        from image_to_pointcloud_tpu.train.eval import depth_metrics
+
+        t = rng.uniform(0.5, 10.0, (2, 32, 32)).astype(np.float32)
+        p = t * rng.uniform(0.7, 1.4, t.shape).astype(np.float32)
+        mask = rng.random(t.shape) > 0.2
+        tm = np.where(mask, t, 0)  # invalid ⇒ target 0
+
+        got = {k: float(v) for k, v in depth_metrics(
+            jnp.asarray(p), jnp.asarray(tm)).items()}
+
+        pv, tv = p[mask], t[mask]
+        d = pv - tv
+        ld = np.log(pv) - np.log(tv)
+        ratio = np.maximum(pv / tv, tv / pv)
+        exp = {
+            "abs_rel": np.mean(np.abs(d) / tv),
+            "sq_rel": np.mean(d**2 / tv),
+            "rmse": np.sqrt(np.mean(d**2)),
+            "rmse_log": np.sqrt(np.mean(ld**2)),
+            "silog": np.sqrt(np.mean(ld**2) - np.mean(ld) ** 2),
+            "delta1": np.mean(ratio < 1.25),
+            "delta2": np.mean(ratio < 1.25**2),
+            "delta3": np.mean(ratio < 1.25**3),
+        }
+        for k, v in exp.items():
+            assert abs(got[k] - v) < 1e-4, (k, got[k], v)
+
+    def test_perfect_prediction(self):
+        from image_to_pointcloud_tpu.train.eval import depth_metrics
+
+        t = jnp.full((8, 8), 3.0)
+        m = {k: float(v) for k, v in depth_metrics(t, t).items()}
+        assert m["abs_rel"] == 0 and m["rmse"] == 0
+        assert m["delta1"] == 1.0
