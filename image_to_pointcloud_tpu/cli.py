@@ -173,6 +173,64 @@ def cmd_video(args) -> int:
     return 0
 
 
+def cmd_highres(args) -> int:
+    """Tiled 1024²-class inference + voxel budget (north-star config 4;
+    pipeline/advanced.HighResPipeline)."""
+    from image_to_pointcloud_tpu.io import write_ply_points
+    from image_to_pointcloud_tpu.pipeline.advanced import HighResPipeline
+
+    base = _load_pipeline(args)
+    hp = HighResPipeline(
+        base.cfg, base.params,
+        tile=args.tile, overlap=args.overlap,
+        model_target=base.model_target,
+    )
+    paths = [Path(p) for p in args.images]
+    multi = len(paths) > 1
+    for src, im in zip(paths, _decode_all(paths)):
+        t0 = time.perf_counter()
+        pts, cols = hp.run(
+            im, depth_scale=args.depth_scale, voxel_budget=args.voxel_budget
+        )
+        out = _out_path(args, src, ".ply", multi)
+        write_ply_points(str(out), pts, cols)
+        print(
+            f"{src} -> {out}  ({len(pts)} points, "
+            f"{time.perf_counter() - t0:.2f}s)"
+        )
+    return 0
+
+
+def cmd_metric(args) -> int:
+    """Metric depth with real intrinsics (north-star config 3;
+    pipeline/advanced.MetricPipeline)."""
+    from image_to_pointcloud_tpu.io import write_ply_points
+    from image_to_pointcloud_tpu.pipeline.advanced import (
+        CameraIntrinsics,
+        MetricPipeline,
+    )
+
+    base = _load_pipeline(args)
+    mp = MetricPipeline(base.cfg, base.params, model_target=base.model_target)
+    paths = [Path(p) for p in args.images]
+    multi = len(paths) > 1
+    for src, im in zip(paths, _decode_all(paths)):
+        h, w = im.shape[:2]
+        if args.fx is not None:
+            intr = CameraIntrinsics(
+                fx=args.fx, fy=args.fy or args.fx,
+                cx=args.cx if args.cx is not None else w / 2.0,
+                cy=args.cy if args.cy is not None else h / 2.0,
+            )
+        else:
+            intr = CameraIntrinsics.from_fov(h, w, args.fov)
+        pts, cols = mp.run(im, intr)
+        out = _out_path(args, src, ".ply", multi)
+        write_ply_points(str(out), pts, cols)
+        print(f"{src} -> {out}  ({len(pts)} metric points)")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="image_to_pointcloud_tpu",
@@ -189,6 +247,38 @@ def main(argv=None) -> int:
     pm = sub.add_parser("mesh", help="image(s) → surface mesh PLY")
     _add_common(pm)
     pm.set_defaults(fn=cmd_mesh)
+
+    ph = sub.add_parser(
+        "highres",
+        help="tiled high-resolution depth → cloud with a voxel budget",
+    )
+    ph.add_argument("images", nargs="+")
+    ph.add_argument("-o", "--output", default=None)
+    ph.add_argument("--model", default="depth-anything-v2")
+    ph.add_argument("--depth-scale", type=float, default=10.0)
+    ph.add_argument("--tile", type=int, default=518)
+    ph.add_argument("--overlap", type=int, default=128)
+    ph.add_argument("--voxel-budget", type=int, default=1_000_000)
+    ph.add_argument("--checkpoint-dir", default=None)
+    ph.set_defaults(fn=cmd_highres)
+
+    pme = sub.add_parser(
+        "metric",
+        help="metric depth with real camera intrinsics → metric-scale cloud",
+    )
+    pme.add_argument("images", nargs="+")
+    pme.add_argument("-o", "--output", default=None)
+    pme.add_argument("--model", default="zoedepth-small",
+                     help="a metric-head preset (zoedepth[-small], "
+                     "depth-anything-v2-metric-*)")
+    pme.add_argument("--fx", type=float, default=None)
+    pme.add_argument("--fy", type=float, default=None)
+    pme.add_argument("--cx", type=float, default=None)
+    pme.add_argument("--cy", type=float, default=None)
+    pme.add_argument("--fov", type=float, default=60.0,
+                     help="used when fx/fy/cx/cy are not given")
+    pme.add_argument("--checkpoint-dir", default=None)
+    pme.set_defaults(fn=cmd_metric)
 
     pv = sub.add_parser(
         "video", help="frame sequence → one fused point cloud"
