@@ -231,6 +231,104 @@ def cmd_metric(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Fine-tune: sharded train step + double-buffered input pipeline +
+    Orbax checkpointing (train/); the saved checkpoint plugs into
+    serving via IPC_TPU_CHECKPOINT_DIR/<model>/orbax."""
+    import numpy as np
+
+    from image_to_pointcloud_tpu.models import preset
+    from image_to_pointcloud_tpu.parallel.sharding import (
+        batch_sharding,
+        make_mesh,
+    )
+    from image_to_pointcloud_tpu.serve.models import ModelManager
+    from image_to_pointcloud_tpu.train.checkpoint import save_checkpoint
+    from image_to_pointcloud_tpu.train.data import (
+        prefetch_to_device,
+        synthetic_depth_batches,
+    )
+    from image_to_pointcloud_tpu.train.eval import depth_metrics
+    from image_to_pointcloud_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = preset(args.model)
+    if not cfg.neck.metric_depth:
+        raise SystemExit(
+            f"{args.model} is a relative-depth preset; fine-tuning targets "
+            "metric ground truth — pick a metric preset (zoedepth*, "
+            "depth-anything-v2-metric-*)"
+        )
+    mm = ModelManager(
+        checkpoint_dir=args.checkpoint_dir, use_bf16=False,
+        use_flash_attention=False,
+    )
+    params = mm._load_params(args.model, cfg)
+
+    if args.mesh:
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        mesh = make_mesh(**{k: int(v) for k, v in spec.items()})
+    else:
+        mesh = make_mesh()
+
+    trainer = Trainer(
+        cfg, params, mesh,
+        TrainConfig(learning_rate=args.learning_rate, loss=args.loss,
+                    remat=True),
+    )
+
+    hw = (args.image_size, args.image_size)
+    if args.data:
+        blob = np.load(args.data)
+        imgs_all = np.asarray(blob["images"], np.float32)
+        deps_all = np.asarray(blob["depths"], np.float32)
+
+        def batches():
+            n = len(imgs_all)
+            rng = np.random.default_rng(0)
+            for _ in range(args.steps):
+                idx = rng.integers(0, n, args.batch_size)
+                yield imgs_all[idx], deps_all[idx]
+
+        stream = batches()
+        ev_imgs, ev_deps = imgs_all[: args.batch_size], deps_all[: args.batch_size]
+    else:
+        stream = synthetic_depth_batches(
+            batch_size=args.batch_size, image_hw=hw, steps=args.steps,
+        )
+        ev_imgs, ev_deps = next(
+            synthetic_depth_batches(
+                batch_size=args.batch_size, image_hw=hw, steps=1, seed=99,
+            )
+        )
+
+    sharded = prefetch_to_device(
+        stream, sharding=lambda x: batch_sharding(mesh, x.ndim)
+    )
+    t0 = time.perf_counter()
+    for step, (x, y) in enumerate(sharded, 1):
+        loss = float(trainer.train_step(x, y))
+        if step == 1 or step % 10 == 0 or step == args.steps:
+            print(f"step {step:>5d}  loss {loss:.5f}")
+        if args.eval_every and step % args.eval_every == 0:
+            import jax
+
+            pred = trainer.model.apply(
+                {"params": trainer.params}, ev_imgs.astype(np.float32)
+            )
+            m = {k: round(float(v), 4)
+                 for k, v in depth_metrics(pred, ev_deps).items()}
+            print(f"  eval: {m}")
+    print(f"{args.steps} steps in {time.perf_counter() - t0:.1f}s")
+
+    import jax
+
+    save_checkpoint(
+        args.output, jax.device_get(trainer.params), step=args.steps
+    )
+    print(f"checkpoint -> {args.output} (load via IPC_TPU_CHECKPOINT_DIR)")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="image_to_pointcloud_tpu",
@@ -293,6 +391,31 @@ def main(argv=None) -> int:
                     help="fuse with voxel-grid downsampling at this cell size")
     pv.add_argument("--checkpoint-dir", default=None)
     pv.set_defaults(fn=cmd_video)
+
+    pt = sub.add_parser(
+        "train",
+        help="fine-tune a depth model (synthetic or .npy data) and save "
+        "an Orbax checkpoint the server can load",
+    )
+    pt.add_argument("--model", default="depth-anything-v2-metric-small")
+    pt.add_argument("--data", default=None,
+                    help=".npz with arrays images (N,H,W,3 u8/f32) and "
+                    "depths (N,H,W); default: synthetic depth fields")
+    pt.add_argument("--steps", type=int, default=100)
+    pt.add_argument("--batch-size", type=int, default=8)
+    pt.add_argument("--image-size", type=int, default=518)
+    pt.add_argument("--learning-rate", type=float, default=1e-4)
+    pt.add_argument("--loss", default="silog",
+                    choices=["silog", "affine_invariant", "l1"])
+    pt.add_argument("--mesh", default=None,
+                    help="'data=N,model=M' (default: DP over all devices)")
+    pt.add_argument("--checkpoint-dir", default=None,
+                    help="initial weights (safetensors/orbax layout)")
+    pt.add_argument("-o", "--output", default="checkpoints/finetuned",
+                    help="Orbax checkpoint output directory")
+    pt.add_argument("--eval-every", type=int, default=0,
+                    help="print depth metrics on a held-out batch every N steps")
+    pt.set_defaults(fn=cmd_train)
 
     ps = sub.add_parser("serve", help="run the HTTP service",
                         add_help=False)
