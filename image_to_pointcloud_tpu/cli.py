@@ -71,11 +71,27 @@ def _out_path(args, src: Path, ext: str, multi: bool) -> Path:
 def cmd_convert(args) -> int:
     from collections import defaultdict
 
-    from image_to_pointcloud_tpu.io import write_las, write_ply_points, write_xyz
+    from image_to_pointcloud_tpu.io import (
+        glb_bytes,
+        write_las,
+        write_pcd,
+        write_ply_points,
+        write_xyz,
+    )
     from image_to_pointcloud_tpu.pipeline.graph import PipelineOptions
 
+    def write_glb_points(path, pts, cols):
+        import numpy as np
+
+        with open(path, "wb") as f:
+            f.write(glb_bytes(
+                pts, None, colors01=np.clip(cols / 255.0, 0, 1),
+                name="pointcloud",
+            ))
+        return path
+
     writers = {"ply": write_ply_points, "las": write_las, "laz": write_las,
-               "xyz": write_xyz}
+               "xyz": write_xyz, "pcd": write_pcd, "glb": write_glb_points}
     writer = writers[args.format]
     ext = ".las" if args.format == "laz" else f".{args.format}"
 
@@ -339,7 +355,7 @@ def main(argv=None) -> int:
     pc = sub.add_parser("convert", help="image(s) → point cloud file(s)")
     _add_common(pc)
     pc.add_argument("--format", default="ply",
-                    choices=["ply", "las", "laz", "xyz"])
+                    choices=["ply", "las", "laz", "xyz", "pcd", "glb"])
     pc.set_defaults(fn=cmd_convert)
 
     pm = sub.add_parser("mesh", help="image(s) → surface mesh PLY")

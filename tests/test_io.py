@@ -168,3 +168,55 @@ class TestMetadata:
         }
         assert set(md["bounds"]) == {"minX", "maxX", "minY", "maxY", "minZ", "maxZ"}
         assert md["pointCount"] == 50
+
+
+class TestPCD:
+    def test_header_and_packed_rgb(self, rng):
+        from image_to_pointcloud_tpu.io import pcd_bytes
+
+        pts = rng.normal(0, 1, (5, 3)).astype(np.float32)
+        cols = rng.integers(0, 255, (5, 3)).astype(np.float32)
+        raw = pcd_bytes(pts, cols)
+        header, _, body = raw.partition(b"DATA binary\n")
+        assert b"FIELDS x y z rgb" in header
+        assert b"POINTS 5" in header
+        rec = np.frombuffer(body, np.float32).reshape(5, 4)
+        np.testing.assert_allclose(rec[:, :3], pts, rtol=1e-6)
+        packed = rec[:, 3].view(np.uint32)
+        r = (packed >> 16) & 0xFF
+        g = (packed >> 8) & 0xFF
+        b = packed & 0xFF
+        np.testing.assert_array_equal(
+            np.stack([r, g, b], 1), cols.astype(np.uint32)
+        )
+
+    def test_no_colors(self, rng):
+        from image_to_pointcloud_tpu.io import pcd_bytes
+
+        pts = rng.normal(0, 1, (3, 3)).astype(np.float32)
+        raw = pcd_bytes(pts)
+        assert b"FIELDS x y z\n" in raw
+        body = raw.partition(b"DATA binary\n")[2]
+        np.testing.assert_allclose(
+            np.frombuffer(body, np.float32).reshape(3, 3), pts, rtol=1e-6
+        )
+
+
+class TestOBJ:
+    def test_mesh_with_colors(self, rng):
+        from image_to_pointcloud_tpu.io import obj_bytes
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        faces = np.array([[0, 1, 2]], np.int32)
+        cols = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.float32)
+        text = obj_bytes(verts, faces, cols).decode()
+        lines = [ln for ln in text.splitlines() if not ln.startswith("#")]
+        assert lines[0] == "v 0.000000 0.000000 0.000000 1.0000 0.0000 0.0000"
+        assert lines[-1] == "f 1 2 3"  # 1-indexed
+
+    def test_points_only(self):
+        from image_to_pointcloud_tpu.io import obj_bytes
+
+        text = obj_bytes(np.zeros((2, 3))).decode()
+        assert text.count("\nv ") + text.startswith("v ") >= 1
+        assert "f " not in text
