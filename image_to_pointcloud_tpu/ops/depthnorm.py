@@ -22,17 +22,57 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["normalize_depth"]
+__all__ = ["normalize_depth", "order_statistics"]
 
 
-def _percentile_linear(sorted_vals: jax.Array, q: float) -> jax.Array:
-    """numpy 'linear' percentile on a pre-sorted 1-D array."""
-    n = sorted_vals.shape[0]
-    pos = q / 100.0 * (n - 1)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.ceil(pos).astype(jnp.int32)
-    frac = pos - jnp.floor(pos)
-    return sorted_vals[lo] * (1.0 - frac) + sorted_vals[hi] * frac
+# ---- exact order statistics without sorting -------------------------------
+#
+# XLA sorts are slow on TPU (two full 518² sorts per image would dominate
+# the normalize stage); instead, order statistics are found by bisecting
+# the *bit representation* of float32: map each value to an
+# order-preserving uint32 key, then 32 fixed rank-counting passes pin the
+# k-th smallest key exactly. Each pass is one fused compare+reduce over
+# the data — pure VPU work, no data movement between lanes.
+
+
+def _f32_to_ordered_u32(x: jax.Array) -> jax.Array:
+    """Monotone bijection float32 → uint32 (IEEE-754 total order)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    neg = (b >> 31).astype(jnp.bool_)
+    return jnp.where(neg, ~b, b | jnp.uint32(0x80000000))
+
+
+def _ordered_u32_to_f32(k: jax.Array) -> jax.Array:
+    b = jnp.where(
+        (k >> 31).astype(jnp.bool_), k ^ jnp.uint32(0x80000000), ~k
+    )
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def order_statistics(x: jax.Array, ks: jax.Array) -> jax.Array:
+    """Exact k-th smallest values (0-indexed ranks ``ks``) of 1-D ``x``.
+
+    Equivalent to ``jnp.sort(x)[ks]`` (for non-NaN data) without the sort:
+    32 bisection steps over the uint32 key space, each a vectorized rank
+    count. ``ks`` may be traced (data-dependent ranks are fine).
+    """
+    keys = _f32_to_ordered_u32(x)
+    ks = jnp.asarray(ks, jnp.uint32)
+    lo = jnp.zeros_like(ks)
+    hi = jnp.full_like(ks, 0xFFFFFFFF)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo) // 2
+        # rank(mid) = #{keys <= mid}, for all searched ranks at once.
+        cnt = jnp.sum(
+            (keys[None, :] <= mid[:, None]).astype(jnp.uint32), axis=1
+        )
+        take = cnt >= ks + 1
+        return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return _ordered_u32_to_f32(hi)
 
 
 def normalize_depth(depth: jax.Array, invert: bool | jax.Array = True) -> jax.Array:
@@ -47,26 +87,41 @@ def normalize_depth(depth: jax.Array, invert: bool | jax.Array = True) -> jax.Ar
     """
     d = depth.astype(jnp.float32)
     flat = d.reshape(-1)
+    n = flat.shape[0]
 
     finite = jnp.isfinite(flat)
     any_nonfinite = jnp.logical_not(jnp.all(finite))
 
-    # Median of finite values (nanmedian semantics, backend/app.py:132).
-    # Sort with non-finites pushed to +inf so the finite prefix is contiguous.
+    # Median of finite values (nanmedian semantics, backend/app.py:132):
+    # non-finites are pushed to +inf so the finite values hold the low
+    # ranks; the median ranks depend on the finite count (traced — fine).
     big = jnp.float32(jnp.inf)
     masked = jnp.where(finite, flat, big)
-    msorted = jnp.sort(masked)
     nfin = jnp.sum(finite.astype(jnp.int32))
     mid_hi = jnp.maximum(nfin // 2, 0)
     mid_lo = jnp.maximum((nfin - 1) // 2, 0)
-    med = 0.5 * (msorted[mid_lo] + msorted[mid_hi])
+    meds = order_statistics(masked, jnp.stack([mid_lo, mid_hi]))
+    med = 0.5 * (meds[0] + meds[1])
     flat = jnp.where(any_nonfinite & jnp.logical_not(finite), med, flat)
 
-    svals = jnp.sort(flat)
-    p2 = _percentile_linear(svals, 2.0)
-    p98 = _percentile_linear(svals, 98.0)
-    dmin = svals[0]
-    dmax = svals[-1]
+    # numpy 'linear' percentiles p2/p98 from four exact order statistics
+    # (ranks are static — n is a compile-time shape).
+    import math
+
+    pos2 = 2.0 / 100.0 * (n - 1)
+    pos98 = 98.0 / 100.0 * (n - 1)
+    ranks = jnp.array(
+        [math.floor(pos2), math.ceil(pos2),
+         math.floor(pos98), math.ceil(pos98)],
+        jnp.int32,
+    )
+    os4 = order_statistics(flat, ranks)
+    frac2 = jnp.float32(pos2 - math.floor(pos2))
+    frac98 = jnp.float32(pos98 - math.floor(pos98))
+    p2 = os4[0] * (1.0 - frac2) + os4[1] * frac2
+    p98 = os4[2] * (1.0 - frac98) + os4[3] * frac98
+    dmin = jnp.min(flat)
+    dmax = jnp.max(flat)
 
     # Fallback to (min, max) when p98 <= p2 (backend/app.py:136-137).
     use_fallback = p98 <= p2

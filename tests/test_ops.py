@@ -259,3 +259,39 @@ class TestGridOutlier:
             )
         )
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-7)
+
+
+class TestOrderStatistics:
+    """Sort-free exact order statistics (bit-bisection, ops/depthnorm)."""
+
+
+    def test_matches_sort_exactly(self, rng):
+        import jax.numpy as jnp
+
+        from image_to_pointcloud_tpu.ops.depthnorm import order_statistics
+
+        x = rng.normal(0, 50, 4097).astype(np.float32)
+        x[:10] = 0.0
+        x[10:20] = -0.0
+        x[20] = np.inf
+        ks = np.array([0, 1, 100, 2048, 4095, 4096], np.int32)
+        got = np.asarray(order_statistics(jnp.asarray(x), jnp.asarray(ks)))
+        np.testing.assert_array_equal(got, np.sort(x)[ks])
+
+    def test_traced_ranks(self, rng):
+        """Ranks may be data-dependent (the median path uses nfin)."""
+        import jax
+        import jax.numpy as jnp
+
+        from image_to_pointcloud_tpu.ops.depthnorm import order_statistics
+
+        x = jnp.asarray(rng.normal(0, 1, 1000).astype(np.float32))
+
+        @jax.jit
+        def med(x):
+            n = jnp.sum((x > -10).astype(jnp.int32))  # traced count
+            ks = jnp.stack([(n - 1) // 2, n // 2])
+            s = order_statistics(x, ks)
+            return 0.5 * (s[0] + s[1])
+
+        assert abs(float(med(x)) - float(np.median(np.asarray(x)))) < 1e-7
