@@ -28,7 +28,9 @@ def main() -> None:
     # so the round records a labeled number instead of timing out
     # silently.
     warmed = threading.Event()
-    if os.environ.get("IPC_BENCH_NO_FALLBACK") != "1":
+    forced_cpu = os.environ.get("IPC_BENCH_FORCED_CPU") == "1"
+    no_fallback = os.environ.get("IPC_BENCH_NO_FALLBACK") == "1"
+    if not forced_cpu and not no_fallback:
         deadline = float(os.environ.get("IPC_BENCH_COMPILE_DEADLINE_S", "240"))
 
         def watchdog():
@@ -40,15 +42,17 @@ def main() -> None:
                 sys.stderr.flush()
                 env = dict(os.environ)
                 env["JAX_PLATFORMS"] = "cpu"
-                env["IPC_BENCH_NO_FALLBACK"] = "1"
-                os.execve(sys.executable, [sys.executable, __file__, "1"], env)
+                env["IPC_BENCH_FORCED_CPU"] = "1"
+                # Preserve an explicit batch argument; default to 1 on CPU.
+                argv = [sys.executable, __file__, *(sys.argv[1:] or ["1"])]
+                os.execve(sys.executable, argv, env)
 
         threading.Thread(target=watchdog, daemon=True).start()
 
     import jax
     import jax.numpy as jnp
 
-    if os.environ.get("IPC_BENCH_NO_FALLBACK") == "1":
+    if forced_cpu:
         # Re-exec'd after a hung TPU attempt: the env var alone does not
         # override the preset axon platform on this rig.
         jax.config.update("jax_platforms", "cpu")

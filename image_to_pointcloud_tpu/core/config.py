@@ -68,6 +68,7 @@ class ServiceConfig:
     serve_ui: bool = False  # mount frontend/ at /ui
     mesh: str | None = None  # 'auto' or 'data=N,model=M[,seq=S]'
     warmup: str | None = None  # pre-compile sizes, e.g. '518x518'
+    log_json: bool = False  # JSON-lines structured logging
     cors_origin_v1: str = "*"  # backend/app.py:32
     cors_origin_v2: str = "http://localhost:3000"  # backend/main.py:33
     polling_hint_s: float = 1.5  # frontend/src/App.jsx:1014

@@ -17,12 +17,13 @@ def obj_bytes(
     faces: np.ndarray | None = None,
     colors: np.ndarray | None = None,
 ) -> bytes:
+    """``colors`` are 0–255 (the framework convention, matching the PCD
+    writer); they are scaled to the 0–1 floats the `v x y z r g b`
+    extension expects."""
     v = np.asarray(vertices, np.float64)
     out = ["# image_to_pointcloud_tpu OBJ export"]
-    if colors is not None:
-        c = np.clip(np.asarray(colors, np.float64), 0, 255)
-        if c.max() > 1.0:
-            c = c / 255.0
+    if colors is not None and len(v):
+        c = np.clip(np.asarray(colors, np.float64), 0, 255) / 255.0
         for (x, y, z), (r, g, b) in zip(v, c):
             out.append(f"v {x:.6f} {y:.6f} {z:.6f} {r:.4f} {g:.4f} {b:.4f}")
     else:

@@ -391,9 +391,14 @@ class DepthPipeline:
     ) -> list[PipelineResult]:
         """Pull a submitted batch to host and assemble results."""
         out, prev, b, grid_hw, imgs, depth_scales, options, (h, w), step = handle
+        # Drop mesh data-axis padding rows everywhere (submit_batch may
+        # have padded imgs/depth_scales/device outputs to b+pad).
+        imgs = imgs[:b]
+        depth_scales = depth_scales[:b]
+        out = jax.tree_util.tree_map(lambda x: x[:b], out)
         prev_np = None
         if want_preview:
-            prev_np = np.asarray(prev)
+            prev_np = np.asarray(prev)[:b]
             if prev_np.ndim == 3:  # gray u8 → PLASMA LUT on host
                 from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
 

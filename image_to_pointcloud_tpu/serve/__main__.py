@@ -52,9 +52,7 @@ def main() -> None:
         "backend process)",
     )
     parser.add_argument(
-        "--log-json", action="store_true",
-        default=os.environ.get("IPC_TPU_LOG_JSON", "").lower()
-        in ("1", "true", "yes"),
+        "--log-json", action="store_true", default=cfg.log_json,
         help="JSON-lines structured logging (the reference declares "
         "python-json-logger but never wires it — SURVEY.md §5)",
     )
@@ -138,13 +136,26 @@ def main() -> None:
             except NotImplementedError:  # non-unix
                 pass
         serve_task = asyncio.create_task(server.serve_forever())
-        await stop.wait()
+        stop_task = asyncio.create_task(stop.wait())
+        # Exit on SIGTERM/SIGINT *or* a crashed accept loop — a dead
+        # server must kill the process (supervisors restart it), not
+        # linger silently.
+        await asyncio.wait(
+            {serve_task, stop_task}, return_when=asyncio.FIRST_COMPLETED
+        )
         logging.info("Shutting down...")
-        serve_task.cancel()
+        stop_task.cancel()
+        serve_err = None
+        if serve_task.done():
+            serve_err = serve_task.exception()
+        else:
+            serve_task.cancel()
         await server.stop()
         if hasattr(app, "shutdown"):
             await app.shutdown()
         app.jobs.close()
+        if serve_err is not None:
+            raise serve_err
 
     asyncio.run(run())
 

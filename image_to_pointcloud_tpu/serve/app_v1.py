@@ -467,7 +467,7 @@ class V1Service:
             """v2's job listing folded into the unified v1 service
             (SURVEY.md §0; shape matches backend/main.py:355-376)."""
             try:
-                limit = int(req.query.get("limit", 10))
+                limit = max(0, int(req.query.get("limit", 10)))
             except ValueError:
                 raise HTTPError(422, "limit must be an integer")
             status_f = req.query.get("status")

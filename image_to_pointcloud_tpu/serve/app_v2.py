@@ -304,7 +304,7 @@ class V2Service:
         @r.get("/jobs")
         async def list_jobs(req: Request):
             try:
-                limit = int(req.query.get("limit", 10))
+                limit = max(0, int(req.query.get("limit", 10)))
             except ValueError:
                 raise HTTPError(422, "limit must be an integer")
             status_f = req.query.get("status")

@@ -209,7 +209,13 @@ class JobRegistry:
         results: Any = None,
     ) -> None:
         async with self._lock:
-            job = self._jobs[job_id]
+            job = self._jobs.get(job_id)
+            if job is None:
+                # Job deleted while its task was mid-flight (DELETE /jobs
+                # during processing) — drop the update instead of blowing
+                # up the fire-and-forget task.
+                logger.info("update for deleted job %s ignored", job_id)
+                return
             if status is not None:
                 job.status = status
             if progress is not None:

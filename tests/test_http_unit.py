@@ -566,3 +566,20 @@ class TestReviewRegressions:
                 assert ei.value.status == 422
 
             asyncio.run(run())
+
+
+class TestDeleteInFlight:
+    def test_update_after_delete_is_ignored(self):
+        """DELETE /jobs/{id} while the job task is mid-flight: subsequent
+        updates from the task are dropped, not KeyErrors."""
+
+        async def run():
+            reg = JobRegistry()
+            job = await reg.create()
+            assert await reg.delete(job.job_id)
+            # Task still running — its progress/terminal updates no-op.
+            await reg.update(job.job_id, progress=60)
+            await reg.update(job.job_id, status=JobStatus.COMPLETED)
+            assert reg.get(job.job_id) is None
+
+        asyncio.run(run())

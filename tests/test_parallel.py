@@ -316,6 +316,41 @@ class TestMeshedServing:
                 assert a.kept_point_count == b.kept_point_count
                 np.testing.assert_allclose(a.points, b.points, atol=2e-4)
 
+    def test_meshed_quantized_transfer_padding(self, rng):
+        """TPU serving path: quantized transfer + mesh padding must slice
+        the padded device outputs back to the real batch (regression:
+        collect() reshaped padded arrays with the unpadded size)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            PipelineOptions,
+        )
+
+        _, model, variables = _build_pair(
+            hidden=32, layers=4, heads=2, image_size=56
+        )
+        imgs = rng.integers(0, 255, (3, 56, 56, 3)).astype(np.uint8)
+        opts = PipelineOptions(density="medium")
+        mesh = make_mesh(data=8)
+        pipe = DepthPipeline(
+            model.cfg, variables["params"], model_target=56, mesh=mesh,
+            quantized_transfer=True,  # forced (default only on TPU)
+        )
+        # Both the fast (unpacked) and packed collect paths.
+        for want_packed in (False, True):
+            res = pipe.run_batch(
+                imgs, options=opts, want_preview=True,
+                want_packed=want_packed,
+            )
+            assert len(res) == 3
+            for r in res:
+                assert r.kept_point_count > 0
+                assert r.depth_preview_rgb is not None
+
 
 class TestInputPipeline:
     """Double-buffered host→device staging (train/data.py)."""
