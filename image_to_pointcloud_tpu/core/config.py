@@ -65,6 +65,8 @@ class ServiceConfig:
     honor_fov: bool = False  # bug-compatible default (SURVEY.md §8 quirk 1)
     batch_window_ms: float = 5.0
     durable_jobs: bool = True  # JSONL job journal (beyond reference)
+    max_jobs: int | None = None  # retention cap; None = reference parity
+    # (keep every job forever, SURVEY.md §8 quirk 8)
     serve_ui: bool = False  # mount frontend/ at /ui
     mesh: str | None = None  # 'auto' or 'data=N,model=M[,seq=S]'
     warmup: str | None = None  # pre-compile sizes, e.g. '518x518'
@@ -84,6 +86,13 @@ def _coerce(value: str, target: Any) -> Any:
         return int(value)
     if t is float:
         return float(value)
+    if target is None:
+        # Optional fields (max_jobs, mesh, warmup, …): numbers become
+        # numbers, everything else stays a string.
+        try:
+            return int(value)
+        except ValueError:
+            return value
     return value
 
 

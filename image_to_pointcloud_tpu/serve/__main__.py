@@ -95,6 +95,7 @@ def main() -> None:
                 warmup_sizes=warmup_sizes,
                 batch_window_ms=cfg.batch_window_ms,
                 durable_jobs=cfg.durable_jobs,
+                max_jobs=cfg.max_jobs,
             )
             server = HttpServer(app.router, args.host, args.port)
             if warmup_sizes:
@@ -108,6 +109,7 @@ def main() -> None:
                 output_dir=args.output_dir,
                 models=models,
                 durable_jobs=cfg.durable_jobs,
+                max_jobs=cfg.max_jobs,
             )
             server = HttpServer(
                 app.router, args.host, args.port,

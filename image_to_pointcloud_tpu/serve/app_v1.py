@@ -133,6 +133,7 @@ class V1Service:
         batch_window_ms: float = 5.0,
         warmup_sizes: "list[tuple[int, int]] | None" = None,
         durable_jobs: bool = True,
+        max_jobs: int | None = None,
     ):
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(exist_ok=True, parents=True)
@@ -141,7 +142,8 @@ class V1Service:
         # Durable registry: finished jobs (and their /download URLs)
         # survive restarts — the reference loses all jobs (SURVEY.md §5).
         self.jobs = JobRegistry(
-            journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None
+            journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None,
+            max_jobs=max_jobs,
         )
         self.loaded_model_names: set[str] = set()
         self.executor = ThreadPoolExecutor(max_workers=2)

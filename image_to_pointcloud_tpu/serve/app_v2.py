@@ -62,6 +62,7 @@ class V2Service:
         models: ModelManager | None = None,
         model_name: str = "depth-anything-v2",
         durable_jobs: bool = True,
+        max_jobs: int | None = None,
     ):
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(exist_ok=True, parents=True)
@@ -71,7 +72,8 @@ class V2Service:
         # Durable registry (reference loses all jobs on restart —
         # SURVEY.md §5); per-job artifact dirs under outputs/ stay valid.
         self.jobs = JobRegistry(
-            journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None
+            journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None,
+            max_jobs=max_jobs,
         )
         self.executor = ThreadPoolExecutor(max_workers=2)
         self.router = self._build_router()

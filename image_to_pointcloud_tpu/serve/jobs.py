@@ -93,9 +93,18 @@ class JobRegistry:
     stays small and the write path off the polling hot loop.
     """
 
-    def __init__(self, journal_path: str | os.PathLike | None = None) -> None:
+    def __init__(
+        self,
+        journal_path: str | os.PathLike | None = None,
+        max_jobs: int | None = None,
+    ) -> None:
+        """``max_jobs``: optional retention cap — when exceeded, the
+        oldest *terminal* jobs are evicted (in-flight jobs never are).
+        The reference keeps every job forever (unbounded RAM growth,
+        SURVEY.md §8 quirk 8); None preserves that behavior."""
         self._jobs: dict[str, Job] = {}
         self._lock = asyncio.Lock()
+        self._max_jobs = max_jobs
         self._journal: Any = None
         if journal_path is not None:
             path = Path(journal_path)
@@ -197,7 +206,31 @@ class JobRegistry:
         async with self._lock:
             self._jobs[job.job_id] = job
             self._persist(job)
+            self._evict_locked()
         return job
+
+    def _evict_locked(self) -> None:
+        if self._max_jobs is None or len(self._jobs) <= self._max_jobs:
+            return
+        terminal = sorted(
+            (
+                j for j in self._jobs.values()
+                if j.status in (JobStatus.COMPLETED, JobStatus.ERROR)
+            ),
+            key=lambda j: j.created_at,
+        )
+        excess = len(self._jobs) - self._max_jobs
+        for job in terminal[:excess]:
+            self._jobs.pop(job.job_id, None)
+            if self._journal is not None:
+                try:
+                    self._journal.write(
+                        json.dumps({"op": "delete", "job_id": job.job_id})
+                        + "\n"
+                    )
+                    self._journal.flush()
+                except (OSError, ValueError) as e:
+                    logger.warning("jobs journal write failed: %s", e)
 
     async def update(
         self,
@@ -226,6 +259,7 @@ class JobRegistry:
                 job.results = results
             if status in (JobStatus.COMPLETED, JobStatus.ERROR):
                 self._persist(job)
+                self._evict_locked()
 
     def get(self, job_id: str) -> Job | None:
         return self._jobs.get(job_id)

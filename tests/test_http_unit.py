@@ -583,3 +583,33 @@ class TestDeleteInFlight:
             assert reg.get(job.job_id) is None
 
         asyncio.run(run())
+
+
+class TestRetentionCap:
+    def test_oldest_terminal_evicted_inflight_kept(self):
+        async def run():
+            reg = JobRegistry(max_jobs=3)
+            done = []
+            for i in range(3):
+                j = await reg.create(model=f"m{i}")
+                await reg.update(j.job_id, status=JobStatus.COMPLETED)
+                done.append(j.job_id)
+            inflight = await reg.create(model="active")
+            await reg.update(inflight.job_id, status=JobStatus.PROCESSING)
+            # Cap exceeded: oldest completed evicted, in-flight retained.
+            assert len(reg) == 3
+            assert reg.get(done[0]) is None
+            assert reg.get(done[1]) is not None
+            assert reg.get(inflight.job_id) is not None
+
+        asyncio.run(run())
+
+    def test_none_keeps_everything(self):
+        async def run():
+            reg = JobRegistry()
+            for _ in range(50):
+                j = await reg.create()
+                await reg.update(j.job_id, status=JobStatus.COMPLETED)
+            assert len(reg) == 50  # reference parity: unbounded
+
+        asyncio.run(run())
