@@ -177,6 +177,30 @@ def file_response(
     return Response(headers=headers, body=p.read_bytes())
 
 
+# Compress large text bodies when the client allows it: the v1 /status
+# payload carries the ≤20k-point inline preview (reference
+# backend/app.py:496-506) — multi-MB of JSON per 1.5 s poll — which
+# gzips ~5×.
+GZIP_MIN_BYTES = 64 * 1024
+_GZIP_TYPES = ("application/json", "text/")
+
+
+def _maybe_gzip(req: Request, resp: Response) -> None:
+    if len(resp.body) < GZIP_MIN_BYTES:
+        return
+    if "gzip" not in req.headers.get("accept-encoding", ""):
+        return
+    ctype = resp.headers.get("content-type", "")
+    if not any(ctype.startswith(t) for t in _GZIP_TYPES):
+        return
+    if "content-encoding" in {k.lower() for k in resp.headers}:
+        return
+    import gzip as _gzip
+
+    resp.body = _gzip.compress(resp.body, compresslevel=1)
+    resp.headers["content-encoding"] = "gzip"
+
+
 Handler = Callable[[Request], Awaitable[Response]]
 
 
@@ -326,6 +350,7 @@ class HttpServer:
                     method=req.method, path=pc, status=str(resp.status)
                 )
                 metrics.HTTP_LATENCY.observe(time.perf_counter() - t0, path=pc)
+                _maybe_gzip(req, resp)
                 writer.write(resp.encode(self.cors_origin))
                 await writer.drain()
                 if req.headers.get("connection", "").lower() == "close":

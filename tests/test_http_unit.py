@@ -613,3 +613,29 @@ class TestRetentionCap:
             assert len(reg) == 50  # reference parity: unbounded
 
         asyncio.run(run())
+
+
+class TestGzip:
+    def test_large_json_gzipped_when_accepted(self):
+        import gzip
+
+        from image_to_pointcloud_tpu.serve.http import _maybe_gzip
+
+        body = json_response({"x": [1] * 100000})
+        req = _req(headers={"accept-encoding": "gzip, deflate"})
+        orig = bytes(body.body)
+        _maybe_gzip(req, body)
+        assert body.headers["content-encoding"] == "gzip"
+        assert len(body.body) < len(orig) // 3
+        assert gzip.decompress(body.body) == orig
+
+    def test_small_or_unaccepted_untouched(self):
+        from image_to_pointcloud_tpu.serve.http import _maybe_gzip
+
+        small = json_response({"ok": 1})
+        _maybe_gzip(_req(headers={"accept-encoding": "gzip"}), small)
+        assert "content-encoding" not in small.headers
+
+        big = json_response({"x": [1] * 100000})
+        _maybe_gzip(_req(), big)  # no accept-encoding header
+        assert "content-encoding" not in big.headers
