@@ -67,7 +67,11 @@ def main() -> None:
     on_tpu = jax.default_backend() not in ("cpu",)
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else (16 if on_tpu else 2)
 
-    cfg = preset("depth-anything-v2-small")
+    # Default: the flagship config (DA-V2-Small, BASELINE config 1/2);
+    # IPC_BENCH_MODEL=depth-anything-v2-base|large benches the bigger
+    # family members (config 2).
+    model_name = os.environ.get("IPC_BENCH_MODEL", "depth-anything-v2-small")
+    cfg = preset(model_name)
     if on_tpu:
         cfg = cfg.with_dtype(jnp.bfloat16).with_flash_attention(True)
     model = DepthAnything(cfg)
