@@ -321,11 +321,20 @@ class HttpServer:
             body=body,
         )
 
+    # Idle keep-alive connections are reaped after this long (covers
+    # slowloris-style half-open requests too — generous because clients
+    # legitimately poll every 1.5 s over reused connections).
+    IDLE_TIMEOUT_S = 300.0
+
     async def _handle(self, reader, writer) -> None:
         try:
             while True:
                 try:
-                    req = await self._read_request(reader)
+                    req = await asyncio.wait_for(
+                        self._read_request(reader), self.IDLE_TIMEOUT_S
+                    )
+                except asyncio.TimeoutError:
+                    break
                 except HTTPError as e:
                     # e.g. 413 body-too-large: answer properly, then close
                     # (the oversized body was never drained).
