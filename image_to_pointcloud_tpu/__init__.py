@@ -11,7 +11,7 @@ Layout:
   core/      typed config tree, device-mesh helpers
   ops/       pure jitted kernels (resize, depthnorm, unproject, outlier, ...)
   models/    Flax DINOv2+DPT depth models (Depth-Anything family), Pallas attention
-  parallel/  shardings (DP/TP/CP), high-res tiling
+  parallel/  shardings (DP/TP/SP-CP/PP), ring attention, high-res tiling
   pipeline/  fused end-to-end jitted graphs
   io/        first-party exporters (PLY, LAS, XYZ, GLB) + image codecs
   serve/     first-party asyncio HTTP server speaking the reference API contract
