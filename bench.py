@@ -78,6 +78,14 @@ def main() -> None:
     params = model.init(
         jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
     )["params"]
+    if os.environ.get("IPC_BENCH_INT8") == "1":
+        from image_to_pointcloud_tpu.models.quantize import (
+            quantize_encoder_params,
+        )
+
+        cfg = cfg.with_quantized(True)
+        model = DepthAnything(cfg)
+        params = quantize_encoder_params(params, cfg.backbone.num_layers)
 
     pipe = DepthPipeline(cfg, params)
     opts = PipelineOptions(density="medium", refine=True)
