@@ -83,8 +83,7 @@ def main() -> None:
             quantize_encoder_params,
         )
 
-        cfg = cfg.with_quantized(True)
-        model = DepthAnything(cfg)
+        cfg = cfg.with_quantized(True)  # DepthPipeline rebuilds from cfg
         params = quantize_encoder_params(params, cfg.backbone.num_layers)
 
     pipe = DepthPipeline(cfg, params)

@@ -116,6 +116,15 @@ def load_config(
         if env_key in env:
             top[f.name] = _coerce(env[env_key], getattr(cfg, f.name))
 
+    # Fail fast on misconfigured optional-int fields (a string max_jobs
+    # would otherwise surface as a 500 deep inside job creation).
+    if "max_jobs" in top and top["max_jobs"] is not None:
+        if not isinstance(top["max_jobs"], int):
+            raise ValueError(
+                f"max_jobs must be an integer, got {top['max_jobs']!r} "
+                "(check IPC_TPU_MAX_JOBS / the config file)"
+            )
+
     defaults = ProcessingDefaults(**data.get("defaults", {}))
     v2 = V2Defaults(
         **{

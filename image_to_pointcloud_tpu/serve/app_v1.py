@@ -141,9 +141,15 @@ class V1Service:
         self.honor_fov = honor_fov
         # Durable registry: finished jobs (and their /download URLs)
         # survive restarts — the reference loses all jobs (SURVEY.md §5).
+        def _evict_artifacts(job):
+            fp = ((job.results or {}).get("pointCloud") or {}).get("filepath")
+            if fp and Path(fp).exists():
+                Path(fp).unlink()
+
         self.jobs = JobRegistry(
             journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None,
             max_jobs=max_jobs,
+            on_evict=_evict_artifacts,
         )
         self.loaded_model_names: set[str] = set()
         self.executor = ThreadPoolExecutor(max_workers=2)

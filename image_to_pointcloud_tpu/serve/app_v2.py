@@ -71,9 +71,15 @@ class V2Service:
         self.processor: Depth3DProcessor | None = None
         # Durable registry (reference loses all jobs on restart —
         # SURVEY.md §5); per-job artifact dirs under outputs/ stay valid.
+        def _evict_artifacts(job):
+            out = self.output_dir / job.job_id
+            if out.exists():
+                shutil.rmtree(out, ignore_errors=True)
+
         self.jobs = JobRegistry(
             journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None,
             max_jobs=max_jobs,
+            on_evict=_evict_artifacts,
         )
         self.executor = ThreadPoolExecutor(max_workers=2)
         self.router = self._build_router()

@@ -185,10 +185,27 @@ GZIP_MIN_BYTES = 64 * 1024
 _GZIP_TYPES = ("application/json", "text/")
 
 
-def _maybe_gzip(req: Request, resp: Response) -> None:
+def _accepts_gzip(accept_encoding: str) -> bool:
+    """RFC 9110 semantics: ``gzip;q=0`` is an explicit refusal."""
+    for token in accept_encoding.split(","):
+        parts = [p.strip() for p in token.split(";")]
+        if parts[0] not in ("gzip", "*"):
+            continue
+        q = 1.0
+        for p in parts[1:]:
+            if p.startswith("q="):
+                try:
+                    q = float(p[2:])
+                except ValueError:
+                    q = 0.0
+        return q > 0.0
+    return False
+
+
+async def _maybe_gzip(req: Request, resp: Response) -> None:
     if len(resp.body) < GZIP_MIN_BYTES:
         return
-    if "gzip" not in req.headers.get("accept-encoding", ""):
+    if not _accepts_gzip(req.headers.get("accept-encoding", "")):
         return
     ctype = resp.headers.get("content-type", "")
     if not any(ctype.startswith(t) for t in _GZIP_TYPES):
@@ -197,8 +214,13 @@ def _maybe_gzip(req: Request, resp: Response) -> None:
         return
     import gzip as _gzip
 
-    resp.body = _gzip.compress(resp.body, compresslevel=1)
+    # Off the event loop: multi-MB /status bodies on a 1-core host would
+    # otherwise head-of-line block every other connection.
+    resp.body = await asyncio.get_running_loop().run_in_executor(
+        None, lambda: _gzip.compress(resp.body, compresslevel=1)
+    )
     resp.headers["content-encoding"] = "gzip"
+    resp.headers["vary"] = "accept-encoding"
 
 
 Handler = Callable[[Request], Awaitable[Response]]
@@ -295,7 +317,12 @@ class HttpServer:
 
     async def _read_request(self, reader: asyncio.StreamReader) -> Request | None:
         try:
-            head = await reader.readuntil(b"\r\n\r\n")
+            # The idle timeout covers waiting for the next request's
+            # headers only; a slow body upload that is actively sending
+            # may take as long as it needs.
+            head = await asyncio.wait_for(
+                reader.readuntil(b"\r\n\r\n"), self.IDLE_TIMEOUT_S
+            )
         except (asyncio.IncompleteReadError, ConnectionError):
             return None
         lines = head.decode("latin-1").split("\r\n")
@@ -321,18 +348,16 @@ class HttpServer:
             body=body,
         )
 
-    # Idle keep-alive connections are reaped after this long (covers
-    # slowloris-style half-open requests too — generous because clients
-    # legitimately poll every 1.5 s over reused connections).
+    # Idle keep-alive connections are reaped when no request *headers*
+    # arrive for this long (slowloris guard); an in-progress body upload
+    # is not subject to it.
     IDLE_TIMEOUT_S = 300.0
 
     async def _handle(self, reader, writer) -> None:
         try:
             while True:
                 try:
-                    req = await asyncio.wait_for(
-                        self._read_request(reader), self.IDLE_TIMEOUT_S
-                    )
+                    req = await self._read_request(reader)
                 except asyncio.TimeoutError:
                     break
                 except HTTPError as e:
@@ -359,7 +384,7 @@ class HttpServer:
                     method=req.method, path=pc, status=str(resp.status)
                 )
                 metrics.HTTP_LATENCY.observe(time.perf_counter() - t0, path=pc)
-                _maybe_gzip(req, resp)
+                await _maybe_gzip(req, resp)
                 writer.write(resp.encode(self.cors_origin))
                 await writer.drain()
                 if req.headers.get("connection", "").lower() == "close":

@@ -93,18 +93,26 @@ class JobRegistry:
     stays small and the write path off the polling hot loop.
     """
 
+    # Terminal jobs younger than this are never evicted: clients polling
+    # at the reference's 1.5 s cadence must always see their results.
+    EVICT_GRACE_S = 60.0
+
     def __init__(
         self,
         journal_path: str | os.PathLike | None = None,
         max_jobs: int | None = None,
+        on_evict: Any = None,
     ) -> None:
         """``max_jobs``: optional retention cap — when exceeded, the
-        oldest *terminal* jobs are evicted (in-flight jobs never are).
-        The reference keeps every job forever (unbounded RAM growth,
-        SURVEY.md §8 quirk 8); None preserves that behavior."""
+        longest-finished terminal jobs (past a grace window; in-flight
+        jobs never) are evicted. The reference keeps every job forever
+        (unbounded RAM growth, SURVEY.md §8 quirk 8); None preserves
+        that behavior. ``on_evict(job)`` lets the owner clean up the
+        job's on-disk artifacts."""
         self._jobs: dict[str, Job] = {}
         self._lock = asyncio.Lock()
         self._max_jobs = max_jobs
+        self._on_evict = on_evict
         self._journal: Any = None
         if journal_path is not None:
             path = Path(journal_path)
@@ -209,28 +217,42 @@ class JobRegistry:
             self._evict_locked()
         return job
 
+    def _journal_delete(self, job_id: str) -> None:
+        if self._journal is None:
+            return
+        try:
+            self._journal.write(
+                json.dumps({"op": "delete", "job_id": job_id}) + "\n"
+            )
+            self._journal.flush()
+        except (OSError, ValueError) as e:
+            logger.warning("jobs journal write failed: %s", e)
+
     def _evict_locked(self) -> None:
         if self._max_jobs is None or len(self._jobs) <= self._max_jobs:
             return
-        terminal = sorted(
+        import time as _time
+
+        now = _time.monotonic()
+        # Longest-finished first; never within the grace window (a job
+        # must not vanish between completing and the client's next poll).
+        evictable = sorted(
             (
                 j for j in self._jobs.values()
                 if j.status in (JobStatus.COMPLETED, JobStatus.ERROR)
+                and now - j.extra.get("finished_at", now) > self.EVICT_GRACE_S
             ),
-            key=lambda j: j.created_at,
+            key=lambda j: j.extra.get("finished_at", 0.0),
         )
         excess = len(self._jobs) - self._max_jobs
-        for job in terminal[:excess]:
+        for job in evictable[:excess]:
             self._jobs.pop(job.job_id, None)
-            if self._journal is not None:
+            self._journal_delete(job.job_id)
+            if self._on_evict is not None:
                 try:
-                    self._journal.write(
-                        json.dumps({"op": "delete", "job_id": job.job_id})
-                        + "\n"
-                    )
-                    self._journal.flush()
-                except (OSError, ValueError) as e:
-                    logger.warning("jobs journal write failed: %s", e)
+                    self._on_evict(job)
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("on_evict failed for %s: %s", job.job_id, e)
 
     async def update(
         self,
@@ -258,6 +280,9 @@ class JobRegistry:
             if results is not None:
                 job.results = results
             if status in (JobStatus.COMPLETED, JobStatus.ERROR):
+                import time as _time
+
+                job.extra["finished_at"] = _time.monotonic()
                 self._persist(job)
                 self._evict_locked()
 
@@ -273,14 +298,8 @@ class JobRegistry:
     async def delete(self, job_id: str) -> bool:
         async with self._lock:
             existed = self._jobs.pop(job_id, None) is not None
-            if existed and self._journal is not None:
-                try:
-                    self._journal.write(
-                        json.dumps({"op": "delete", "job_id": job_id}) + "\n"
-                    )
-                    self._journal.flush()
-                except (OSError, ValueError) as e:
-                    logger.warning("jobs journal write failed: %s", e)
+            if existed:
+                self._journal_delete(job_id)
             return existed
 
     def list(self, status: str | None = None) -> list[Job]:

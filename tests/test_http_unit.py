@@ -589,6 +589,7 @@ class TestRetentionCap:
     def test_oldest_terminal_evicted_inflight_kept(self):
         async def run():
             reg = JobRegistry(max_jobs=3)
+            reg.EVICT_GRACE_S = 0.0  # no grace in tests
             done = []
             for i in range(3):
                 j = await reg.create(model=f"m{i}")
@@ -596,11 +597,30 @@ class TestRetentionCap:
                 done.append(j.job_id)
             inflight = await reg.create(model="active")
             await reg.update(inflight.job_id, status=JobStatus.PROCESSING)
-            # Cap exceeded: oldest completed evicted, in-flight retained.
+            # In-flight jobs are never evicted; over-cap resolves on the
+            # next terminal transition (longest-finished evicted first).
+            await reg.update(inflight.job_id, status=JobStatus.COMPLETED)
             assert len(reg) == 3
             assert reg.get(done[0]) is None
             assert reg.get(done[1]) is not None
             assert reg.get(inflight.job_id) is not None
+
+        asyncio.run(run())
+
+    def test_grace_window_protects_fresh_results(self):
+        async def run():
+            reg = JobRegistry(max_jobs=1)  # default 60 s grace
+            evicted = []
+            reg._on_evict = evicted.append
+            a = await reg.create()
+            await reg.update(a.job_id, status=JobStatus.COMPLETED)
+            b = await reg.create()
+            await reg.update(b.job_id, status=JobStatus.COMPLETED)
+            # Both finished within the grace window: the cap is soft, the
+            # fresh result must still be pollable.
+            assert reg.get(a.job_id) is not None
+            assert reg.get(b.job_id) is not None
+            assert evicted == []
 
         asyncio.run(run())
 
@@ -624,8 +644,9 @@ class TestGzip:
         body = json_response({"x": [1] * 100000})
         req = _req(headers={"accept-encoding": "gzip, deflate"})
         orig = bytes(body.body)
-        _maybe_gzip(req, body)
+        asyncio.run(_maybe_gzip(req, body))
         assert body.headers["content-encoding"] == "gzip"
+        assert body.headers["vary"] == "accept-encoding"
         assert len(body.body) < len(orig) // 3
         assert gzip.decompress(body.body) == orig
 
@@ -633,9 +654,15 @@ class TestGzip:
         from image_to_pointcloud_tpu.serve.http import _maybe_gzip
 
         small = json_response({"ok": 1})
-        _maybe_gzip(_req(headers={"accept-encoding": "gzip"}), small)
+        asyncio.run(_maybe_gzip(_req(headers={"accept-encoding": "gzip"}), small))
         assert "content-encoding" not in small.headers
 
         big = json_response({"x": [1] * 100000})
-        _maybe_gzip(_req(), big)  # no accept-encoding header
+        asyncio.run(_maybe_gzip(_req(), big))  # no accept-encoding header
         assert "content-encoding" not in big.headers
+
+        refused = json_response({"x": [1] * 100000})
+        asyncio.run(_maybe_gzip(
+            _req(headers={"accept-encoding": "gzip;q=0, identity"}), refused
+        ))  # RFC 9110: q=0 is an explicit refusal
+        assert "content-encoding" not in refused.headers
