@@ -328,13 +328,22 @@ class DepthPipeline:
             # points exactly (z error ≤ depth_scale/2¹⁶) and takes colors
             # from its own copy of the input image. When the working image
             # was downscaled on device, the strided RGB rides along too.
+            # The keep mask is bit-packed on device (8 points/byte,
+            # little-endian bit order — np.unpackbits on the host side):
+            # at the relay's ~20-50 MB/s D2H link the bool mask would
+            # otherwise cost more transfer time than the depth itself.
             dn_s = dn_all[:, ::step, ::step]
             d16 = jnp.round(dn_s * 65535.0).astype(jnp.uint16)
             keep_mask = packed[:, 6, :] > 0.5
+            npts = keep_mask.shape[1]
+            kb = jnp.pad(keep_mask, ((0, 0), (0, (-npts) % 8)))
+            kb = kb.reshape(kb.shape[0], -1, 8).astype(jnp.int32)
+            weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+            keep_bits = jnp.sum(kb * weights, axis=-1).astype(jnp.uint8)
             if (h, w) != (h0, w0):
                 rgb_dev = img[:, ::step, ::step, :].astype(jnp.uint8)
-                return (d16, keep_mask, rgb_dev), prev_rgb
-            return (d16, keep_mask), prev_out
+                return (d16, keep_bits, rgb_dev), prev_rgb
+            return (d16, keep_bits), prev_out
 
         return jax.jit(graph)
 
@@ -406,9 +415,12 @@ class DepthPipeline:
         results = []
         if self.quantized_transfer:
             outs = [np.asarray(x) for x in out]
-            d16, keep_all = outs[0], outs[1]
             hh, ww = grid_hw
             n = hh * ww
+            d16 = outs[0]
+            keep_all = np.unpackbits(outs[1], axis=-1, bitorder="little")[
+                :, :n
+            ].astype(bool)
             from image_to_pointcloud_tpu.ops.unproject import focal_length
 
             f = focal_length(h, w, options.fov)
