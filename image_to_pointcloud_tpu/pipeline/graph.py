@@ -332,18 +332,28 @@ class DepthPipeline:
             # little-endian bit order — np.unpackbits on the host side):
             # at the relay's ~20-50 MB/s D2H link the bool mask would
             # otherwise cost more transfer time than the depth itself.
+            # Everything is then flattened into ONE uint8 row per image
+            # [d16 LE bytes | keep bits | optional strided RGB] so collect
+            # makes a single device→host transfer — the relay serializes
+            # transfers and charges ~25 ms latency per round-trip.
             dn_s = dn_all[:, ::step, ::step]
             d16 = jnp.round(dn_s * 65535.0).astype(jnp.uint16)
+            bq = d16.shape[0]
             keep_mask = packed[:, 6, :] > 0.5
             npts = keep_mask.shape[1]
             kb = jnp.pad(keep_mask, ((0, 0), (0, (-npts) % 8)))
-            kb = kb.reshape(kb.shape[0], -1, 8).astype(jnp.int32)
+            kb = kb.reshape(bq, -1, 8).astype(jnp.int32)
             weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
             keep_bits = jnp.sum(kb * weights, axis=-1).astype(jnp.uint8)
+            payload = [
+                jax.lax.bitcast_convert_type(d16, jnp.uint8).reshape(bq, -1),
+                keep_bits,
+            ]
             if (h, w) != (h0, w0):
                 rgb_dev = img[:, ::step, ::step, :].astype(jnp.uint8)
-                return (d16, keep_bits, rgb_dev), prev_rgb
-            return (d16, keep_bits), prev_out
+                payload.append(rgb_dev.reshape(bq, -1))
+                return jnp.concatenate(payload, axis=1), prev_rgb
+            return jnp.concatenate(payload, axis=1), prev_out
 
         return jax.jit(graph)
 
@@ -414,13 +424,22 @@ class DepthPipeline:
                 prev_np = PLASMA_RGB[prev_np]
         results = []
         if self.quantized_transfer:
-            outs = [np.asarray(x) for x in out]
+            bundle = np.asarray(out)  # one transfer: [d16 | keep bits | rgb?]
             hh, ww = grid_hw
             n = hh * ww
-            d16 = outs[0]
-            keep_all = np.unpackbits(outs[1], axis=-1, bitorder="little")[
-                :, :n
-            ].astype(bool)
+            n2 = n * 2
+            nb = -(-n // 8)
+            d16 = (
+                np.ascontiguousarray(bundle[:, :n2])
+                .view(np.uint16)
+                .reshape(b, hh, ww)
+            )
+            keep_all = np.unpackbits(
+                np.ascontiguousarray(bundle[:, n2 : n2 + nb]),
+                axis=-1,
+                bitorder="little",
+            )[:, :n].astype(bool)
+            has_rgb = bundle.shape[1] > n2 + nb
             from image_to_pointcloud_tpu.ops.unproject import focal_length
 
             f = focal_length(h, w, options.fov)
@@ -432,8 +451,8 @@ class DepthPipeline:
 
                 if native.available():
                     rgb_views = (
-                        outs[2]
-                        if len(outs) > 2
+                        bundle[:, n2 + nb :].reshape(b, hh, ww, 3)
+                        if has_rgb
                         else imgs[:, ::step, ::step, :]
                     )
                     for i in range(b):
@@ -462,8 +481,8 @@ class DepthPipeline:
                         )
                     return results
 
-            if len(outs) > 2:
-                rgb = outs[2].reshape(b, n, 3).astype(np.float32)
+            if has_rgb:
+                rgb = bundle[:, n2 + nb :].reshape(b, n, 3).astype(np.float32)
             else:
                 rgb = (
                     imgs[:, ::step, ::step, :]
