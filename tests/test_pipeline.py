@@ -149,8 +149,14 @@ class TestFullPipeline:
 
 
 class TestQuantizedTransfer:
-    def test_depth16_matches_f32_path(self, rng):
-        """The depth16 transfer mode reconstructs the same cloud (±2e-4)."""
+    @pytest.mark.parametrize("density", ["medium", "high"])
+    def test_depth16_matches_f32_path(self, rng, density):
+        """The depth16 transfer mode reconstructs the same cloud (±2e-4).
+
+        density=medium gives a point count divisible by 8; density=high
+        (70·63 = 4410 points) exercises the keep-bit padding lanes of the
+        single-buffer device→host bundle.
+        """
         import sys
 
         sys.path.insert(0, "tests")
@@ -159,15 +165,16 @@ class TestQuantizedTransfer:
         from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
 
         _, model, variables = _build_pair(image_size=56)
+        opts = PipelineOptions(density=density)
         img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
         a = DepthPipeline(
             model.cfg, variables["params"], model_target=56,
             quantized_transfer=False,
-        ).run(img, depth_scale=10.0)
+        ).run(img, depth_scale=10.0, options=opts)
         b = DepthPipeline(
             model.cfg, variables["params"], model_target=56,
             quantized_transfer=True,
-        ).run(img, depth_scale=10.0)
+        ).run(img, depth_scale=10.0, options=opts)
         assert a.raw_point_count == b.raw_point_count
         assert a.kept_point_count == b.kept_point_count
         np.testing.assert_allclose(a.points, b.points, atol=2e-4)
