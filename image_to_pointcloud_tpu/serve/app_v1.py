@@ -158,6 +158,14 @@ class V1Service:
         self.warmup_sizes = warmup_sizes or []
         self.router = self._build_router()
 
+    async def shutdown(self) -> None:
+        """Stop batching drain tasks and the executor (graceful exit; the
+        reference has no shutdown path for v1 — uvicorn just dies)."""
+        for batcher in self._batchers.values():
+            await batcher.close()
+        self._batchers.clear()
+        self.executor.shutdown(wait=False, cancel_futures=True)
+
     def warmup(self, model_name: str = "depth-anything-v2") -> None:
         """Pre-compile the pipeline for standard input sizes so the first
         request isn't a minutes-long XLA compile (pairs with the

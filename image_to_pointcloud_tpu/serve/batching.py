@@ -53,6 +53,22 @@ class BatchingQueue:
         if self._worker is None or self._worker.done():
             self._worker = asyncio.get_running_loop().create_task(self._run())
 
+    async def close(self) -> None:
+        """Cancel the drain task (idempotent). Pending submits get
+        CancelledError; call at service shutdown so no task outlives the
+        event loop."""
+        if self._worker is not None and not self._worker.done():
+            self._worker.cancel()
+            try:
+                await self._worker
+            except asyncio.CancelledError:
+                pass
+        self._worker = None
+        while not self._queue.empty():
+            item = self._queue.get_nowait()
+            if not item.future.done():
+                item.future.cancel()
+
     async def submit(
         self,
         image: np.ndarray,

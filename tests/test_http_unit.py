@@ -215,6 +215,8 @@ class TestBatchingQueue:
                 *[q.submit(img, 10.0, opts) for _ in range(5)]
             )
             assert len(outs) == 5
+            await q.close()  # no worker task may outlive the loop
+            await q.close()  # idempotent
 
         asyncio.run(run())
         assert max(calls) >= 4  # most requests coalesced into one dispatch

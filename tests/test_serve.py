@@ -27,6 +27,7 @@ class _ServerThread:
         self.make_app = make_app
         self.port = None
         self.loop = None
+        self.app = None
         self._ready = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
@@ -42,6 +43,7 @@ class _ServerThread:
 
         async def boot():
             app, cors = self.make_app()
+            self.app = app
             server = HttpServer(app.router, "127.0.0.1", 0, cors_origin=cors)
             if hasattr(app, "startup"):
                 await app.startup()
@@ -53,7 +55,13 @@ class _ServerThread:
         self.loop.run_forever()
 
     def stop(self):
-        self.loop.call_soon_threadsafe(self.loop.stop)
+        async def _shutdown():
+            if hasattr(self.app, "shutdown"):
+                await self.app.shutdown()
+            self.loop.stop()
+
+        asyncio.run_coroutine_threadsafe(_shutdown(), self.loop)
+        self.thread.join(timeout=30)
 
 
 def _tiny_model_manager():
