@@ -121,14 +121,44 @@ def main() -> None:
 
     throughput = batch * iters / elapsed
     p50_ms = float(np.percentile(lat, 50) * 1000 / batch)
+
+    # Device-side throughput: the same compiled graph with device-resident
+    # inputs and a 1-byte output probe per step (the preview placeholder
+    # buffer), 2 batches in flight. This is chip capability — on this rig
+    # the e2e number above is bound by the tunneled host link (~42 MB/s
+    # H2D, benchmarks/transfer_probe.py), which a directly-attached TPU
+    # host does not have. Zero extra compiles: reuses the e2e graph.
+    dev_tp = None
+    try:
+        key = ("depth", batch, 518, 518, opts, False)
+        fn = pipe._compiled[key]
+        dev_imgs = jax.device_put(jnp.asarray(imgs))
+        dev_scales = jax.device_put(jnp.full((batch,), 10.0, jnp.float32))
+        _, p = fn(pipe.params, dev_imgs, dev_scales)
+        np.asarray(p)  # warm
+        probes: deque = deque()
+        dev_iters = 10 if on_tpu else 2
+        t0 = time.perf_counter()
+        for _ in range(dev_iters):
+            _, p = fn(pipe.params, dev_imgs, dev_scales)
+            probes.append(p)
+            if len(probes) > 2:
+                np.asarray(probes.popleft())
+        while probes:
+            np.asarray(probes.popleft())
+        dev_tp = batch * dev_iters / (time.perf_counter() - t0)
+    except Exception:
+        pass  # never let the capability probe break the recorded metric
+
     baseline_img_s = 0.4  # reference's claimed 2-3 s/image
+    dev_part = f", device_graph={dev_tp:.1f} img/s" if dev_tp else ""
     print(
         json.dumps(
             {
                 "metric": "img_to_pointcloud_conversions_per_sec_518",
                 "value": round(throughput, 2),
-                "unit": f"img/s/chip (batch={batch}, p50={p50_ms:.1f}ms/img, "
-                f"backend={jax.default_backend()})",
+                "unit": f"img/s/chip e2e (batch={batch}, p50={p50_ms:.1f}ms/img"
+                f"{dev_part}, backend={jax.default_backend()})",
                 "vs_baseline": round(throughput / baseline_img_s, 1),
             }
         )
