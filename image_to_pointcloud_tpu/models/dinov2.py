@@ -95,18 +95,47 @@ class Block(nn.Module):
 
 
 class DinoV2Backbone(nn.Module):
-    """Returns feature maps (B, h, w, D) for each configured output layer."""
+    """Returns feature maps (B, h, w, D) for each configured output layer.
+
+    Setup-style so the three phases are independently applicable (param
+    names unchanged): ``embed`` (patchify → tokens), the ``block{i}``
+    submodules (run sequentially by ``__call__`` or streamed through the
+    GPipe schedule by parallel/pipeline_par), and ``finalize`` (final
+    LayerNorm + CLS strip + grid reshape of the selected tap layers).
+    """
 
     cfg: DinoV2Config
 
-    def _pos_embed(self, ph: int, pw: int) -> jax.Array:
+    def setup(self):
         cfg = self.cfg
+        p = cfg.patch_size
+        self.patch_embed = self.param(
+            "patch_embed",
+            nn.initializers.lecun_normal(),
+            (p * p * 3, cfg.hidden_size),
+        )
+        self.patch_bias = self.param(
+            "patch_bias", nn.initializers.zeros, (cfg.hidden_size,)
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.hidden_size)
+        )
         n_native = cfg.pos_embed_size * cfg.pos_embed_size
-        pos = self.param(
+        self.pos_embed_param = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
             (1, n_native + 1, cfg.hidden_size),
         )
+        self.blocks = [
+            Block(cfg, name=f"block{i}") for i in range(cfg.num_layers)
+        ]
+        self.final_norm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm"
+        )
+
+    def _pos_embed(self, ph: int, pw: int) -> jax.Array:
+        cfg = self.cfg
+        pos = self.pos_embed_param
         if ph == cfg.pos_embed_size and pw == cfg.pos_embed_size:
             return pos
         # torch bicubic (align_corners=False, antialias=False) interpolation
@@ -127,9 +156,8 @@ class DinoV2Backbone(nn.Module):
             [cls_pos, grid.reshape(1, ph * pw, cfg.hidden_size)], axis=1
         )
 
-    @nn.compact
-    def __call__(self, pixels: jax.Array) -> list[jax.Array]:
-        """pixels: (B, H, W, 3) normalized image, H and W multiples of 14."""
+    def embed(self, pixels: jax.Array) -> jax.Array:
+        """(B, H, W, 3) normalized pixels → (B, 1+ph·pw, D) tokens."""
         cfg = self.cfg
         b, h, w, _ = pixels.shape
         p = cfg.patch_size
@@ -138,30 +166,42 @@ class DinoV2Backbone(nn.Module):
         # Patchify + single matmul == Conv(k=p, s=p), laid out for the MXU.
         x = pixels.reshape(b, ph, p, pw, p, 3).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, ph * pw, p * p * 3).astype(cfg.dtype)
-        w_patch = self.param(
-            "patch_embed", nn.initializers.lecun_normal(), (p * p * 3, cfg.hidden_size)
+        x = x @ self.patch_embed.astype(cfg.dtype) + self.patch_bias.astype(
+            cfg.dtype
         )
-        b_patch = self.param("patch_bias", nn.initializers.zeros, (cfg.hidden_size,))
-        x = x @ w_patch.astype(cfg.dtype) + b_patch.astype(cfg.dtype)
 
-        cls = self.param(
-            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.hidden_size)
+        x = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    self.cls_token.astype(cfg.dtype), (b, 1, cfg.hidden_size)
+                ),
+                x,
+            ],
+            axis=1,
         )
-        x = jnp.concatenate([jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.hidden_size)), x], axis=1)
-        x = x + self._pos_embed(ph, pw).astype(cfg.dtype)
+        return x + self._pos_embed(ph, pw).astype(cfg.dtype)
 
+    def finalize(
+        self, taps: Sequence[jax.Array], ph: int, pw: int
+    ) -> list[jax.Array]:
+        """Tap-layer token activations → (B, ph, pw, D) feature maps."""
+        out = []
+        for t in taps:
+            f = self.final_norm(t)[:, 1:, :]  # strip CLS
+            out.append(f.reshape(f.shape[0], ph, pw, self.cfg.hidden_size))
+        return out
+
+    def __call__(self, pixels: jax.Array) -> list[jax.Array]:
+        """pixels: (B, H, W, 3) normalized image, H and W multiples of 14."""
+        cfg = self.cfg
+        p = cfg.patch_size
+        ph, pw = pixels.shape[1] // p, pixels.shape[2] // p
+
+        x = self.embed(pixels)
         feats: dict[int, jax.Array] = {}
         want = set(cfg.out_layers)
         for i in range(cfg.num_layers):
-            x = Block(cfg, name=f"block{i}")(x)
+            x = self.blocks[i](x)
             if i in want:
                 feats[i] = x
-
-        final_norm = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm"
-        )
-        out = []
-        for i in cfg.out_layers:
-            f = final_norm(feats[i])[:, 1:, :]  # strip CLS
-            out.append(f.reshape(b, ph, pw, cfg.hidden_size))
-        return out
+        return self.finalize([feats[i] for i in cfg.out_layers], ph, pw)

@@ -35,7 +35,15 @@ try:  # jax ≥0.8 moves shard_map out of experimental
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["make_pipe_mesh", "stack_block_params", "make_stage_fn", "gpipe_apply"]
+__all__ = [
+    "make_pipe_mesh",
+    "stack_block_params",
+    "make_stage_fn",
+    "make_tapped_stage_fn",
+    "gpipe_apply",
+    "pipelined_depth_apply",
+    "stage_tap_indices",
+]
 
 PIPE_AXIS = "pipe"
 
@@ -74,15 +82,64 @@ def stack_block_params(
     return jax.tree_util.tree_map(stack, *blocks)
 
 
-def make_stage_fn(block_module) -> Callable[[Any, jax.Array], jax.Array]:
-    """Stage = scan of one Flax block module over its stacked params."""
+def make_stage_fn(block_module) -> Callable[[Any, jax.Array], tuple]:
+    """Stage = scan of one Flax block module over its stacked params.
+
+    Returns ``(y, y)`` — the stage's boundary activation doubles as its
+    tap (the DA-S/B case, where every tap layer IS a stage boundary).
+    """
 
     def stage_fn(stage_params, x):
         def body(h, p):
             return block_module.apply({"params": p}, h), None
 
         y, _ = jax.lax.scan(body, x, stage_params)
-        return y
+        return y, y
+
+    return stage_fn
+
+
+def stage_tap_indices(
+    num_layers: int, num_stages: int, out_layers: Sequence[int]
+) -> list[int]:
+    """Block-local tap offset within each equal stage.
+
+    DA-Large's tap layers (4, 11, 17, 23 of 24 — models/depth_anything.py
+    PRESETS) are NOT all stage boundaries, so each stage extracts its tap
+    mid-scan. Requires exactly one tap layer per stage.
+    """
+    per = num_layers // num_stages
+    assert per * num_stages == num_layers, (num_layers, num_stages)
+    assert len(out_layers) == num_stages, (out_layers, num_stages)
+    locals_ = []
+    for s, layer in enumerate(sorted(out_layers)):
+        assert s * per <= layer < (s + 1) * per, (
+            f"tap layer {layer} outside stage {s} of {num_stages}"
+        )
+        locals_.append(layer - s * per)
+    return locals_
+
+
+def make_tapped_stage_fn(block_module) -> Callable[[Any, jax.Array], tuple]:
+    """Stage over ``{"blocks": (L/S, ...), "tap": scalar}`` params: scans
+    the blocks and captures the activation after block-local index
+    ``tap`` as the stage's tap output."""
+
+    def stage_fn(stage_params, x):
+        tap_idx = stage_params["tap"]
+
+        def body(carry, p):
+            h, i, tap = carry
+            h = block_module.apply({"params": p}, h)
+            tap = jnp.where(i == tap_idx, h, tap)
+            return (h, i + 1, tap), None
+
+        (y, _, tap), _ = jax.lax.scan(
+            body,
+            (x, jnp.zeros((), jnp.int32), jnp.zeros_like(x)),
+            stage_params["blocks"],
+        )
+        return y, tap
 
     return stage_fn
 
@@ -99,20 +156,29 @@ def gpipe_apply(
     """Run ``x`` through S pipelined stages with M microbatches.
 
     Args:
-      stage_fn: ``(stage_params, (mb, ...)) -> (mb, ...)``.
+      stage_fn: ``(stage_params, (mb, ...)) -> ((mb, ...), (mb, ...))`` —
+        returns (boundary activation to hand to the next stage, tap
+        activation to surface). ``make_stage_fn`` taps the boundary;
+        ``make_tapped_stage_fn`` taps mid-stage (DA-Large).
       stacked_params: leading axis S (one slice per stage).
       x: (B, ...) with B divisible by num_microbatches.
 
     Returns:
       (y, taps): y is (B, ...) — the final stage's output, replicated;
-      taps is (S, B, ...) — every stage's boundary activation (the DPT
-      tap pattern when S divides the encoder depth by the tap spacing).
+      taps is (S, B, ...) — every stage's tap activation (the DPT
+      feature-map inputs, shallow→deep).
     """
     m = num_microbatches
     b = x.shape[0]
     assert b % m == 0, (b, m)
     xs = x.reshape(m, b // m, *x.shape[1:])
     s_total = mesh.shape[axis]
+    # Every stacked leaf must have exactly one slice per pipe device —
+    # a mismatch would silently drop stages after the per-device p[0].
+    for leaf in jax.tree_util.tree_leaves(stacked_params):
+        assert leaf.shape[0] == s_total, (
+            f"stage count {leaf.shape[0]} != mesh '{axis}' size {s_total}"
+        )
 
     # Composes with DP: the microbatch rows are sharded over 'data' while
     # stages are sharded over 'pipe' — each data slice runs its own
@@ -140,12 +206,12 @@ def gpipe_apply(
             # previous stage handed them last tick.
             feed = xs_rep[jnp.clip(t, 0, m - 1)]
             inp = jnp.where(sid == 0, feed, state)
-            out = stage_fn(params, inp)
+            out, tap = stage_fn(params, inp)
             # Microbatch id at stage `sid` during tick t is t − sid.
             mid = t - sid
             valid = (mid >= 0) & (mid < m)
             mc = jnp.clip(mid, 0, m - 1)
-            upd = jnp.where(valid, out, taps[mc])
+            upd = jnp.where(valid, tap, taps[mc])
             taps = jax.lax.dynamic_update_index_in_dim(taps, upd, mc, 0)
             fin = jnp.where(valid & (sid == s_total - 1), out, outs[mc])
             outs = jax.lax.dynamic_update_index_in_dim(outs, fin, mc, 0)
@@ -168,3 +234,74 @@ def gpipe_apply(
     y = outs.reshape(b, *x.shape[1:])
     taps = taps.reshape(taps.shape[0], b, *x.shape[1:])
     return y, taps
+
+
+# ---------- full-model pipelined forward ----------
+
+
+def build_stage_params(cfg, params) -> Any:
+    """Stack a DepthAnything param tree's encoder blocks into per-stage
+    GPipe params ``{"blocks": (S, L/S, ...), "tap": (S,)}``. Do this ONCE
+    at pipeline construction (outside jit): restacking per step would
+    copy every encoder weight each forward."""
+    s = len(cfg.backbone.out_layers)
+    stacked = stack_block_params(
+        params["backbone"], cfg.backbone.num_layers, s
+    )
+    taps = stage_tap_indices(
+        cfg.backbone.num_layers, s, cfg.backbone.out_layers
+    )
+    return {"blocks": stacked, "tap": jnp.asarray(taps, jnp.int32)}
+
+
+def pipelined_depth_apply(
+    cfg,
+    params,
+    stage_params,
+    pixels: jax.Array,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+) -> jax.Array:
+    """DepthAnything forward with the encoder GPipe-pipelined over the
+    mesh's ``pipe`` axis: embed and DPT neck/head run data-parallel on
+    every device; the S=len(out_layers) encoder stages stream
+    microbatches over ICI, each stage emitting its DPT tap.
+
+    The reference has no model parallelism (SURVEY.md §2.2); this is the
+    TPU-native path for serving DA-Large when one chip's HBM or latency
+    budget doesn't fit the whole encoder.
+
+    Args:
+      params: the DepthAnything param tree (block params unused here —
+        they may be pruned to save HBM; see build_stage_params).
+      stage_params: from :func:`build_stage_params`.
+      pixels: (B, H, W, 3) normalized; B divisible by num_microbatches
+        (and microbatch rows by the mesh's data axis).
+    """
+    from image_to_pointcloud_tpu.models.dinov2 import Block, DinoV2Backbone
+    from image_to_pointcloud_tpu.models.dpt import DPTNeckHead
+
+    backbone = DinoV2Backbone(cfg.backbone)
+    p = cfg.backbone.patch_size
+    ph, pw = pixels.shape[1] // p, pixels.shape[2] // p
+
+    tokens = backbone.apply(
+        {"params": params["backbone"]}, pixels, method="embed"
+    )
+    _, taps = gpipe_apply(
+        mesh,
+        make_tapped_stage_fn(Block(cfg.backbone)),
+        stage_params,
+        tokens,
+        num_microbatches=num_microbatches,
+    )
+    feats = backbone.apply(
+        {"params": params["backbone"]},
+        list(taps),
+        ph,
+        pw,
+        method="finalize",
+    )
+    depth = DPTNeckHead(cfg.neck).apply({"params": params["neck"]}, feats)
+    return depth.astype(jnp.float32)

@@ -165,6 +165,7 @@ class DepthPipeline:
         model_target: int = 518,
         quantized_transfer: bool | None = None,
         mesh: Any = None,
+        pipe_microbatches: int = 4,
     ):
         self.cfg = cfg
         self.model = DepthAnything(cfg)
@@ -178,9 +179,50 @@ class DepthPipeline:
         # Multi-chip serving: place params per the megatron TP rules over
         # the 'model' axis (replicated elsewhere) and shard request
         # batches over 'data' — XLA propagates the shardings through the
-        # fused graph and inserts the ICI collectives.
+        # fused graph and inserts the ICI collectives. A mesh with a
+        # 'pipe' axis instead GPipe-pipelines the encoder stages
+        # (parallel/pipeline_par.pipelined_depth_apply): encoder blocks
+        # are pre-stacked per stage and sharded over 'pipe'; everything
+        # else (embed, DPT neck/head, post-model ops) stays data-parallel.
         self.mesh = mesh
-        if mesh is not None:
+        self.pipe_microbatches = int(pipe_microbatches)
+        self._pipelined = (
+            mesh is not None
+            and "pipe" in mesh.shape
+            and mesh.shape["pipe"] > 1
+        )
+        if self._pipelined:
+            import re as _re
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from image_to_pointcloud_tpu.parallel.pipeline_par import (
+                build_stage_params,
+            )
+
+            n_stages = len(cfg.backbone.out_layers)
+            if mesh.shape["pipe"] != n_stages:
+                raise ValueError(
+                    f"pipe axis ({mesh.shape['pipe']}) must equal the "
+                    f"model's stage count ({n_stages} DPT tap layers)"
+                )
+            stages = build_stage_params(cfg, params)
+            # Blocks live only in the stacked stage params; prune them
+            # from the replicated tree so Large's encoder isn't resident
+            # twice per device.
+            tree = dict(params)
+            tree["backbone"] = {
+                k: v
+                for k, v in params["backbone"].items()
+                if not _re.fullmatch(r"block\d+", k)
+            }
+            params = {
+                "tree": jax.device_put(tree, NamedSharding(mesh, P())),
+                "stages": jax.device_put(
+                    stages, NamedSharding(mesh, P("pipe"))
+                ),
+            }
+        elif mesh is not None:
             from image_to_pointcloud_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
@@ -226,7 +268,27 @@ class DepthPipeline:
                     jnp.round(resize_batched(img, (h, w), "area")), 0, 255
                 )
             x = preprocess_for_model(img, (mh, mw))
-            depth = self.model.apply({"params": params}, x)  # (B, mh, mw)
+            if self._pipelined:
+                from image_to_pointcloud_tpu.parallel.pipeline_par import (
+                    pipelined_depth_apply,
+                )
+
+                # Microbatches must divide the batch, and each
+                # microbatch's rows must still shard over the data axis.
+                dp = self.mesh.shape.get("data", 1)
+                m = max(1, min(self.pipe_microbatches, batch))
+                while batch % m or (batch // m) % dp:
+                    m -= 1
+                depth = pipelined_depth_apply(
+                    self.cfg,
+                    params["tree"],
+                    params["stages"],
+                    x,
+                    self.mesh,
+                    num_microbatches=m,
+                )
+            else:
+                depth = self.model.apply({"params": params}, x)  # (B, mh, mw)
 
             # Point-cloud path: upscale depth to working size, re-normalize,
             # unproject. Refine runs batched AFTER the vmap: the Pallas

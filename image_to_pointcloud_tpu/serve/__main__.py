@@ -41,9 +41,10 @@ def main() -> None:
     )
     parser.add_argument(
         "--mesh", default=cfg.mesh,
-        help="multi-chip serving mesh: 'auto' (DP over all devices) or "
-        "'data=N,model=M[,seq=S]' — batches shard over data, encoder "
-        "params shard megatron-style over model",
+        help="multi-chip serving mesh: 'auto' (DP over all devices), "
+        "'data=N,model=M[,seq=S]' (batches shard over data, encoder "
+        "params shard megatron-style over model), or 'pipe=S,data=N' "
+        "(GPipe: encoder stages pipeline over S chips)",
     )
     parser.add_argument(
         "--ui", action="store_true", default=cfg.serve_ui,
@@ -72,10 +73,19 @@ def main() -> None:
     if args.mesh == "auto":
         mesh = "auto"
     elif args.mesh:
-        from image_to_pointcloud_tpu.parallel.sharding import make_mesh
-
         spec = dict(kv.split("=") for kv in args.mesh.split(","))
-        mesh = make_mesh(**{k: int(v) for k, v in spec.items()})
+        if "pipe" in spec:
+            # GPipe pipeline parallelism over the encoder stages
+            # (parallel/pipeline_par), e.g. --mesh pipe=4,data=2.
+            from image_to_pointcloud_tpu.parallel.pipeline_par import (
+                make_pipe_mesh,
+            )
+
+            mesh = make_pipe_mesh(**{k: int(v) for k, v in spec.items()})
+        else:
+            from image_to_pointcloud_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh(**{k: int(v) for k, v in spec.items()})
 
     models = ModelManager(checkpoint_dir=args.checkpoint_dir, mesh=mesh)
 

@@ -272,6 +272,55 @@ class TestPipelineParallel:
             ref = block.apply({"params": params[f"block{i}"]}, ref)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
 
+    def test_full_model_pipelined_uneven_taps(self):
+        """pipelined_depth_apply == sequential DepthAnything.apply, with
+        tap layers NOT on stage boundaries (the DA-Large pattern:
+        out_layers (4, 11, 17, 23) of 24, models/depth_anything.py)."""
+        from image_to_pointcloud_tpu.models import (
+            DepthAnything,
+            DepthAnythingConfig,
+        )
+        from image_to_pointcloud_tpu.models.dinov2 import DinoV2Config
+        from image_to_pointcloud_tpu.models.dpt import DPTConfig
+        from image_to_pointcloud_tpu.parallel.pipeline_par import (
+            build_stage_params,
+            make_pipe_mesh,
+            pipelined_depth_apply,
+        )
+
+        cfg = DepthAnythingConfig(
+            backbone=DinoV2Config(
+                hidden_size=32,
+                num_layers=8,
+                num_heads=2,
+                pos_embed_size=4,
+                out_layers=(1, 3, 4, 7),  # taps 3 and 4 are mid-stage
+            ),
+            neck=DPTConfig(
+                hidden_size=32,
+                neck_hidden_sizes=(8, 16, 32, 32),
+                fusion_hidden_size=16,
+                head_hidden_size=8,
+            ),
+        )
+        model = DepthAnything(cfg)
+        rng = np.random.default_rng(3)
+        pixels = jnp.asarray(
+            rng.normal(0, 1, (4, 28, 28, 3)).astype(np.float32)
+        )
+        params = model.init(jax.random.PRNGKey(1), pixels)["params"]
+
+        mesh = make_pipe_mesh(pipe=4, data=2)
+        stage_params = build_stage_params(cfg, params)
+        with mesh:
+            got = jax.jit(
+                lambda p, sp, px: pipelined_depth_apply(
+                    cfg, p, sp, px, mesh, num_microbatches=2
+                )
+            )(params, stage_params, pixels)
+        ref = model.apply({"params": params}, pixels)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
 
 class TestMeshedServing:
     """DepthPipeline with a (data, model) mesh — DP batch sharding + TP
@@ -311,6 +360,51 @@ class TestMeshedServing:
         # len(inputs) results identical to the unmeshed pipeline.
         for n in (1, 3):
             rm = meshed.run_batch(imgs[:n], options=opts, want_preview=False)
+            assert len(rm) == n
+            for a, b in zip(r0[:n], rm):
+                assert a.kept_point_count == b.kept_point_count
+                np.testing.assert_allclose(a.points, b.points, atol=2e-4)
+
+    def test_pipeline_pipe_mesh_equivalence(self, rng):
+        """DepthPipeline over a (data, pipe) mesh — GPipe encoder stages —
+        must match the single-device pipeline point-for-point."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.parallel.pipeline_par import (
+            make_pipe_mesh,
+        )
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            PipelineOptions,
+        )
+
+        _, model, variables = _build_pair(
+            hidden=32, layers=4, heads=2, image_size=56
+        )
+        params = variables["params"]
+        imgs = rng.integers(0, 255, (4, 56, 56, 3)).astype(np.uint8)
+        opts = PipelineOptions(density="medium")
+
+        plain = DepthPipeline(model.cfg, params, model_target=56)
+        mesh = make_pipe_mesh(pipe=4, data=2)
+        piped = DepthPipeline(
+            model.cfg, params, model_target=56, mesh=mesh,
+            pipe_microbatches=2,
+        )
+        r0 = plain.run_batch(imgs, options=opts, want_preview=False)
+        r1 = piped.run_batch(imgs, options=opts, want_preview=False)
+        for a, b in zip(r0, r1):
+            assert a.kept_point_count == b.kept_point_count
+            np.testing.assert_allclose(a.points, b.points, atol=2e-4)
+            np.testing.assert_allclose(a.colors, b.colors, atol=1e-3)
+
+        # Odd/single batches pad onto the data axis and fall back to
+        # fewer microbatches as needed.
+        for n in (1, 3):
+            rm = piped.run_batch(imgs[:n], options=opts, want_preview=False)
             assert len(rm) == n
             for a, b in zip(r0[:n], rm):
                 assert a.kept_point_count == b.kept_point_count
