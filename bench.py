@@ -132,15 +132,22 @@ def main() -> None:
     try:
         key = ("depth", batch, 518, 518, opts, False)
         fn = pipe._compiled[key]
-        dev_imgs = jax.device_put(jnp.asarray(imgs))
-        dev_scales = jax.device_put(jnp.full((batch,), 10.0, jnp.float32))
-        _, p = fn(pipe.params, dev_imgs, dev_scales)
+        payload = np.concatenate(
+            [
+                imgs.reshape(batch, -1),
+                np.full((batch,), 10.0, np.float32).view(np.uint8)
+                .reshape(batch, 4),
+            ],
+            axis=1,
+        )
+        dev_payload = jax.device_put(jnp.asarray(payload))
+        _, p = fn(pipe.params, dev_payload)
         np.asarray(p)  # warm
         probes: deque = deque()
         dev_iters = 10 if on_tpu else 2
         t0 = time.perf_counter()
         for _ in range(dev_iters):
-            _, p = fn(pipe.params, dev_imgs, dev_scales)
+            _, p = fn(pipe.params, dev_payload)
             probes.append(p)
             if len(probes) > 2:
                 np.asarray(probes.popleft())

@@ -53,23 +53,30 @@ def main() -> None:
         # timed loop (H2D is charged to the e2e bench, not this one).
         base = pipe._build((518, 518), opts, batch, preview=False)
 
-        def scalar_graph(params, images, scales):
-            out, prev = base(params, images, scales)
+        def scalar_graph(params, payload):
+            out, prev = base(params, payload)
             return jnp.sum(out, dtype=jnp.int32) + jnp.sum(
                 prev, dtype=jnp.int32
             )
 
         fn = jax.jit(scalar_graph)
-        dev_imgs = jax.device_put(imgs)
-        dev_scales = jax.device_put(np.full((batch,), 10.0, np.float32))
+        payload = np.concatenate(
+            [
+                imgs.reshape(batch, -1),
+                np.full((batch,), 10.0, np.float32).view(np.uint8)
+                .reshape(batch, 4),
+            ],
+            axis=1,
+        )
+        dev_payload = jax.device_put(payload)
 
         # Warmup (compile) + steady state.
-        np.asarray(fn(pipe.params, dev_imgs, dev_scales))
+        np.asarray(fn(pipe.params, dev_payload))
         iters = 10 if on_tpu else 2
         t0 = time.perf_counter()
         for _ in range(iters - 1):
-            fn(pipe.params, dev_imgs, dev_scales)
-        np.asarray(fn(pipe.params, dev_imgs, dev_scales))
+            fn(pipe.params, dev_payload)
+        np.asarray(fn(pipe.params, dev_payload))
         elapsed = time.perf_counter() - t0
         print(
             json.dumps(

@@ -260,7 +260,15 @@ class DepthPipeline:
         step = DENSITY_STRIDES[opts.density]
         pv_h, pv_w = _preview_hw(mh, mw)
 
-        def graph(params, images_u8, depth_scales):
+        def graph(params, payload_u8):
+            # One fused H2D buffer per batch: [u8 RGB pixels | f32 LE
+            # depth_scale bytes] per row — the relay charges ~27 ms
+            # latency per serialized transfer, so the per-image scale
+            # rides inside the image upload instead of its own put.
+            images_u8 = payload_u8[:, : h0 * w0 * 3].reshape(-1, h0, w0, 3)
+            depth_scales = jax.lax.bitcast_convert_type(
+                payload_u8[:, h0 * w0 * 3 :], jnp.float32
+            ).reshape(-1)
             img = images_u8.astype(jnp.float32)  # (B, h0, w0, 3)
             if (h, w) != (h0, w0):
                 # cv2 resizes the uint8 image (rounding); match it.
@@ -455,11 +463,15 @@ class DepthPipeline:
             key,
             lambda: self._build((h0, w0), options, b + pad, preview=want_preview),
         )
-        out, prev = fn(
-            self.params,
-            self._place_batch(jnp.asarray(imgs)),
-            self._place_batch(jnp.asarray(depth_scales, jnp.float32)),
+        payload = np.concatenate(
+            [
+                imgs.reshape(len(imgs), -1),
+                np.ascontiguousarray(depth_scales, np.float32).view(np.uint8)
+                .reshape(len(imgs), 4),
+            ],
+            axis=1,
         )
+        out, prev = fn(self.params, self._place_batch(jnp.asarray(payload)))
         h, w = _proc_hw(h0, w0)
         from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
 
