@@ -130,15 +130,9 @@ def main() -> None:
     # host does not have. Zero extra compiles: reuses the e2e graph.
     dev_tp = None
     try:
-        key = ("depth", batch, 518, 518, opts, False)
-        fn = pipe._compiled[key]
-        payload = np.concatenate(
-            [
-                imgs.reshape(batch, -1),
-                np.full((batch,), 10.0, np.float32).view(np.uint8)
-                .reshape(batch, 4),
-            ],
-            axis=1,
+        fn = pipe.compiled_graph(batch, (518, 518), opts, False)
+        payload = pipe.pack_payload(
+            imgs, np.full((batch,), 10.0, np.float32)
         )
         dev_payload = jax.device_put(jnp.asarray(payload))
         _, p = fn(pipe.params, dev_payload)
@@ -154,8 +148,10 @@ def main() -> None:
         while probes:
             np.asarray(probes.popleft())
         dev_tp = batch * dev_iters / (time.perf_counter() - t0)
-    except Exception:
-        pass  # never let the capability probe break the recorded metric
+    except Exception as e:  # noqa: BLE001
+        # Never let the capability probe break the recorded metric — but
+        # say why it vanished (the unit string simply omits device_graph).
+        sys.stderr.write(f"bench: device_graph probe failed: {e!r}\n")
 
     baseline_img_s = 0.4  # reference's claimed 2-3 s/image
     dev_part = f", device_graph={dev_tp:.1f} img/s" if dev_tp else ""

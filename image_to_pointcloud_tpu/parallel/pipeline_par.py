@@ -111,8 +111,14 @@ def stage_tap_indices(
     per = num_layers // num_stages
     assert per * num_stages == num_layers, (num_layers, num_stages)
     assert len(out_layers) == num_stages, (out_layers, num_stages)
+    # Stage s emits tap s, so out_layers must already be ascending —
+    # sorting here would silently permute the DPT's shallow→deep feature
+    # order relative to the sequential DinoV2Backbone.__call__.
+    assert tuple(out_layers) == tuple(sorted(out_layers)), (
+        f"pipelined taps require ascending out_layers, got {out_layers}"
+    )
     locals_ = []
-    for s, layer in enumerate(sorted(out_layers)):
+    for s, layer in enumerate(out_layers):
         assert s * per <= layer < (s + 1) * per, (
             f"tap layer {layer} outside stage {s} of {num_stages}"
         )
@@ -239,19 +245,46 @@ def gpipe_apply(
 # ---------- full-model pipelined forward ----------
 
 
-def build_stage_params(cfg, params) -> Any:
+def build_stage_params(cfg, params, *, mesh: Mesh | None = None) -> Any:
     """Stack a DepthAnything param tree's encoder blocks into per-stage
     GPipe params ``{"blocks": (S, L/S, ...), "tap": (S,)}``. Do this ONCE
     at pipeline construction (outside jit): restacking per step would
-    copy every encoder weight each forward."""
+    copy every encoder weight each forward.
+
+    With ``mesh``, stacking happens on host and each leaf is placed
+    directly with a P('pipe') sharding, so no chip ever holds more than
+    its own stage's blocks (DA-Large's full encoder never materializes
+    on one device). Without a mesh the stack stays a plain jnp pytree
+    (for jit-closed tests and the dryrun)."""
     s = len(cfg.backbone.out_layers)
-    stacked = stack_block_params(
-        params["backbone"], cfg.backbone.num_layers, s
-    )
     taps = stage_tap_indices(
         cfg.backbone.num_layers, s, cfg.backbone.out_layers
     )
-    return {"blocks": stacked, "tap": jnp.asarray(taps, jnp.int32)}
+    if mesh is None:
+        stacked = stack_block_params(
+            params["backbone"], cfg.backbone.num_layers, s
+        )
+        return {"blocks": stacked, "tap": jnp.asarray(taps, jnp.int32)}
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    num_layers = cfg.backbone.num_layers
+    per = num_layers // s
+    blocks_host = jax.device_get(
+        [params["backbone"][f"block{i}"] for i in range(num_layers)]
+    )
+
+    def stack(*leaves):
+        a = np.stack(leaves)
+        return a.reshape(s, per, *a.shape[1:])
+
+    stacked = jax.tree_util.tree_map(stack, *blocks_host)
+    sharding = NamedSharding(mesh, P(PIPE_AXIS))
+    stacked = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), stacked
+    )
+    tap = jax.device_put(np.asarray(taps, np.int32), sharding)
+    return {"blocks": stacked, "tap": tap}
 
 
 def pipelined_depth_apply(

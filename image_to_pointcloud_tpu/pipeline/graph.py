@@ -206,7 +206,10 @@ class DepthPipeline:
                     f"pipe axis ({mesh.shape['pipe']}) must equal the "
                     f"model's stage count ({n_stages} DPT tap layers)"
                 )
-            stages = build_stage_params(cfg, params)
+            # Stage params go straight from host to their pipe slice
+            # (mesh=...) — never materializing the whole stacked encoder
+            # on one chip, which is the residency PP exists to avoid.
+            stages = build_stage_params(cfg, params, mesh=mesh)
             # Blocks live only in the stacked stage params; prune them
             # from the replicated tree so Large's encoder isn't resident
             # twice per device.
@@ -218,14 +221,18 @@ class DepthPipeline:
             }
             params = {
                 "tree": jax.device_put(tree, NamedSharding(mesh, P())),
-                "stages": jax.device_put(
-                    stages, NamedSharding(mesh, P("pipe"))
-                ),
+                "stages": stages,
             }
-        elif mesh is not None:
+        elif mesh is not None and "model" in mesh.shape:
             from image_to_pointcloud_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
+        elif mesh is not None:
+            # A mesh without a 'model' axis (e.g. --mesh pipe=1,data=N,
+            # a degenerate pipe spec) serves plain DP: replicate params.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
 
     def _place_batch(self, arr: jax.Array) -> jax.Array:
@@ -284,8 +291,13 @@ class DepthPipeline:
                 # Microbatches must divide the batch, and each
                 # microbatch's rows must still shard over the data axis.
                 dp = self.mesh.shape.get("data", 1)
+                if batch % dp:
+                    raise ValueError(
+                        f"batch {batch} must divide the mesh data axis "
+                        f"({dp}); submit_batch pads for this"
+                    )
                 m = max(1, min(self.pipe_microbatches, batch))
-                while batch % m or (batch // m) % dp:
+                while m > 1 and (batch % m or (batch // m) % dp):
                     m -= 1
                 depth = pipelined_depth_apply(
                     self.cfg,
@@ -422,7 +434,6 @@ class DepthPipeline:
             if (h, w) != (h0, w0):
                 rgb_dev = img[:, ::step, ::step, :].astype(jnp.uint8)
                 payload.append(rgb_dev.reshape(bq, -1))
-                return jnp.concatenate(payload, axis=1), prev_rgb
             return jnp.concatenate(payload, axis=1), prev_out
 
         return jax.jit(graph)
@@ -435,6 +446,39 @@ class DepthPipeline:
         return fn
 
     # ---------- host-facing API ----------
+
+    @staticmethod
+    def pack_payload(
+        imgs: np.ndarray, depth_scales: np.ndarray
+    ) -> np.ndarray:
+        """Fuse (B, H, W, 3) u8 images + (B,) f32 scales into the single
+        (B, H·W·3+4) u8 H2D buffer the compiled graph consumes (one
+        serialized transfer instead of two; ~27 ms relay latency each)."""
+        return np.concatenate(
+            [
+                imgs.reshape(len(imgs), -1),
+                np.ascontiguousarray(depth_scales, np.float32)
+                .view(np.uint8)
+                .reshape(len(imgs), 4),
+            ],
+            axis=1,
+        )
+
+    def compiled_graph(
+        self,
+        batch: int,
+        in_hw: tuple[int, int],
+        options: PipelineOptions,
+        want_preview: bool,
+    ):
+        """The compiled callable for one signature (compiling if needed):
+        ``fn(params, payload_u8) -> (out, preview)``. Public so benches
+        probe the exact serving graph without duplicating the cache key."""
+        key = ("depth", batch, in_hw[0], in_hw[1], options, want_preview)
+        return self._get(
+            key,
+            lambda: self._build(in_hw, options, batch, preview=want_preview),
+        )
 
     def submit_batch(
         self,
@@ -458,19 +502,8 @@ class DepthPipeline:
             depth_scales = np.concatenate(
                 [depth_scales, depth_scales[-1:].repeat(pad)]
             )
-        key = ("depth", b + pad, h0, w0, options, want_preview)
-        fn = self._get(
-            key,
-            lambda: self._build((h0, w0), options, b + pad, preview=want_preview),
-        )
-        payload = np.concatenate(
-            [
-                imgs.reshape(len(imgs), -1),
-                np.ascontiguousarray(depth_scales, np.float32).view(np.uint8)
-                .reshape(len(imgs), 4),
-            ],
-            axis=1,
-        )
+        fn = self.compiled_graph(b + pad, (h0, w0), options, want_preview)
+        payload = self.pack_payload(imgs, depth_scales)
         out, prev = fn(self.params, self._place_batch(jnp.asarray(payload)))
         h, w = _proc_hw(h0, w0)
         from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES

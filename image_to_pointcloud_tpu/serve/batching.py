@@ -82,36 +82,48 @@ class BatchingQueue:
 
     async def _run(self) -> None:
         loop = asyncio.get_running_loop()
-        while True:
-            first = await self._queue.get()
-            batch = [first]
-            if self.window_ms > 0:
-                await asyncio.sleep(self.window_ms / 1000.0)
-            while len(batch) < self.max_batch and not self._queue.empty():
-                batch.append(self._queue.get_nowait())
-
-            # Group by graph signature (shape × options).
-            groups: dict[Any, list[_Item]] = defaultdict(list)
+        batch: list[_Item] = []
+        try:
+            while True:
+                batch = []
+                first = await self._queue.get()
+                batch = [first]
+                if self.window_ms > 0:
+                    await asyncio.sleep(self.window_ms / 1000.0)
+                while len(batch) < self.max_batch and not self._queue.empty():
+                    batch.append(self._queue.get_nowait())
+                await self._drain(batch, loop)
+        except asyncio.CancelledError:
+            # close(): items already dequeued into this batch would
+            # otherwise never resolve and their submitters would hang.
             for item in batch:
-                groups[(item.image.shape, item.options)].append(item)
+                if not item.future.done():
+                    item.future.cancel()
+            raise
 
-            for (_, options), items in groups.items():
-                from image_to_pointcloud_tpu.serve.metrics import BATCH_SIZE
+    async def _drain(self, batch: "list[_Item]", loop) -> None:
+        # Group by graph signature (shape × options).
+        groups: dict[Any, list[_Item]] = defaultdict(list)
+        for item in batch:
+            groups[(item.image.shape, item.options)].append(item)
 
-                BATCH_SIZE.observe(len(items))
-                try:
-                    results = await loop.run_in_executor(
-                        None,
-                        lambda items=items, options=options: self.pipeline.run_batch(
-                            [i.image for i in items],
-                            depth_scales=[i.depth_scale for i in items],
-                            options=options,
-                        ),
-                    )
-                    for item, res in zip(items, results):
-                        if not item.future.done():
-                            item.future.set_result(res)
-                except Exception as e:  # noqa: BLE001
-                    for item in items:
-                        if not item.future.done():
-                            item.future.set_exception(e)
+        for (_, options), items in groups.items():
+            from image_to_pointcloud_tpu.serve.metrics import BATCH_SIZE
+
+            BATCH_SIZE.observe(len(items))
+            try:
+                results = await loop.run_in_executor(
+                    None,
+                    lambda items=items, options=options: self.pipeline.run_batch(
+                        [i.image for i in items],
+                        depth_scales=[i.depth_scale for i in items],
+                        options=options,
+                    ),
+                )
+                for item, res in zip(items, results):
+                    if not item.future.done():
+                        item.future.set_result(res)
+            except Exception as e:  # noqa: BLE001
+                for item in items:
+                    if not item.future.done():
+                        item.future.set_exception(e)

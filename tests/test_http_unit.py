@@ -221,6 +221,32 @@ class TestBatchingQueue:
         asyncio.run(run())
         assert max(calls) >= 4  # most requests coalesced into one dispatch
 
+    def test_close_cancels_in_flight(self, rng):
+        """close() must also cancel items the worker has already dequeued
+        into its current batch (not just ones still in the queue) — their
+        submitters would otherwise await forever during shutdown."""
+        from image_to_pointcloud_tpu.pipeline.graph import PipelineOptions
+        from image_to_pointcloud_tpu.serve.batching import BatchingQueue
+
+        class NeverPipeline:
+            def run_batch(self, images, depth_scales=None, options=None):
+                raise AssertionError("must not dispatch")
+
+        async def run():
+            # Long window: the worker dequeues the item, then sleeps in
+            # the coalescing window when close() lands.
+            q = BatchingQueue(NeverPipeline(), window_ms=5000.0)
+            img = rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+            task = asyncio.ensure_future(
+                q.submit(img, 10.0, PipelineOptions())
+            )
+            await asyncio.sleep(0.1)  # worker is inside the window
+            await q.close()
+            with pytest.raises(asyncio.CancelledError):
+                await task
+
+        asyncio.run(run())
+
 
 class TestStaticUI:
     """The first-party frontend is served from the /ui static mount

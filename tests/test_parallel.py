@@ -272,6 +272,18 @@ class TestPipelineParallel:
             ref = block.apply({"params": params[f"block{i}"]}, ref)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
 
+    def test_tap_indices_require_ascending_out_layers(self):
+        """Stage s emits tap s: a non-ascending out_layers config must be
+        rejected, not silently permuted (the sequential backbone returns
+        feats in cfg.out_layers order)."""
+        from image_to_pointcloud_tpu.parallel.pipeline_par import (
+            stage_tap_indices,
+        )
+
+        assert stage_tap_indices(8, 4, (1, 3, 4, 7)) == [1, 1, 0, 1]
+        with pytest.raises(AssertionError, match="ascending"):
+            stage_tap_indices(8, 4, (3, 1, 4, 7))
+
     def test_full_model_pipelined_uneven_taps(self):
         """pipelined_depth_apply == sequential DepthAnything.apply, with
         tap layers NOT on stage boundaries (the DA-Large pattern:

@@ -180,6 +180,33 @@ class TestQuantizedTransfer:
         np.testing.assert_allclose(a.points, b.points, atol=2e-4)
         np.testing.assert_array_equal(a.colors, b.colors)
 
+    def test_downscaled_input_quantized_transfer(self, rng, monkeypatch):
+        """Inputs over MAX_IMAGE_DIM take the device-downscale branch of
+        the quantized-transfer graph, which ships strided RGB alongside
+        depth16 (regression: that branch returned an undefined preview
+        var and every >3072 px request failed at trace time)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline import graph as graph_mod
+        from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+        monkeypatch.setattr(graph_mod, "MAX_IMAGE_DIM", 48)
+        _, model, variables = _build_pair(image_size=56)
+        img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
+        opts = PipelineOptions(density="medium")
+        res = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        ).run(img, depth_scale=10.0, options=opts)
+        assert res.kept_point_count > 0
+        assert res.depth_preview_rgb is not None
+        # Colors must come from the device's strided RGB (the host copy
+        # is the pre-downscale image and would be the wrong size).
+        assert res.colors.shape == (res.kept_point_count, 3)
+
 
 class TestPresets:
     def test_all_presets_resolve(self):

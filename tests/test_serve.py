@@ -56,12 +56,16 @@ class _ServerThread:
 
     def stop(self):
         async def _shutdown():
-            if hasattr(self.app, "shutdown"):
-                await self.app.shutdown()
-            self.loop.stop()
+            try:
+                if hasattr(self.app, "shutdown"):
+                    await self.app.shutdown()
+            finally:
+                self.loop.stop()  # always release run_forever
 
-        asyncio.run_coroutine_threadsafe(_shutdown(), self.loop)
+        fut = asyncio.run_coroutine_threadsafe(_shutdown(), self.loop)
         self.thread.join(timeout=30)
+        if fut.done() and fut.exception() is not None:
+            raise fut.exception()
 
 
 def _tiny_model_manager():
