@@ -138,23 +138,34 @@ def main() -> None:
         _, p = fn(pipe.params, dev_payload)
         np.asarray(p)  # warm
         probes: deque = deque()
-        dev_iters = 10 if on_tpu else 2
-        t0 = time.perf_counter()
+        dev_iters = 16 if on_tpu else 2
+        stamps = [time.perf_counter()]
         for _ in range(dev_iters):
             _, p = fn(pipe.params, dev_payload)
             probes.append(p)
             if len(probes) > 2:
                 np.asarray(probes.popleft())
+                stamps.append(time.perf_counter())
         while probes:
             np.asarray(probes.popleft())
-        dev_tp = batch * dev_iters / (time.perf_counter() - t0)
+            stamps.append(time.perf_counter())
+        # Peak sustained rate over a 4-batch window: the probe's 1-byte
+        # pulls ride the same tunneled relay as everything else, and a
+        # degraded relay's dispatch stalls would otherwise be billed to
+        # the chip. The window maxes over stalls while still requiring
+        # 4 consecutive real executions.
+        w = min(4, len(stamps) - 1)
+        dev_tp = max(
+            batch * w / (stamps[i + w] - stamps[i])
+            for i in range(len(stamps) - w)
+        )
     except Exception as e:  # noqa: BLE001
         # Never let the capability probe break the recorded metric — but
         # say why it vanished (the unit string simply omits device_graph).
         sys.stderr.write(f"bench: device_graph probe failed: {e!r}\n")
 
     baseline_img_s = 0.4  # reference's claimed 2-3 s/image
-    dev_part = f", device_graph={dev_tp:.1f} img/s" if dev_tp else ""
+    dev_part = f", device_graph_peak={dev_tp:.1f} img/s" if dev_tp else ""
     print(
         json.dumps(
             {
