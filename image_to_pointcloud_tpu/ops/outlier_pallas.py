@@ -129,7 +129,7 @@ def grid_knn_mean_distances_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, gh * th, gw * tw), jnp.float32),
         grid=(bsz, gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, th, tw), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
         ),
