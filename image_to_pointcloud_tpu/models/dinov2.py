@@ -42,6 +42,10 @@ class DinoV2Config:
     layer_norm_eps: float = 1e-6
     out_layers: Sequence[int] = (2, 5, 8, 11)  # 0-indexed block outputs
     use_flash_attention: bool = False
+    # Sequences shorter than this use XLA's fused attention even with
+    # use_flash_attention on (below ~2k tokens the materialized-score
+    # path has been on par on TPU; benchmarks/flash_ab.py A/Bs it).
+    flash_min_seq: int = 2048
     dtype: jnp.dtype = jnp.float32  # compute dtype (bfloat16 on TPU)
     quantized: bool = False  # int8 W8A8 block matmuls (models/quantize.py)
 
@@ -76,7 +80,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm1")(x)
         # Flash attention pays off once the (N, N) score tensor dominates
         # HBM traffic; below ~2k tokens XLA's fused attention is on par.
-        use_flash = cfg.use_flash_attention and h.shape[1] >= 2048
+        use_flash = cfg.use_flash_attention and h.shape[1] >= cfg.flash_min_seq
         h = multi_head_attention(
             _dense(cfg, cfg.hidden_size, "q")(h),
             _dense(cfg, cfg.hidden_size, "k")(h),
