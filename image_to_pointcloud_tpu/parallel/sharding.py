@@ -118,3 +118,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard the leading (batch) dim over 'data', replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def broadcast_json_from_host0(obj: Any = None, *, max_bytes: int = 65536) -> Any:
+    """Replicate a JSON-serializable value from process 0 to every host.
+
+    The multi-host serving design (SURVEY.md §5: the reference's
+    in-memory job dict is single-process, backend/app.py:40) keeps the
+    job registry authoritative on host 0 and broadcasts updates over DCN
+    as fixed-size frames: 4-byte LE length header + UTF-8 JSON, padded
+    to ``max_bytes`` so every process contributes an identically-shaped
+    buffer to the collective. Non-zero processes pass ``obj=None``.
+
+    Validated end-to-end by tests/test_multihost.py with two coordinated
+    CPU processes (the standard JAX fake-multihost pattern).
+    """
+    import json as _json
+
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros((max_bytes,), np.uint8)
+    if jax.process_index() == 0:
+        raw = _json.dumps(obj).encode()
+        if len(raw) > max_bytes - 4:
+            raise ValueError(f"payload {len(raw)}B exceeds frame {max_bytes}B")
+        buf[:4] = np.frombuffer(
+            len(raw).to_bytes(4, "little"), np.uint8
+        )
+        buf[4 : 4 + len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int.from_bytes(out[:4].tobytes(), "little")
+    return _json.loads(out[4 : 4 + n].tobytes().decode())
