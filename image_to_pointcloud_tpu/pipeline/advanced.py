@@ -118,7 +118,15 @@ class MetricPipeline:
 
 
 class HighResPipeline:
-    """Tiled high-resolution depth → blended cloud → voxel budget."""
+    """Tiled high-resolution depth → blended cloud → voxel budget.
+
+    With ``quantized_transfer`` (default on accelerators, mirroring
+    DepthPipeline's depth16 path) the budgeted cloud crosses the
+    device→host link as bbox-normalized u16 XYZ + u8 RGB (9 B/point
+    instead of 24, and the bbox reduction replaces the full-cloud pull
+    the host-side voxel sizing used to need — ~4× fewer bytes end to
+    end; position error ≤ extent/2¹⁶, color error ≤ 0.5/255).
+    """
 
     def __init__(
         self,
@@ -128,12 +136,16 @@ class HighResPipeline:
         tile: int = 518,
         overlap: int = 128,
         model_target: int = 518,
+        quantized_transfer: bool | None = None,
     ):
         self.model = DepthAnything(cfg)
         self.params = params
         self.tile = tile
         self.overlap = overlap
         self.model_target = model_target
+        if quantized_transfer is None:
+            quantized_transfer = jax.default_backend() != "cpu"
+        self.quantized_transfer = quantized_transfer
         self._compiled: dict = {}
 
     def _fn(self, h: int, w: int, step: int):
@@ -168,10 +180,29 @@ class HighResPipeline:
             packed = unproject(
                 dn, img, depth_scale=depth_scale, step=step, h=h, w=w
             )
-            return packed
+            # Axis-aligned bbox of the cloud (2, 3): lets the host pick
+            # the budget voxel size from 24 bytes instead of pulling the
+            # whole f32 cloud first.
+            bbox = jnp.stack(
+                [jnp.min(packed[:3], axis=1), jnp.max(packed[:3], axis=1)]
+            )
+            return packed, bbox
 
         self._compiled[key] = fn
         return fn
+
+    @staticmethod
+    @jax.jit
+    def _quantize_voxels(vp, vc, lo, hi):
+        """(N,3) f32 points + colors → (N, 9) u8 [u16 xyz LE | u8 rgb]."""
+        scale = jnp.where(hi > lo, hi - lo, 1.0)
+        q = jnp.clip((vp - lo) / scale, 0.0, 1.0)
+        xyz16 = jnp.round(q * 65535.0).astype(jnp.uint16)
+        xyz8 = jax.lax.bitcast_convert_type(xyz16, jnp.uint8).reshape(
+            vp.shape[0], 6
+        )
+        rgb8 = jnp.clip(jnp.round(vc), 0, 255).astype(jnp.uint8)
+        return jnp.concatenate([xyz8, rgb8], axis=1)
 
     def run(
         self,
@@ -183,33 +214,69 @@ class HighResPipeline:
     ) -> tuple[np.ndarray, np.ndarray]:
         h, w = image_rgb_u8.shape[:2]
         fn = self._fn(h, w, step)
-        packed = fn(self.params, jnp.asarray(image_rgb_u8), jnp.float32(depth_scale))
+        packed, bbox = fn(
+            self.params, jnp.asarray(image_rgb_u8), jnp.float32(depth_scale)
+        )
         pts = packed[:3].T
         cols = packed[3:6].T
         if voxel_budget is not None and pts.shape[0] > voxel_budget:
-            # Voxel size targeting the budget: bbox volume heuristic, then
-            # one downsample pass on device.
-            p_np = np.asarray(pts)
-            extent = p_np.max(axis=0) - p_np.min(axis=0)
+            # Voxel size targeting the budget: bbox volume heuristic
+            # (24-byte device reduction), then one downsample pass on
+            # device — the cloud itself never round-trips for sizing.
+            lo, hi = np.asarray(bbox)
+            extent = hi - lo
             vol = float(np.prod(np.maximum(extent, 1e-6)))
             voxel = (vol / voxel_budget) ** (1.0 / 3.0)
             vp, vc, valid, cnt = voxel_downsample(pts, cols, voxel)
             cnt = int(cnt)
+            if self.quantized_transfer:
+                buf = np.asarray(
+                    self._quantize_voxels(vp, vc, bbox[0], bbox[1])
+                )[:cnt]
+                xyz16 = (
+                    np.ascontiguousarray(buf[:, :6])
+                    .view(np.uint16)
+                    .astype(np.float32)
+                )
+                scale = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
+                points = xyz16 / np.float32(65535.0) * scale + lo.astype(
+                    np.float32
+                )
+                return points, buf[:, 6:9].astype(np.float32)
             return np.asarray(vp)[:cnt], np.asarray(vc)[:cnt]
         return np.asarray(pts), np.asarray(cols)
 
 
 class VideoPipeline:
-    """Temporal batches of frames → fused multi-frame cloud."""
+    """Temporal batches of frames → fused multi-frame cloud.
 
-    def __init__(self, cfg: DepthAnythingConfig, params: Any, model_target: int = 518):
+    With ``quantized_transfer`` (default on accelerators) the unfused
+    path ships only the u16-quantized strided depth (T, ⌈h/step⌉,
+    ⌈w/step⌉) over the device→host link — 2 B per point instead of a
+    32 B packed column — and the host reconstructs points exactly
+    (z error ≤ depth_scale/2¹⁶) with colors taken from its own frames,
+    the same trick as DepthPipeline's depth16 bundle. Voxel-fused runs
+    (``fuse_voxel``) keep the full on-device path.
+    """
+
+    def __init__(
+        self,
+        cfg: DepthAnythingConfig,
+        params: Any,
+        model_target: int = 518,
+        *,
+        quantized_transfer: bool | None = None,
+    ):
         self.model = DepthAnything(cfg)
         self.params = params
         self.model_target = model_target
+        if quantized_transfer is None:
+            quantized_transfer = jax.default_backend() != "cpu"
+        self.quantized_transfer = quantized_transfer
         self._compiled: dict = {}
 
-    def _fn(self, t: int, h: int, w: int, step: int):
-        key = (t, h, w, step)
+    def _fn(self, t: int, h: int, w: int, step: int, quant: bool = False):
+        key = (t, h, w, step, quant)
         if key in self._compiled:
             return self._compiled[key]
         mh, mw = processor_output_size(h, w, self.model_target)
@@ -221,6 +288,9 @@ class VideoPipeline:
             depth = self.model.apply({"params": params}, x)  # (T, mh, mw)
             d = resize_batched(depth[:, :, :, None], (h, w), "linear")[..., 0]
             dn = jax.vmap(lambda dd: normalize_depth(dd, True))(d)
+            if quant:
+                dn_s = dn[:, ::step, ::step]
+                return jnp.round(dn_s * 65535.0).astype(jnp.uint16)
             packed = jax.vmap(
                 lambda dd, im: unproject(
                     dd, im, depth_scale=depth_scale, step=step, h=h, w=w
@@ -241,6 +311,40 @@ class VideoPipeline:
     ) -> tuple[np.ndarray, np.ndarray]:
         """(T, H, W, 3) clip → fused (points, colors)."""
         t, h, w = frames_rgb_u8.shape[:3]
+        if fuse_voxel is None and self.quantized_transfer:
+            fn = self._fn(t, h, w, step, quant=True)
+            d16 = np.asarray(
+                fn(
+                    self.params,
+                    jnp.asarray(frames_rgb_u8),
+                    jnp.float32(depth_scale),
+                )
+            )  # (T, hh, ww) u16 — the only device→host transfer
+            tt, hh, ww = d16.shape
+            n = hh * ww
+            # Host-side exact unprojection (reference math,
+            # backend/app.py:218-244), colors from the host's frames.
+            dn = d16.astype(np.float32) * np.float32(1.0 / 65535.0)
+            z = dn * np.float32(depth_scale)
+            zs = np.where(z != 0.0, z, np.float32(1e-6))
+            f = np.float32(max(h, w) * 1.2)
+            cx, cy = np.float32(w / 2.0), np.float32(h / 2.0)
+            u = (np.arange(ww, dtype=np.float32) * step - cx)[None, None, :]
+            v = (np.arange(hh, dtype=np.float32) * step - cy)[None, :, None]
+            pts = np.stack(
+                [
+                    (u * zs / f).reshape(tt * n),
+                    (v * zs / f).reshape(tt * n),
+                    z.reshape(tt * n),
+                ],
+                axis=1,
+            )
+            cols = (
+                frames_rgb_u8[:, ::step, ::step, :]
+                .reshape(tt * n, 3)
+                .astype(np.float32)
+            )
+            return pts, cols
         fn = self._fn(t, h, w, step)
         packed = fn(self.params, jnp.asarray(frames_rgb_u8), jnp.float32(depth_scale))
         tt, _, n = packed.shape

@@ -97,3 +97,51 @@ class TestVideo:
         fused, fcols = pipe.run(clip, step=2, fuse_voxel=0.5)
         assert len(fused) < len(pts)
         assert len(fused) == len(fcols)
+
+
+class TestQuantizedAdvancedTransfer:
+    """The depth16-style transfer trick extended to the advanced configs
+    (configs 4/5): quantized paths must match the f32 paths to the
+    documented tolerances (u16 over depth range / bbox)."""
+
+    def test_video_depth16_matches_f32(self, rng):
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.advanced import VideoPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        clip = rng.integers(0, 256, (3, 56, 70, 3), dtype=np.uint8)
+        a = VideoPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=False,
+        ).run(clip, step=2)
+        b = VideoPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,  # forced (default only on TPU)
+        ).run(clip, step=2)
+        assert a[0].shape == b[0].shape
+        np.testing.assert_allclose(a[0], b[0], atol=2e-4)
+        np.testing.assert_array_equal(a[1], b[1])
+
+    def test_highres_voxel_quantized_matches_f32(self, rng):
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.advanced import HighResPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        img = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+        kw = dict(tile=56, overlap=14, model_target=56)
+        a = HighResPipeline(
+            model.cfg, variables["params"], quantized_transfer=False, **kw
+        ).run(img, step=1, voxel_budget=500)
+        b = HighResPipeline(
+            model.cfg, variables["params"], quantized_transfer=True, **kw
+        ).run(img, step=1, voxel_budget=500)
+        # Same voxel selection (identical bbox → identical voxel size);
+        # positions differ only by u16 quantization over the bbox.
+        assert a[0].shape == b[0].shape
+        extent = a[0].max(axis=0) - a[0].min(axis=0)
+        np.testing.assert_allclose(
+            a[0], b[0], atol=float(extent.max()) / 65535.0 + 1e-6
+        )
+        np.testing.assert_allclose(a[1], b[1], atol=0.5 + 1e-6)
