@@ -24,7 +24,11 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax ≥0.8 moves shard_map out of experimental
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from image_to_pointcloud_tpu.parallel.sharding import SEQ_AXIS
 
@@ -86,12 +90,19 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS):
             return (m_new, l_new, acc_new, kc, vc), None
 
         b, h, nq, d = qf.shape
-        # pvary: mark fresh carries as device-varying over the ring axis so
-        # the scan carry types line up under shard_map's vma tracking.
+        # Mark fresh carries as device-varying over the ring axis so the
+        # scan carry types line up under shard_map's vma tracking
+        # (jax.lax.pcast(..., to='varying'); pvary fallback pre-0.9).
+        def _vary(x):
+            try:
+                return jax.lax.pcast(x, axis, to="varying")
+            except (AttributeError, TypeError):
+                return jax.lax.pvary(x, axis)
+
         init = (
-            jax.lax.pvary(jnp.full((b, h, nq, 1), -jnp.inf, jnp.float32), axis),
-            jax.lax.pvary(jnp.zeros((b, h, nq, 1), jnp.float32), axis),
-            jax.lax.pvary(jnp.zeros((b, h, nq, d), jnp.float32), axis),
+            _vary(jnp.full((b, h, nq, 1), -jnp.inf, jnp.float32)),
+            _vary(jnp.zeros((b, h, nq, 1), jnp.float32)),
+            _vary(jnp.zeros((b, h, nq, d), jnp.float32)),
             kl,
             vl,
         )
