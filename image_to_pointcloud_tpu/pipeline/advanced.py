@@ -322,13 +322,40 @@ class VideoPipeline:
             )  # (T, hh, ww) u16 — the only device→host transfer
             tt, hh, ww = d16.shape
             n = hh * ww
+            f = np.float32(max(h, w) * 1.2)
+            cx, cy = np.float32(w / 2.0), np.float32(h / 2.0)
+            from image_to_pointcloud_tpu import native
+
+            if native.available():
+                # Fused C++ dequant+unproject+color-gather: the numpy
+                # fallback below makes ~10 full passes over the clip's
+                # 2M-point arrays, which on a 1-core host costs more
+                # than the transfer it saves.
+                keep = np.ones((hh, ww), bool)
+                rgbs = frames_rgb_u8[:, ::step, ::step, :]
+                parts = [
+                    native.reconstruct_points(
+                        d16[i],
+                        keep,
+                        rgbs[i],
+                        step=step,
+                        depth_scale=float(depth_scale),
+                        f=float(f),
+                        cx=float(cx),
+                        cy=float(cy),
+                    )
+                    for i in range(tt)
+                ]
+                return (
+                    np.concatenate([p for p, _ in parts]),
+                    np.concatenate([c for _, c in parts]),
+                )
+
             # Host-side exact unprojection (reference math,
             # backend/app.py:218-244), colors from the host's frames.
             dn = d16.astype(np.float32) * np.float32(1.0 / 65535.0)
             z = dn * np.float32(depth_scale)
             zs = np.where(z != 0.0, z, np.float32(1e-6))
-            f = np.float32(max(h, w) * 1.2)
-            cx, cy = np.float32(w / 2.0), np.float32(h / 2.0)
             u = (np.arange(ww, dtype=np.float32) * step - cx)[None, None, :]
             v = (np.arange(hh, dtype=np.float32) * step - cy)[None, :, None]
             pts = np.stack(
