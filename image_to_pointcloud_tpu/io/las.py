@@ -2,9 +2,10 @@
 reference's laspy export (backend/app.py:343-377):
 
 * scale 0.01 on all axes, offsets = per-axis minima,
-* RGB stored as ``round(clip(c, 0, 255)) * 256`` uint16 (laspy uint16
-  widening of the reference's ``c * 256``), gray 32768 fallback when no
-  colors are supplied,
+* RGB stored as ``clip(c, 0, 255).astype(uint16) * 256`` — astype
+  TRUNCATES fractional colors exactly like the reference's
+  ``np.clip(colors, 0, 255).astype(np.uint16)`` (backend/app.py:366);
+  gray 32768 fallback when no colors are supplied,
 * LAS 1.2 public header (227 bytes), zero VLRs, point record length 26.
 
 Pure numpy struct packing — no per-point Python. A reader is included

@@ -156,7 +156,15 @@ class V1Service:
         self.batch_window_ms = batch_window_ms
         self._batchers: dict[str, object] = {}
         self.warmup_sizes = warmup_sizes or []
+        # Strong refs to in-flight job tasks: the event loop only holds
+        # weak ones, so a fire-and-forget task could be GC'd mid-job.
+        self._tasks: set = set()
         self.router = self._build_router()
+
+    def _spawn(self, coro) -> None:
+        task = asyncio.get_running_loop().create_task(coro)
+        self._tasks.add(task)
+        task.add_done_callback(self._tasks.discard)
 
     async def shutdown(self) -> None:
         """Stop batching drain tasks and the executor (graceful exit; the
@@ -415,20 +423,23 @@ class V1Service:
                     f"allowed size ({MAX_FILE_SIZE/1024/1024:.0f}MB)",
                 )
             q = {**req.query, **req.form}
-            request = {
-                "model": q.get("model", "depth-anything-v2"),
-                "output_format": q.get("output_format", "las"),
-                "point_density": q.get("point_density", "medium"),
-                "coordinate_system": q.get("coordinate_system", "WGS84"),
-                "invert_depth": _parse_bool(q.get("invert_depth"), True),
-                "depth_scale": float(q.get("depth_scale", 10.0)),
-                "smooth_depth": _parse_bool(q.get("smooth_depth"), False),
-                "fov": float(q.get("fov", 60.0)),
-            }
+            try:
+                request = {
+                    "model": q.get("model", "depth-anything-v2"),
+                    "output_format": q.get("output_format", "las"),
+                    "point_density": q.get("point_density", "medium"),
+                    "coordinate_system": q.get("coordinate_system", "WGS84"),
+                    "invert_depth": _parse_bool(q.get("invert_depth"), True),
+                    "depth_scale": float(q.get("depth_scale", 10.0)),
+                    "smooth_depth": _parse_bool(q.get("smooth_depth"), False),
+                    "fov": float(q.get("fov", 60.0)),
+                }
+            except ValueError as e:
+                # FastAPI answers malformed numeric params with 422
+                # before any job exists (reference backend/app.py:609-620).
+                raise HTTPError(422, f"Invalid parameter value: {e}") from None
             job = await svc.jobs.create(message="Job queued", model=request["model"])
-            asyncio.get_running_loop().create_task(
-                svc._process_job(job.job_id, data, request)
-            )
+            svc._spawn(svc._process_job(job.job_id, data, request))
             return json_response({"job_id": job.job_id, "status": "queued"})
 
         @r.get("/status/{job_id}")

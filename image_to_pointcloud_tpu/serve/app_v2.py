@@ -82,7 +82,15 @@ class V2Service:
             on_evict=_evict_artifacts,
         )
         self.executor = ThreadPoolExecutor(max_workers=2)
+        # Strong refs to in-flight job tasks: the event loop only holds
+        # weak ones, so a fire-and-forget task could be GC'd mid-job.
+        self._tasks: set = set()
         self.router = self._build_router()
+
+    def _spawn(self, coro) -> None:
+        task = asyncio.get_running_loop().create_task(coro)
+        self._tasks.add(task)
+        task.add_done_callback(self._tasks.discard)
 
     async def startup(self) -> None:
         """Load the generator (reference startup_event, backend/main.py:55-69);
@@ -238,21 +246,6 @@ class V2Service:
             f = req.files.get("file")
             if f is None:
                 raise HTTPError(400, "Invalid image: no file uploaded")
-            job = await svc.jobs.create(
-                message="Starting 3D generation...", model=model
-            )
-            try:
-                image = decode_image_rgb(f.data)
-                if image.shape[0] * image.shape[1] > 4096 * 4096:
-                    raise ValueError(
-                        "Image too large. Maximum resolution: 4096x4096"
-                    )
-            except Exception as e:  # noqa: BLE001
-                await svc.jobs.update(
-                    job.job_id, status=JobStatus.ERROR,
-                    message=f"Invalid image: {e}",
-                )
-                raise HTTPError(400, f"Invalid image: {e}") from None
 
             def _int(name, default):
                 try:
@@ -266,21 +259,51 @@ class V2Service:
                 except ValueError:
                     return default
 
+            # Settings (incl. seed) validate BEFORE any job exists —
+            # FastAPI's Form parsing 422s first (backend/main.py:206-215),
+            # so a bad seed must not orphan a forever-pending job.
             seed_raw = form.get("seed")
+            try:
+                seed = (
+                    int(float(seed_raw))
+                    if seed_raw not in (None, "", "null")
+                    else None
+                )
+            except ValueError:
+                raise HTTPError(422, f"Invalid seed: {seed_raw!r}") from None
             settings = {  # clamped like backend/main.py:258-267
                 "output_format": form.get("output_format", "glb"),
                 "texture_resolution": min(max(_int("texture_resolution", 1024), 512), 2048),
                 "guidance_scale": max(1.0, min(_float("guidance_scale", 3.0), 10.0)),
-                "seed": int(seed_raw) if seed_raw not in (None, "", "null") else None,
+                "seed": seed,
                 "remove_background": form.get("remove_background", "true").lower()
                 in ("1", "true", "yes", "on"),
                 "foreground_ratio": max(1.0, min(_float("foreground_ratio", 1.3), 2.0)),
                 "remesh_option": form.get("remesh_option", "none"),
                 "target_count": max(100, min(_int("target_count", 2000), 20000)),
             }
-            asyncio.get_running_loop().create_task(
-                svc._run_job(job.job_id, image, settings)
+
+            job = await svc.jobs.create(
+                message="Starting 3D generation...", model=model
             )
+            try:
+                # PIL decode of a multi-MB upload takes real time on a
+                # 1-core host; keep it off the event loop (v1 already
+                # does, app_v1._process_job).
+                image = await asyncio.get_running_loop().run_in_executor(
+                    svc.executor, decode_image_rgb, f.data
+                )
+                if image.shape[0] * image.shape[1] > 4096 * 4096:
+                    raise ValueError(
+                        "Image too large. Maximum resolution: 4096x4096"
+                    )
+            except Exception as e:  # noqa: BLE001
+                await svc.jobs.update(
+                    job.job_id, status=JobStatus.ERROR,
+                    message=f"Invalid image: {e}",
+                )
+                raise HTTPError(400, f"Invalid image: {e}") from None
+            svc._spawn(svc._run_job(job.job_id, image, settings))
             return json_response(
                 {
                     "job_id": job.job_id,

@@ -83,7 +83,13 @@ class Request:
             return
         boundary = b"--" + m.group(1).encode()
         for part in self.body.split(boundary)[1:-1]:
-            part = part.strip(b"\r\n")
+            # Remove exactly the one \r\n framing pair on each side —
+            # bytes.strip would eat every trailing 0x0D/0x0A and corrupt
+            # uploads whose content genuinely ends in newline bytes.
+            if part.startswith(b"\r\n"):
+                part = part[2:]
+            if part.endswith(b"\r\n"):
+                part = part[:-2]
             if not part or part == b"--":
                 continue
             if b"\r\n\r\n" in part:
@@ -326,13 +332,19 @@ class HttpServer:
         except (asyncio.IncompleteReadError, ConnectionError):
             return None
         lines = head.decode("latin-1").split("\r\n")
-        method, target, _ = lines[0].split(" ", 2)
+        try:
+            method, target, _ = lines[0].split(" ", 2)
+        except ValueError:
+            raise HTTPError(400, "Malformed request line") from None
         headers: dict[str, str] = {}
         for line in lines[1:]:
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            raise HTTPError(400, "Invalid Content-Length") from None
         if length > MAX_BODY:
             raise HTTPError(413, "Body too large")
         body = await reader.readexactly(length) if length else b""

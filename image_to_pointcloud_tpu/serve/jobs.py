@@ -153,11 +153,17 @@ class JobRegistry:
             restored += 1
         # Jobs interrupted mid-flight cannot resume (their in-process task
         # died with the server); fail them explicitly rather than leaving
-        # clients polling forever.
+        # clients polling forever. Every restored job also gets a
+        # finished_at stamp of 0.0 ("long ago" on the fresh monotonic
+        # clock): without it the eviction guard's `now` default made
+        # restored terminal jobs permanently unevictable, growing the
+        # registry past max_jobs forever.
         for job in self._jobs.values():
             if job.status in (JobStatus.PENDING, JobStatus.PROCESSING):
                 job.status = JobStatus.ERROR
                 job.message = "Error: job interrupted by server restart"
+            if job.status in (JobStatus.COMPLETED, JobStatus.ERROR):
+                job.extra.setdefault("finished_at", 0.0)
                 job.progress = 0
         if self._jobs:
             logger.info("jobs journal: restored %d job(s)", len(self._jobs))

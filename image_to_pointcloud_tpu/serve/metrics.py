@@ -38,6 +38,15 @@ def _fmt_labels(labels: dict[str, str]) -> str:
     return "{" + inner + "}"
 
 
+def _fmt_value(v: float) -> str:
+    """Exact rendering: '%g' keeps only 6 significant digits, which
+    quantizes counters past ~1e6 (rate() plateaus). Integers render
+    exactly; floats use repr (shortest round-trippable form)."""
+    if float(v).is_integer() and abs(v) < 2**53:
+        return str(int(v))
+    return repr(float(v))
+
+
 class _Metric:
     def __init__(self, name: str, help_: str, registry: "MetricsRegistry"):
         self.name = name
@@ -60,7 +69,7 @@ class Counter(_Metric):
 
     def render(self) -> Iterable[str]:
         for key, v in sorted(self._values.items()):
-            yield f"{self.name}{_fmt_labels(dict(key))} {v:g}"
+            yield f"{self.name}{_fmt_labels(dict(key))} {_fmt_value(v)}"
 
 
 class Gauge(Counter):
@@ -121,7 +130,7 @@ class Histogram(_Metric):
             cum += counts[-1]
             yield f"{self.name}_bucket{_fmt_labels({**labels, 'le': '+Inf'})} {cum}"
             yield f"{self.name}_count{_fmt_labels(labels)} {cum}"
-            yield f"{self.name}_sum{_fmt_labels(labels)} {self._sums[key]:g}"
+            yield f"{self.name}_sum{_fmt_labels(labels)} {_fmt_value(self._sums[key])}"
 
 
 class MetricsRegistry:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from pathlib import Path
 from typing import Any
 
@@ -46,6 +47,10 @@ class ModelManager:
         int8: bool | None = None,
     ):
         self._cache: dict[str, DepthPipeline] = {}
+        # One build at a time: a warmup thread and the first HTTP request
+        # racing the same cache miss would otherwise both pay the
+        # (remote, minutes-long) XLA compile for one model.
+        self._lock = threading.Lock()
         self.checkpoint_dir = checkpoint_dir or os.environ.get(CHECKPOINT_ENV)
         platform = jax.default_backend()
         on_tpu = platform not in ("cpu",)
@@ -112,6 +117,12 @@ class ModelManager:
     def get(self, name: str) -> DepthPipeline:
         """Load and cache a depth pipeline (raises ValueError on unknown)."""
         if name in self._cache:
+            return self._cache[name]
+        with self._lock:
+            return self._get_locked(name)
+
+    def _get_locked(self, name: str) -> DepthPipeline:
+        if name in self._cache:  # built while waiting on the lock
             return self._cache[name]
         if name in DUMMY_MODELS:
             raise ValueError(f"{name} is a dummy model with no pipeline")

@@ -71,6 +71,23 @@ class TestMultipart:
         )
         assert req.files["file"].data == payload
 
+    def test_trailing_newline_payload_preserved(self):
+        """Only the ONE framing \\r\\n is removed per side — a payload
+        that genuinely ends in newline bytes must arrive intact
+        (regression: bytes.strip ate every trailing 0x0D/0x0A)."""
+        b = b"bnd2"
+        for payload in (b"data ends in LF\n", b"crlf tail\r\n", b"\r\nlead"):
+            body = self._multipart(
+                b,
+                [(b'Content-Disposition: form-data; name="file"; filename="x"', payload)],
+            )
+            req = _req(
+                "POST", "/p",
+                headers={"content-type": f"multipart/form-data; boundary={b.decode()}"},
+                body=body,
+            )
+            assert req.files["file"].data == payload
+
     def test_urlencoded_form(self):
         req = _req(
             "POST", "/p",
@@ -386,6 +403,34 @@ class TestJobJournal:
         # Compaction rewrote one snapshot per job (creation + completion
         # records collapsed, corrupt line dropped).
         assert path.stat().st_size < size_before
+
+    def test_restored_jobs_are_evictable(self, tmp_path):
+        """Journal-restored terminal jobs must count as long-finished
+        (regression: missing finished_at defaulted to `now` in the
+        eviction guard, so restored jobs could never be evicted and the
+        registry grew past max_jobs forever)."""
+        path = tmp_path / "jobs.jsonl"
+
+        async def first_life():
+            reg = JobRegistry(journal_path=path)
+            for _ in range(4):
+                j = await reg.create()
+                await reg.update(
+                    j.job_id, status=JobStatus.COMPLETED, results={"ok": 1}
+                )
+            reg.close()
+
+        asyncio.run(first_life())
+
+        async def second_life():
+            reg2 = JobRegistry(journal_path=path, max_jobs=2)
+            reg2.EVICT_GRACE_S = 0  # don't depend on host uptime > grace
+            assert len(reg2) == 4  # replayed
+            j = await reg2.create()  # triggers eviction of restored jobs
+            assert len(reg2) <= 3  # 2 cap + the new in-flight job
+            reg2.close()
+
+        asyncio.run(second_life())
 
     def test_no_journal_is_pure_memory(self, tmp_path):
         async def run():

@@ -329,6 +329,28 @@ class TestV1:
         assert r.status_code == 400
         assert r.json()["detail"] == "File must be an image"
 
+    def test_malformed_numeric_params_422(self, v1_server):
+        """FastAPI 422s malformed numeric query params before creating a
+        job (reference backend/app.py:609-620); ours must too (was 500)."""
+        r = httpx.post(
+            f"{v1_server}/process?depth_scale=abc",
+            files={"file": ("t.png", _test_image_png(), "image/png")},
+            timeout=30,
+        )
+        assert r.status_code == 422
+
+    def test_malformed_request_line_gets_400(self, v1_server):
+        """A bare 'GET /' (no HTTP version) gets a 400 response, not a
+        silent connection reset with a server-side traceback."""
+        import socket
+        from urllib.parse import urlsplit
+
+        host, port = urlsplit(v1_server).netloc.split(":")
+        with socket.create_connection((host, int(port)), timeout=10) as s:
+            s.sendall(b"GET /\r\n\r\n")
+            data = s.recv(4096)
+        assert b"400" in data.split(b"\r\n", 1)[0]
+
     def test_download_before_completion(self, v1_server):
         assert (
             httpx.get(f"{v1_server}/download/zzz", timeout=30).status_code == 404
@@ -426,6 +448,20 @@ class TestV2:
             f"{v2_server}{final['results']['downloadUrl']}", timeout=30
         )
         assert glb.content[:4] == b"glTF"
+
+    def test_bad_seed_422_without_job(self, v2_server):
+        """A non-numeric seed must 422 before any job exists (was: 500
+        after job creation, orphaning a forever-pending job)."""
+        before = httpx.get(f"{v2_server}/jobs", timeout=30).json()
+        r = httpx.post(
+            f"{v2_server}/process",
+            files={"file": ("t.png", _test_image_png(), "image/png")},
+            data={"model": "depth3d", "seed": "abc"},
+            timeout=30,
+        )
+        assert r.status_code == 422
+        after = httpx.get(f"{v2_server}/jobs", timeout=30).json()
+        assert len(after["jobs"]) == len(before["jobs"])  # no orphan
 
     def test_unknown_model_rejected(self, v2_server):
         files = {"file": ("t.png", _test_image_png(), "image/png")}
