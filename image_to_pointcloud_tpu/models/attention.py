@@ -83,7 +83,12 @@ def flash_attention(
     """
     b, h, n, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    n_pad = -(-n // max(block_q, block_k)) * max(block_q, block_k)
+    # Pad to a multiple of BOTH tile sizes: the query grid divides by
+    # block_q and the K/V stream by block_k — max() alone silently
+    # dropped tail query tiles whenever block_q didn't divide the
+    # padded length (e.g. block_q=96, block_k=128, n=500).
+    tile = math.lcm(block_q, block_k)
+    n_pad = -(-n // tile) * tile
 
     def pad(x):
         if n_pad == n:

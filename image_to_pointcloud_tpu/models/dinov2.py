@@ -42,6 +42,10 @@ class DinoV2Config:
     layer_norm_eps: float = 1e-6
     out_layers: Sequence[int] = (2, 5, 8, 11)  # 0-indexed block outputs
     use_flash_attention: bool = False
+    # Rematerialize each encoder block on the backward pass (training):
+    # bounds live activations to one block while recomputing only that
+    # block — the right remat granularity for a 12-24 block ViT.
+    remat_blocks: bool = False
     # Sequences shorter than this use XLA's fused attention even with
     # use_flash_attention on (below ~2k tokens the materialized-score
     # path has been on par on TPU; benchmarks/flash_ab.py A/Bs it).
@@ -130,8 +134,9 @@ class DinoV2Backbone(nn.Module):
             nn.initializers.normal(0.02),
             (1, n_native + 1, cfg.hidden_size),
         )
+        block_cls = nn.remat(Block) if cfg.remat_blocks else Block
         self.blocks = [
-            Block(cfg, name=f"block{i}") for i in range(cfg.num_layers)
+            block_cls(cfg, name=f"block{i}") for i in range(cfg.num_layers)
         ]
         self.final_norm = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm"

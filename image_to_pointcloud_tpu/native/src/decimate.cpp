@@ -235,9 +235,16 @@ int64_t ipc_format_xyz(const double* pts, const int32_t* cols, int32_t n,
   int64_t off = 0;
   for (int32_t i = 0; i < n; i++) {
     if (off + 128 > cap) return -1;
-    off += snprintf(out + off, cap - off, "%.6f %.6f %.6f %d %d %d\n",
-                    pts[3 * i], pts[3 * i + 1], pts[3 * i + 2], cols[3 * i],
-                    cols[3 * i + 1], cols[3 * i + 2]);
+    // snprintf returns the WOULD-BE length; a line longer than the
+    // remaining space (huge-magnitude coordinates via %.6f) would
+    // advance `off` past the bytes actually written and silently hand
+    // the caller a truncated buffer. Signal the overflow instead (the
+    // Python caller falls back to its own formatter).
+    int r = snprintf(out + off, cap - off, "%.6f %.6f %.6f %d %d %d\n",
+                     pts[3 * i], pts[3 * i + 1], pts[3 * i + 2], cols[3 * i],
+                     cols[3 * i + 1], cols[3 * i + 2]);
+    if (r < 0 || r >= cap - off) return -1;
+    off += r;
   }
   return off;
 }

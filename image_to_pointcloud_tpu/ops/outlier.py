@@ -24,7 +24,30 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["statistical_outlier_mask", "knn_mean_distances"]
+__all__ = ["statistical_outlier_mask", "knn_mean_distances", "outlier_keep_from_means"]
+
+
+def outlier_keep_from_means(means, pos, std_ratio: float = 2.0, axis=None):
+    """Open3D RemoveStatisticalOutliers threshold rule on mean kNN
+    distances: statistics run over ``valid_distances`` = the points with
+    mean > 0 only (coincident-duplicate clusters are excluded from BOTH
+    the numerators and the denominators — Open3D's count_if(x > 0)),
+    keep = pos & mean < cloud_mean + std_ratio * std (Bessel). One shared
+    implementation: the exact mask, the grid mask, and the batched
+    serving graph all call this (they used to triplicate it and disagree
+    on the denominator).
+
+    ``axis=None`` treats ``means`` as one cloud; ``axis=-1`` applies the
+    rule independently per leading-batch row.
+    """
+    kd = axis is not None
+    npos = jnp.sum(pos.astype(jnp.float32), axis=axis, keepdims=kd)
+    denom = jnp.maximum(npos, 1.0)
+    cloud_mean = jnp.sum(jnp.where(pos, means, 0.0), axis=axis, keepdims=kd) / denom
+    sq = jnp.where(pos, (means - cloud_mean) ** 2, 0.0)
+    var = jnp.sum(sq, axis=axis, keepdims=kd) / jnp.maximum(npos - 1.0, 1.0)
+    threshold = cloud_mean + std_ratio * jnp.sqrt(var)
+    return pos & (means < threshold)
 
 _BIG = jnp.float32(1e30)
 
@@ -196,12 +219,7 @@ def grid_statistical_outlier_mask(
         means = grid_knn_mean_distances_pallas(points_grid, k=k, window=window)
     else:
         means = grid_knn_mean_distances(points_grid, k=k, window=window)
-    pos = means > 0.0
-    cloud_mean = jnp.sum(jnp.where(pos, means, 0.0)) / n
-    sq = jnp.where(pos, (means - cloud_mean) ** 2, 0.0)
-    var = jnp.sum(sq) / jnp.maximum(n - 1, 1)
-    threshold = cloud_mean + std_ratio * jnp.sqrt(var)
-    return pos & (means < threshold)
+    return outlier_keep_from_means(means, means > 0.0, std_ratio)
 
 
 @partial(jax.jit, static_argnames=("k", "query_block", "key_block"))
@@ -221,14 +239,4 @@ def statistical_outlier_mask(
     means = knn_mean_distances(
         points, valid, k=k, query_block=query_block, key_block=key_block
     )
-    # Open3D: every point with a non-empty neighbour search counts toward
-    # the denominator, but only means > 0 contribute to the sums, and the
-    # keep test requires mean > 0 (coincident-duplicate clusters drop).
-    nvalid = jnp.sum(valid.astype(jnp.int32))
-    pos = valid & (means > 0.0)
-    denom = jnp.maximum(nvalid, 1)
-    cloud_mean = jnp.sum(jnp.where(pos, means, 0.0)) / denom
-    sq = jnp.where(pos, (means - cloud_mean) ** 2, 0.0)
-    var = jnp.sum(sq) / jnp.maximum(nvalid - 1, 1)
-    threshold = cloud_mean + std_ratio * jnp.sqrt(var)
-    return pos & (means < threshold)
+    return outlier_keep_from_means(means, valid & (means > 0.0), std_ratio)

@@ -4,7 +4,9 @@ Used by the high-resolution config ("1024² tiled depth inference +
 voxel-grid downsample to 1M points", BASELINE.json config 4). Open3D's
 ``voxel_down_sample(voxel_size)`` averages the positions (and colors) of
 all points falling in each occupied voxel, where the voxel index is
-``floor((p - min_bound) / voxel_size)``.
+``floor((p - (min_bound - voxel_size/2)) / voxel_size)`` — Open3D
+centers the grid half a voxel below the min bound
+(``VoxelDownSample``'s ``voxel_min_bound``).
 
 XLA needs static shapes, so the result is returned as fixed-capacity
 buffers plus a validity mask: sort points by voxel key, detect segment
@@ -49,7 +51,8 @@ def voxel_downsample(
 
     vsize = jnp.asarray(voxel_size, jnp.float32)
     minb = jnp.min(jnp.where(valid[:, None], p, jnp.inf), axis=0)
-    idx3 = jnp.floor((p - minb) / vsize).astype(jnp.int32)
+    # Open3D's grid origin sits half a voxel below the min bound.
+    idx3 = jnp.floor((p - (minb - 0.5 * vsize)) / vsize).astype(jnp.int32)
     # Collision-free linear key within the occupied bounding grid (int32:
     # requires total occupied-grid cells < 2^31, ample for point clouds).
     dims = jnp.max(jnp.where(valid[:, None], idx3, 0), axis=0) + 1

@@ -97,13 +97,9 @@ def _proc_hw(h: int, w: int) -> tuple[int, int]:
 
 def _outlier_mask_from_means(means: jax.Array) -> jax.Array:
     """Batched Open3D threshold rule on (B, N) mean kNN distances."""
-    n = means.shape[-1]
-    pos = means > 0.0
-    cloud_mean = jnp.sum(jnp.where(pos, means, 0.0), axis=-1, keepdims=True) / n
-    sq = jnp.where(pos, (means - cloud_mean) ** 2, 0.0)
-    var = jnp.sum(sq, axis=-1, keepdims=True) / max(n - 1, 1)
-    threshold = cloud_mean + 2.0 * jnp.sqrt(var)
-    return pos & (means < threshold)
+    from image_to_pointcloud_tpu.ops.outlier import outlier_keep_from_means
+
+    return outlier_keep_from_means(means, means > 0.0, 2.0, axis=-1)
 
 
 def depth_to_packed_points(

@@ -2,8 +2,10 @@
 
 The reference persists nothing (jobs and models live in process memory,
 SURVEY.md §5). The framework checkpoints model params — and, for
-fine-tuning, optimizer state — with Orbax, sharding-aware on restore:
-params land directly on the mesh placement the trainer uses.
+fine-tuning, optimizer state — with Orbax. Restore lands on host memory;
+pass ``mesh`` to :func:`restore_params` to place the tree straight onto
+the trainer's TP/replicated shardings afterwards (host→shard device_put,
+never staging the full tree on a single device).
 """
 
 from __future__ import annotations
@@ -34,5 +36,12 @@ def restore_checkpoint(path: str) -> dict:
     return _checkpointer().restore(str(Path(path).resolve()))
 
 
-def restore_params(path: str) -> Any:
-    return restore_checkpoint(path)["params"]
+def restore_params(path: str, mesh: Any = None) -> Any:
+    """Params from a checkpoint; with ``mesh``, placed per the TP rules
+    (parallel.sharding.shard_params) directly from host memory."""
+    params = restore_checkpoint(path)["params"]
+    if mesh is not None:
+        from image_to_pointcloud_tpu.parallel.sharding import shard_params
+
+        params = shard_params(params, mesh)
+    return params

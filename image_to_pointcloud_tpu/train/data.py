@@ -38,6 +38,7 @@ def prefetch_to_device(
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def put(batch):
         if callable(sharding):
@@ -50,23 +51,49 @@ def prefetch_to_device(
             )
         return jax.tree_util.tree_map(jax.device_put, batch)
 
+    def enqueue(item) -> bool:
+        # Bounded put with a stop check: if the consumer abandons the
+        # iterator (early break / error), a plain q.put would block this
+        # thread forever, pinning `size` device-staged batches for the
+        # process lifetime.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for b in batches:
-                q.put(put(b))
+                if not enqueue(put(b)):
+                    return
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — surfaced to consumer
             err.append(e)
         finally:
-            q.put(_END)
+            enqueue(_END)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Generator close/GC (GeneratorExit lands here): release the
+        # worker and drop any staged batches so their HBM frees.
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def synthetic_depth_batches(

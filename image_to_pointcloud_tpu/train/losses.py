@@ -40,14 +40,33 @@ def _lsq_align(pred, target, m, eps=1e-6):
     return s * pred + b
 
 
-def affine_invariant_loss(pred, target, mask=None):
-    """MiDaS-style scale/shift-invariant MAE per image."""
+def affine_invariant_loss(pred, target, mask=None, trim: float = 0.2):
+    """MiDaS-style scale/shift-invariant trimmed MAE per image.
+
+    After least-squares alignment, the worst ``trim`` fraction of valid
+    residuals per image is discarded (MiDaS Eq. 6 trims 20%) so
+    heavy-tailed label noise doesn't dominate the gradient. ``trim=0``
+    recovers the plain masked MAE.
+    """
     if mask is None:
         mask = jnp.ones_like(pred, bool)
     m = mask.astype(jnp.float32)
     aligned = _lsq_align(pred, target, m)
-    n = jnp.maximum(m.sum(axis=(-2, -1)), 1.0)
-    return jnp.mean((jnp.abs(aligned - target) * m).sum(axis=(-2, -1)) / n)
+    res = jnp.abs(aligned - target) * m
+    if trim <= 0.0:
+        n = jnp.maximum(m.sum(axis=(-2, -1)), 1.0)
+        return jnp.mean(res.sum(axis=(-2, -1)) / n)
+    b = res.shape[0]
+    flat = res.reshape(b, -1)
+    mflat = m.reshape(b, -1)
+    nvalid = mflat.sum(axis=-1)
+    # Keep the floor((1-trim)·nvalid) smallest valid residuals: invalid
+    # pixels sort to +inf, so the ascending prefix is valid-only.
+    order = jnp.sort(jnp.where(mflat > 0, flat, jnp.inf), axis=-1)
+    keep_n = jnp.floor((1.0 - trim) * nvalid).astype(jnp.int32)
+    idx = jnp.arange(flat.shape[-1])[None, :]
+    kept = jnp.where(idx < keep_n[:, None], order, 0.0)
+    return jnp.mean(kept.sum(axis=-1) / jnp.maximum(keep_n, 1))
 
 
 def gradient_matching_loss(pred, target, mask=None, scales: int = 4):
@@ -57,8 +76,15 @@ def gradient_matching_loss(pred, target, mask=None, scales: int = 4):
     total = 0.0
     p, t, m = pred, target, mask.astype(jnp.float32)
     for _ in range(scales):
-        dx = jnp.abs(jnp.diff(p - t, axis=-1)) * m[..., :, 1:]
-        dy = jnp.abs(jnp.diff(p - t, axis=-2)) * m[..., 1:, :]
+        # A diff is valid only when BOTH endpoint pixels are (MiDaS
+        # multiplies both masks): one-sided masking would let invalid
+        # target values leak into the loss at every validity boundary.
+        dx = jnp.abs(jnp.diff(p - t, axis=-1)) * (
+            m[..., :, 1:] * m[..., :, :-1]
+        )
+        dy = jnp.abs(jnp.diff(p - t, axis=-2)) * (
+            m[..., 1:, :] * m[..., :-1, :]
+        )
         n = jnp.maximum(m.sum(axis=(-2, -1)), 1.0)
         total = total + jnp.mean(
             (dx.sum(axis=(-2, -1)) + dy.sum(axis=(-2, -1))) / n

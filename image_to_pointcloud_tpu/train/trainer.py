@@ -68,6 +68,18 @@ class Trainer:
     ):
         self.mesh = mesh
         self.cfg = cfg
+        if cfg.remat:
+            # Per-block remat (nn.remat on each encoder Block): live
+            # activations bound to one block, and only that block is
+            # recomputed — not a jax.checkpoint around the whole apply,
+            # which would recompute the full encoder+neck as one segment
+            # for the worst FLOPs/memory trade.
+            model_cfg = DepthAnythingConfig(
+                backbone=dataclasses.replace(
+                    model_cfg.backbone, remat_blocks=True
+                ),
+                neck=model_cfg.neck,
+            )
         self.model = DepthAnything(model_cfg)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
@@ -81,15 +93,11 @@ class Trainer:
 
     def _build_step(self):
         loss_fn = _loss_fn_for(self.cfg)
-        model = self.model
+        model = self.model  # remat, if on, lives inside the blocks
         tx = self.tx
-        remat = self.cfg.remat
 
         def forward(params, pixels):
-            f = model.apply
-            if remat:
-                f = jax.checkpoint(f)
-            return f({"params": params}, pixels)
+            return model.apply({"params": params}, pixels)
 
         def step(params, opt_state, pixels, target, mask):
             def objective(p):

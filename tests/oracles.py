@@ -72,8 +72,11 @@ def statistical_outlier_mask_np(
     dists, _ = tree.query(pts, k=nb_neighbors)  # includes self at d=0
     means = dists.mean(axis=1)
     pos = means > 0
-    cloud_mean = means[pos].sum() / n
+    # Open3D's denominators are valid_distances = count_if(mean > 0),
+    # NOT the cloud size (PointCloud.cpp RemoveStatisticalOutliers).
+    nv = max(int(pos.sum()), 1)
+    cloud_mean = means[pos].sum() / nv
     sq_sum = ((means[pos] - cloud_mean) ** 2).sum()
-    std = np.sqrt(sq_sum / (n - 1))
+    std = np.sqrt(sq_sum / max(nv - 1, 1))
     threshold = cloud_mean + std_ratio * std
     return pos & (means < threshold)

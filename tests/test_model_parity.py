@@ -113,6 +113,13 @@ def test_flash_attention_matches_xla(rng):
         flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
     )
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+    # block_q not dividing the block_k-padded length (regression: the
+    # query grid used floor division and dropped the tail tiles, leaving
+    # uninitialized rows in the output).
+    mixed = np.asarray(
+        flash_attention(q, k, v, block_q=96, block_k=128, interpret=True)
+    )
+    np.testing.assert_allclose(mixed, ref, atol=2e-5)
 
 
 class TestQuantized:

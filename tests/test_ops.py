@@ -143,6 +143,18 @@ class TestOutlier:
         ref = statistical_outlier_mask_np(pts, 20, 2.0)
         assert (ours == ref).mean() > 0.998  # f32-vs-f64 boundary ties only
 
+    def test_coincident_cluster_denominator(self, rng):
+        """A cluster of >=k coincident points (mean kNN distance 0) must
+        be excluded from BOTH the sums and the denominators — Open3D's
+        valid_distances = count_if(mean > 0) (regression: we divided by
+        the cloud size, deflating the threshold)."""
+        pts = rng.normal(0, 1, (400, 3)).astype(np.float32)
+        pts[:25] = pts[0]  # 25 exactly coincident points (k=20 < 25)
+        ours = np.asarray(ops.statistical_outlier_mask(pts, k=20, std_ratio=2.0))
+        ref = statistical_outlier_mask_np(pts, 20, 2.0)
+        assert not ours[:25].any()  # coincident cluster always drops
+        assert (ours == ref).mean() > 0.995
+
     def test_mean_distances(self, rng):
         from scipy.spatial import cKDTree
 
@@ -168,8 +180,9 @@ class TestVoxel:
         op, oc = np.asarray(op)[:cnt], np.asarray(oc)[:cnt]
         assert bool(np.asarray(ovalid)[:cnt].all())
 
-        # Oracle: group by voxel index, average.
-        idx = np.floor((pts - pts.min(axis=0)) / 0.5).astype(np.int64)
+        # Oracle: group by voxel index, average (Open3D origin: half a
+        # voxel below the min bound).
+        idx = np.floor((pts - (pts.min(axis=0) - 0.25)) / 0.5).astype(np.int64)
         keys = [tuple(i) for i in idx]
         groups = {}
         for i, k in enumerate(keys):
