@@ -60,12 +60,21 @@ export async function fetchStatus(jobId) {
  *  with the final job object (completed) or rejects (error). */
 export function pollJob(jobId, onProgress) {
   return new Promise((resolve, reject) => {
+    let failures = 0;
     const tick = async () => {
       let job;
       try {
         job = await fetchStatus(jobId);
+        failures = 0;
       } catch (e) {
-        reject(e);
+        // One dropped connection must not abandon a job that is still
+        // running server-side; give transient hiccups a few ticks.
+        failures += 1;
+        if (failures >= 4) {
+          reject(e);
+          return;
+        }
+        setTimeout(tick, POLL_MS);
         return;
       }
       onProgress?.(job);

@@ -62,7 +62,6 @@ function setStep(which, cls) {
     const li = document.querySelector(`[data-step="${name}"]`);
     if (i < idx) li.classList.add("done");
     else if (i === idx) li.classList.add(cls || "active");
-    else if (cls === "done" && i <= idx) li.classList.add("done");
   });
 }
 
@@ -193,6 +192,7 @@ function handleFile(file) {
   setProgress(0, "");
   updateStats(null);
   depthView.setImage(null);
+  depthViewFull.setImage(null); // fullscreen modal must not keep A's map after uploading B
   viewer.clearScene();
 }
 

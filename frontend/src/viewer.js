@@ -129,12 +129,28 @@ export class Viewer {
   // ---------- content ----------
 
   clearScene() {
+    this._disposeContent();
+  }
+
+  // GPU buffers must be explicitly freed when content is replaced —
+  // regenerating large clouds would otherwise leak multi-MB buffers per
+  // click until the WebGL context is lost (App.jsx disposes geometry in
+  // clearScene for the same reason).
+  _disposeContent() {
+    const gl = this.gl;
+    for (const obj of [this.points, this.mesh]) {
+      if (!obj) continue;
+      for (const k of ["posBuf", "colBuf", "normBuf", "idxBuf", "edgeBuf"]) {
+        if (obj[k]) gl.deleteBuffer(obj[k]);
+      }
+    }
     this.points = null;
     this.mesh = null;
   }
 
   setPointCloud(positions, colors) {
     const gl = this.gl;
+    this._disposeContent();
     const n = (positions.length / 3) | 0;
     const bbox = computeBBox(positions);
     this.points = {
@@ -143,12 +159,12 @@ export class Viewer {
       count: n,
       bbox,
     };
-    this.mesh = null;
     this.frameBBox(bbox, 1.8); // App.jsx:486-573 framing factor
   }
 
   setMesh({ positions, normals, colors, indices }) {
     const gl = this.gl;
+    this._disposeContent();
     const bbox = computeBBox(positions);
     // Edge index buffer for the wireframe toggle.
     const edges = new Uint32Array(indices.length * 2);
@@ -166,7 +182,6 @@ export class Viewer {
       edgeCount: edges.length,
       bbox,
     };
-    this.points = null;
     this.frameBBox(bbox, 2.5); // mesh framing factor (App.jsx displayMeshData)
   }
 
@@ -259,6 +274,11 @@ export class Viewer {
 
   _buildHelpers(halfExtent) {
     const gl = this.gl;
+    if (this._helpers) {
+      gl.deleteBuffer(this._helpers.posBuf);
+      gl.deleteBuffer(this._helpers.colBuf);
+      this._helpers = null;
+    }
     const verts = [], cols = [];
     const n = 10, step = halfExtent / n;
     const cGrid = [0.16, 0.18, 0.24], cMid = [0.28, 0.3, 0.38];

@@ -64,7 +64,18 @@ def _out_path(args, src: Path, ext: str, multi: bool) -> Path:
     out = Path(args.output)
     if multi or out.is_dir():
         out.mkdir(parents=True, exist_ok=True)
-        return out / (src.stem + ext)
+        cand = out / (src.stem + ext)
+        # Inputs sharing a stem (dir1/0001.png dir2/0001.png) must not
+        # silently clobber each other in the output directory.
+        used = getattr(args, "_assigned_outputs", None)
+        if used is None:
+            used = args._assigned_outputs = set()
+        n = 1
+        while cand in used:
+            cand = out / f"{src.stem}_{n}{ext}"
+            n += 1
+        used.add(cand)
+        return cand
     return out
 
 
@@ -230,6 +241,15 @@ def cmd_metric(args) -> int:
     mp = MetricPipeline(base.cfg, base.params, model_target=base.model_target)
     paths = [Path(p) for p in args.images]
     multi = len(paths) > 1
+    if args.fx is None and any(
+        v is not None for v in (args.fy, args.cx, args.cy)
+    ):
+        print(
+            "error: --fy/--cx/--cy require --fx (otherwise the FOV "
+            "heuristic would silently discard them)",
+            file=sys.stderr,
+        )
+        return 2
     for src, im in zip(paths, _decode_all(paths)):
         h, w = im.shape[:2]
         if args.fx is not None:

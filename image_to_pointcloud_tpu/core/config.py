@@ -111,7 +111,13 @@ def load_config(
         if f.name in ("defaults", "v2"):
             continue
         if f.name in data:
-            top[f.name] = data[f.name]
+            v = data[f.name]
+            # JSON values get the same coercion as env strings: a config
+            # file {"port": "8000"} must not smuggle a str port that
+            # crashes at socket bind instead of here.
+            top[f.name] = (
+                _coerce(v, getattr(cfg, f.name)) if isinstance(v, str) else v
+            )
         env_key = "IPC_TPU_" + f.name.upper()
         if env_key in env:
             top[f.name] = _coerce(env[env_key], getattr(cfg, f.name))

@@ -25,7 +25,16 @@ __all__ = ["plan_tiles", "extract_tiles", "blend_tiles"]
 
 
 def plan_tiles(h: int, w: int, tile: int, overlap: int) -> list[tuple[int, int]]:
-    """Top-left corners of overlapping tiles covering (h, w)."""
+    """Top-left corners of overlapping tiles covering (h, w).
+
+    Requires ``0 <= overlap < tile <= min(h, w)`` — callers clamp
+    (HighResPipeline does); an overlap >= tile would plan a
+    zero/negative stride and silently leave most of the image uncovered.
+    """
+    if tile <= 0 or not 0 <= overlap < tile:
+        raise ValueError(f"need 0 <= overlap < tile, got tile={tile} overlap={overlap}")
+    if tile > h or tile > w:
+        raise ValueError(f"tile {tile} exceeds image {h}x{w}; clamp it first")
     stride = tile - overlap
 
     def axis(n):

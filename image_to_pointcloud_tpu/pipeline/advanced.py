@@ -144,7 +144,11 @@ class HighResPipeline:
         self.overlap = overlap
         self.model_target = model_target
         if quantized_transfer is None:
-            quantized_transfer = jax.default_backend() != "cpu"
+            from image_to_pointcloud_tpu.pipeline.graph import (
+                default_quantized_transfer,
+            )
+
+            quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
         self._compiled: dict = {}
 
@@ -152,8 +156,13 @@ class HighResPipeline:
         key = (h, w, step)
         if key in self._compiled:
             return self._compiled[key]
-        corners = plan_tiles(h, w, self.tile, self.overlap)
-        mh, mw = processor_output_size(self.tile, self.tile, self.model_target)
+        # Clamp to the image: a 640x480 photo with the default 518 tile
+        # must tile at 480 (a dynamic_slice larger than the operand is an
+        # error), and overlap must stay below the tile size.
+        tile = min(self.tile, h, w)
+        overlap = max(0, min(self.overlap, tile - 1))
+        corners = plan_tiles(h, w, tile, overlap)
+        mh, mw = processor_output_size(tile, tile, self.model_target)
         ah, aw = processor_output_size(h, w, self.model_target)
 
         @jax.jit
@@ -168,11 +177,11 @@ class HighResPipeline:
             ]
 
             # All tiles as one batch (DP over chips when mesh-sharded).
-            tiles = extract_tiles(img, corners, self.tile)
+            tiles = extract_tiles(img, corners, tile)
             xt = preprocess_for_model(tiles, (mh, mw))
             td = self.model.apply({"params": params}, xt)  # (T, mh, mw)
             td = resize_batched(
-                td[:, :, :, None], (self.tile, self.tile), "linear"
+                td[:, :, :, None], (tile, tile), "linear"
             )[:, :, :, 0]
 
             depth = blend_tiles(td, corners, (h, w), anchor=anchor)
@@ -271,7 +280,11 @@ class VideoPipeline:
         self.params = params
         self.model_target = model_target
         if quantized_transfer is None:
-            quantized_transfer = jax.default_backend() != "cpu"
+            from image_to_pointcloud_tpu.pipeline.graph import (
+                default_quantized_transfer,
+            )
+
+            quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
         self._compiled: dict = {}
 
@@ -351,21 +364,19 @@ class VideoPipeline:
                     np.concatenate([c for _, c in parts]),
                 )
 
-            # Host-side exact unprojection (reference math,
-            # backend/app.py:218-244), colors from the host's frames.
-            dn = d16.astype(np.float32) * np.float32(1.0 / 65535.0)
-            z = dn * np.float32(depth_scale)
-            zs = np.where(z != 0.0, z, np.float32(1e-6))
-            u = (np.arange(ww, dtype=np.float32) * step - cx)[None, None, :]
-            v = (np.arange(hh, dtype=np.float32) * step - cy)[None, :, None]
-            pts = np.stack(
-                [
-                    (u * zs / f).reshape(tt * n),
-                    (v * zs / f).reshape(tt * n),
-                    z.reshape(tt * n),
-                ],
-                axis=1,
+            # Shared host half of the depth16 contract (one
+            # implementation with DepthPipeline.collect).
+            from image_to_pointcloud_tpu.pipeline.graph import depth16_to_xyz
+
+            xyz = depth16_to_xyz(
+                d16,
+                np.full((tt,), depth_scale, np.float32),
+                step=step,
+                f=float(f),
+                cx=float(cx),
+                cy=float(cy),
             )
+            pts = xyz.transpose(0, 2, 1).reshape(tt * n, 3)
             cols = (
                 frames_rgb_u8[:, ::step, ::step, :]
                 .reshape(tt * n, 3)

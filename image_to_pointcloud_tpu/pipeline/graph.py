@@ -78,6 +78,45 @@ class PipelineResult:
     grid_hw: tuple[int, int] | None = None  # strided grid shape (hh, ww)
 
 
+def default_quantized_transfer() -> bool:
+    """Depth16-style transfer default: worth it on accelerators
+    (device→host bandwidth bound); on CPU the copy is free and f32
+    keeps tests bit-simple. Shared by DepthPipeline and the advanced
+    pipelines."""
+    return jax.default_backend() != "cpu"
+
+
+def depth16_to_xyz(
+    d16: np.ndarray,
+    depth_scales: np.ndarray,
+    *,
+    step: int,
+    f: float,
+    cx: float,
+    cy: float,
+) -> np.ndarray:
+    """Host half of the depth16 contract: (B, hh, ww) u16 quantized
+    normalized depth → (B, 3, hh·ww) f32 XYZ, exact reference math
+    (backend/app.py:218-244 incl. the z==0 epsilon asymmetry). ONE
+    implementation — DepthPipeline.collect and VideoPipeline both call
+    this; keep it bit-identical to ops.unproject's device math."""
+    b, hh, ww = d16.shape
+    n = hh * ww
+    dn = d16.astype(np.float32) * np.float32(1.0 / 65535.0)
+    z = dn * np.asarray(depth_scales, np.float32).reshape(b, 1, 1)
+    zs = np.where(z != 0.0, z, np.float32(1e-6))
+    u = (np.arange(ww, dtype=np.float32) * step - np.float32(cx))[None, None, :]
+    v = (np.arange(hh, dtype=np.float32) * step - np.float32(cy))[None, :, None]
+    return np.stack(
+        [
+            (u * zs / np.float32(f)).reshape(b, n),
+            (v * zs / np.float32(f)).reshape(b, n),
+            z.reshape(b, n),
+        ],
+        axis=1,
+    )
+
+
 def _preview_hw(h: int, w: int) -> tuple[int, int]:
     m = max(h, w)
     if m <= DEPTH_PREVIEW_MAX:
@@ -167,9 +206,7 @@ class DepthPipeline:
         self.model = DepthAnything(cfg)
         self.model_target = model_target
         if quantized_transfer is None:
-            # Worth it on accelerators (device→host bandwidth bound); on CPU
-            # the copy is free and f32 keeps tests bit-simple.
-            quantized_transfer = jax.default_backend() != "cpu"
+            quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
         self._compiled: dict[tuple, Callable] = {}
         # Multi-chip serving: place params per the megatron TP rules over
@@ -593,17 +630,8 @@ class DepthPipeline:
                     .astype(np.float32)
                 )
 
-            # Host-side exact unprojection from the quantized depth
-            # (reference math, backend/app.py:218-244).
-            dn = d16.astype(np.float32) * np.float32(1.0 / 65535.0)
-            z = dn * depth_scales[:, None, None].astype(np.float32)
-            zs = np.where(z != 0.0, z, np.float32(1e-6))
-            u = (np.arange(ww, dtype=np.float32) * step - cx)[None, None, :]
-            v = (np.arange(hh, dtype=np.float32) * step - cy)[None, :, None]
-            x = u * zs / f
-            y = v * zs / f
-            xyz = np.stack(
-                [x.reshape(b, n), y.reshape(b, n), z.reshape(b, n)], axis=1
+            xyz = depth16_to_xyz(
+                d16, depth_scales, step=step, f=f, cx=cx, cy=cy
             )
             for i in range(b):
                 keep = keep_all[i]

@@ -66,6 +66,24 @@ class TestHighRes:
         assert len(pts) == len(cols) and pts.shape[1] == 3
         assert np.isfinite(pts).all()
 
+    def test_image_smaller_than_tile(self, rng):
+        """Images with a dimension below the configured tile size must
+        clamp the tile instead of issuing an oversized dynamic_slice
+        (regression: 640x480-class photos crashed the highres path)."""
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.advanced import HighResPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        pipe = HighResPipeline(
+            model.cfg, variables["params"], tile=200, overlap=300,  # both oversized
+            model_target=56,
+        )
+        img = rng.integers(0, 256, (84, 126, 3), dtype=np.uint8)
+        pts, cols = pipe.run(img, step=2, voxel_budget=None)
+        assert len(pts) == 42 * 63
+        assert np.isfinite(pts).all()
+
     def test_voxel_budget_respected(self, rng):
         from test_model_parity import _build_pair
 
