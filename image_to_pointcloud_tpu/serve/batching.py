@@ -111,13 +111,27 @@ class BatchingQueue:
             from image_to_pointcloud_tpu.serve.metrics import BATCH_SIZE
 
             BATCH_SIZE.observe(len(items))
+            # Pad to the next power-of-two bucket: every distinct batch
+            # size is its own XLA graph signature (minutes per compile on
+            # a remote-relay TPU), and arrival timing would otherwise
+            # produce an unbounded spread of sizes. Buckets cap the
+            # compile count at log2(max_batch)+1; padded rows repeat the
+            # last image and their results are dropped.
+            n = len(items)
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            images = [i.image for i in items]
+            scales = [i.depth_scale for i in items]
+            images += [images[-1]] * (bucket - n)
+            scales += [scales[-1]] * (bucket - n)
             try:
                 results = await loop.run_in_executor(
                     None,
-                    lambda items=items, options=options: self.pipeline.run_batch(
-                        [i.image for i in items],
-                        depth_scales=[i.depth_scale for i in items],
-                        options=options,
+                    lambda images=images, scales=scales, options=options: (
+                        self.pipeline.run_batch(
+                            images, depth_scales=scales, options=options
+                        )
                     ),
                 )
                 for item, res in zip(items, results):

@@ -237,6 +237,9 @@ class TestBatchingQueue:
 
         asyncio.run(run())
         assert max(calls) >= 4  # most requests coalesced into one dispatch
+        # Dispatched batch sizes are power-of-two buckets: arbitrary
+        # arrival counts must not each compile their own graph signature.
+        assert all(c & (c - 1) == 0 for c in calls), calls
 
     def test_close_cancels_in_flight(self, rng):
         """close() must also cancel items the worker has already dequeued
