@@ -184,11 +184,19 @@ class V1Service:
 
         pipeline = self.models.get(model_name)
         self.loaded_model_names.add(model_name)
+        # Warm every power-of-two micro-batch bucket per size (the
+        # batching queue only dispatches bucket sizes), so concurrent
+        # traffic never hits a cold compile either.
+        buckets = [1, 2, 4, 8]
         for h, w in self.warmup_sizes:
-            logger.info("Warmup compile %dx%d", h, w)
-            img = _np.zeros((h, w, 3), _np.uint8)
-            pipeline.run(img, options=PipelineOptions())
-        logger.info("Warmup complete (%d signatures)", len(self.warmup_sizes))
+            for b in buckets:
+                logger.info("Warmup compile %dx%d batch=%d", h, w, b)
+                imgs = _np.zeros((b, h, w, 3), _np.uint8)
+                pipeline.run_batch(imgs, options=PipelineOptions())
+        logger.info(
+            "Warmup complete (%d signatures)",
+            len(self.warmup_sizes) * len(buckets),
+        )
 
     # ---------- pipeline task ----------
 
