@@ -166,6 +166,11 @@ def main() -> None:
 
     baseline_img_s = 0.4  # reference's claimed 2-3 s/image
     dev_part = f", device_graph_peak={dev_tp:.1f} img/s" if dev_tp else ""
+    if forced_cpu:
+        # The TPU relay was unreachable when this run started; this is
+        # the CPU fallback, not the chip's number (see
+        # benchmarks/RESULTS.md for TPU measurements).
+        dev_part += ", tpu_relay_unreachable_at_run_time"
     print(
         json.dumps(
             {
