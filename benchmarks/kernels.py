@@ -39,7 +39,15 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # The env var alone does not override this rig's preset axon
+        # platform; honor it explicitly so the published CPU regression
+        # table is reproducible.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from image_to_pointcloud_tpu.utils.cache import enable_persistent_cache

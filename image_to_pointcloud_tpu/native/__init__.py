@@ -148,7 +148,12 @@ def reconstruct_points(
     hh, ww = d16.shape
     d16 = np.ascontiguousarray(d16, np.uint16)
     keep_u8 = np.ascontiguousarray(keep, np.uint8)
-    assert rgb.dtype == np.uint8 and rgb.strides[2] == 1
+    rgb = np.asarray(rgb)
+    if rgb.dtype != np.uint8 or rgb.strides[2] != 1:
+        # The C kernel handles arbitrary row/col strides but needs the
+        # channel axis contiguous; copy rather than assert (backends
+        # differ in the strides np.asarray hands back).
+        rgb = np.ascontiguousarray(rgb, np.uint8)
     out_xyz = np.empty((hh * ww, 3), np.float32)
     out_rgb = np.empty((hh * ww, 3), np.float32)
     m = lib.ipc_reconstruct(
