@@ -137,7 +137,7 @@ def main() -> None:
         payload = pipe.pack_payload(
             imgs, np.full((batch,), 10.0, np.float32)
         )
-        dev_payload = jax.device_put(jnp.asarray(payload))
+        dev_payload = jax.device_put(payload)
         _, p = fn(pipe.params, dev_payload)
         np.asarray(p)  # warm
         probes: deque = deque()

@@ -27,7 +27,6 @@ client's fov.
 from __future__ import annotations
 
 import asyncio
-import json
 import logging
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -456,18 +455,10 @@ class V1Service:
             job = svc.jobs.get(req.path_params["job_id"])
             if job is None:
                 raise HTTPError(404, "Job not found")
-            # Terminal jobs never change: serialize the multi-MB body
-            # (inline 20k-point preview) ONCE and serve cached bytes —
-            # re-dumping it cost ~126 ms of the single host core per
-            # poll. extra is not journaled, so the cache stays in RAM
-            # and dies with the job.
             if job.status in (JobStatus.COMPLETED, JobStatus.ERROR):
-                body = job.extra.get("_status_body")
-                if body is None:
-                    body = json.dumps(job.to_v1()).encode()
-                    job.extra["_status_body"] = body
                 return Response(
-                    headers={"content-type": "application/json"}, body=body
+                    headers={"content-type": "application/json"},
+                    body=job.terminal_body(job.to_v1),
                 )
             return json_response(job.to_v1())
 

@@ -318,14 +318,10 @@ class V2Service:
             job = svc.jobs.get(req.path_params["job_id"])
             if job is None:
                 raise HTTPError(404, "Job not found")
-            # Terminal bodies are immutable — serialize once (see v1).
             if job.status in (JobStatus.COMPLETED, JobStatus.ERROR):
-                body = job.extra.get("_status_body")
-                if body is None:
-                    body = json.dumps(job.to_v2()).encode()
-                    job.extra["_status_body"] = body
                 return Response(
-                    headers={"content-type": "application/json"}, body=body
+                    headers={"content-type": "application/json"},
+                    body=job.terminal_body(job.to_v2),
                 )
             return json_response(job.to_v2())
 

@@ -55,6 +55,21 @@ class Job:
     model: str = ""
     extra: dict = field(default_factory=dict)
 
+    def terminal_body(self, render) -> bytes:
+        """Cached JSON encoding of a terminal job's status payload.
+
+        Terminal bodies are immutable and can be multi-MB (the inline
+        20k-point preview), so both API generations serialize them once
+        (~126 ms of host core measured per re-dump) and serve cached
+        bytes. Lives in ``extra`` — not journaled, dies with the job.
+        ``render`` is ``to_v1``/``to_v2``-style (called only on miss).
+        """
+        body = self.extra.get("_status_body")
+        if body is None:
+            body = json.dumps(render()).encode()
+            self.extra["_status_body"] = body
+        return body
+
     def to_v1(self) -> dict:
         return {
             "job_id": self.job_id,
