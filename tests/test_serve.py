@@ -203,6 +203,50 @@ class TestV1:
         vert = read_ply(d.content)["vertex"]
         assert len(vert) == res["pointCloud"]["points"]
 
+    def test_process_params_query_and_form(self, v1_server):
+        """PARITY.md deviation 9: the reference declares settings as
+        query params (backend/app.py:611-620) but its frontend sends
+        form fields (App.jsx:953-962), which FastAPI drops. We honor
+        both, form over query — assert via the gisData param echo
+        (backend/app.py:391-417 key contract)."""
+        png = _test_image_png()
+
+        def run(params=None, form=None):
+            files = {"file": ("t.png", png, "image/png")}
+            r = httpx.post(
+                f"{v1_server}/process",
+                params=params,
+                data=form,
+                files=files,
+                timeout=60,
+            )
+            assert r.status_code == 200
+            final = _poll(v1_server, r.json()["job_id"])
+            assert final["status"] == "completed", final["message"]
+            return final["results"]["gisData"]
+
+        settings = {
+            "output_format": "ply",
+            "point_density": "low",
+            "coordinate_system": "UTM",
+            "depth_scale": "25",
+        }
+        # Query-only (reference's documented contract) is honored.
+        g = run(params=settings)
+        assert g["coordinateSystem"] == "UTM"
+        assert g["depthScale"] == 25.0 and g["pointDensity"] == "low"
+        # Form-only (what the reference frontend actually sends) is
+        # honored too — in the reference these are silently dropped.
+        g = run(form=settings)
+        assert g["coordinateSystem"] == "UTM"
+        assert g["depthScale"] == 25.0 and g["pointDensity"] == "low"
+        # Form fields win over conflicting query params.
+        g = run(
+            params={**settings, "depth_scale": "10"},
+            form={"depth_scale": "25"},
+        )
+        assert g["depthScale"] == 25.0
+
     def test_concurrent_requests_all_complete(self, v1_server):
         """Eight simultaneous POSTs (same image size) are micro-batched
         onto the accelerator and every job completes with points."""
