@@ -23,32 +23,72 @@ import numpy as np
 
 def main() -> None:
     # The remote TPU backend on this rig can hang outright — at backend
-    # init or at the first compile. Arm a watchdog BEFORE touching jax:
-    # if warmup hasn't completed by the deadline, re-exec forced to CPU
-    # so the round records a labeled number instead of timing out
-    # silently.
+    # init, at the first compile, or mid-run when the relay flaps. Arm a
+    # staged watchdog BEFORE touching jax so the round always records a
+    # labeled number inside the driver's 590 s budget:
+    #   attempt 1 (TPU): warmup deadline ~170 s, then re-exec a fresh
+    #   attempt 2 (TPU): relay stalls often clear within minutes, so one
+    #     retry converts a transient flap into a recorded TPU number;
+    #   CPU fallback last, only after both TPU attempts stalled (or a
+    #     post-warmup stall ate the remaining headroom).
     warmed = threading.Event()
+    done = threading.Event()
     forced_cpu = os.environ.get("IPC_BENCH_FORCED_CPU") == "1"
     no_fallback = os.environ.get("IPC_BENCH_NO_FALLBACK") == "1"
+    attempt = int(os.environ.get("IPC_BENCH_ATTEMPT", "1"))
+    # Wall-clock start of the FIRST attempt, carried across re-execs so
+    # every stage budgets against the driver's real remaining time.
+    start_ts = float(os.environ.get("IPC_BENCH_START_TS", str(time.time())))
+    budget = float(os.environ.get("IPC_BENCH_BUDGET_S", "560"))
+    cpu_reserve = 170.0  # CPU fallback measures ~80 s; keep 2x margin
+
+    def remaining() -> float:
+        return budget - (time.time() - start_ts)
+
+    def reexec(to_cpu: bool, why: str) -> None:
+        sys.stderr.write(f"bench: {why}\n")
+        sys.stderr.flush()
+        env = dict(os.environ)
+        env["IPC_BENCH_START_TS"] = str(start_ts)
+        if to_cpu:
+            env["JAX_PLATFORMS"] = "cpu"
+            env["IPC_BENCH_FORCED_CPU"] = "1"
+            # Preserve an explicit batch argument; default to 1 on CPU.
+            argv = [sys.executable, __file__, *(sys.argv[1:] or ["1"])]
+        else:
+            env["IPC_BENCH_ATTEMPT"] = str(attempt + 1)
+            argv = [sys.executable, __file__, *sys.argv[1:]]
+        os.execve(sys.executable, argv, env)
+
     if not forced_cpu and not no_fallback:
-        # The relay's stalls often clear within minutes; with the
-        # driver's 590 s budget, waiting 400 s still leaves ~190 s for
-        # the CPU fallback run (~80 s measured).
-        deadline = float(os.environ.get("IPC_BENCH_COMPILE_DEADLINE_S", "400"))
+        warm_deadline = float(
+            os.environ.get("IPC_BENCH_COMPILE_DEADLINE_S", "170")
+        )
 
         def watchdog():
-            if not warmed.wait(deadline):
-                sys.stderr.write(
-                    f"bench: TPU init/warmup exceeded {deadline:.0f}s "
-                    "(backend or compile helper hung) — re-exec on CPU\n"
+            d1 = max(5.0, min(warm_deadline, remaining() - cpu_reserve))
+            if not warmed.wait(d1):
+                if attempt == 1 and remaining() > cpu_reserve + 60:
+                    reexec(
+                        False,
+                        f"TPU attempt 1 stalled in init/warmup after "
+                        f"{d1:.0f}s — re-exec TPU attempt 2",
+                    )
+                reexec(
+                    True,
+                    f"TPU attempt {attempt} stalled in init/warmup "
+                    f"after {d1:.0f}s — re-exec CPU fallback",
                 )
-                sys.stderr.flush()
-                env = dict(os.environ)
-                env["JAX_PLATFORMS"] = "cpu"
-                env["IPC_BENCH_FORCED_CPU"] = "1"
-                # Preserve an explicit batch argument; default to 1 on CPU.
-                argv = [sys.executable, __file__, *(sys.argv[1:] or ["1"])]
-                os.execve(sys.executable, argv, env)
+            # Warmup succeeded on the TPU; if the relay dies mid-run,
+            # still fall back while there is headroom to record a number.
+            # Floor of 60 s: a late warmup must not strangle a healthy
+            # run that only needs a few more seconds to finish.
+            if not done.wait(max(60.0, remaining() - cpu_reserve)):
+                reexec(
+                    True,
+                    "TPU run stalled after warmup (relay flap mid-run) "
+                    "— re-exec CPU fallback",
+                )
 
         threading.Thread(target=watchdog, daemon=True).start()
 
@@ -167,6 +207,7 @@ def main() -> None:
         # say why it vanished (the unit string simply omits device_graph).
         sys.stderr.write(f"bench: device_graph probe failed: {e!r}\n")
 
+    done.set()  # disarm the mid-run watchdog: measurement is complete
     baseline_img_s = 0.4  # reference's claimed 2-3 s/image
     dev_part = f", device_graph_peak={dev_tp:.1f} img/s" if dev_tp else ""
     if forced_cpu:
