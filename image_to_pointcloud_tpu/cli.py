@@ -365,6 +365,77 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_convert_ckpt(args) -> int:
+    """HF safetensors → Orbax checkpoint that serving loads directly.
+
+    Rehearses the reference's weight ingestion (backend/app.py:80-81
+    pulls depth-anything/Depth-Anything-V2-Small-hf from the hub) for an
+    air-gapped TPU host: download ``model.safetensors`` on any machine,
+    convert once here, then point ``IPC_TPU_CHECKPOINT_DIR`` at the
+    output root. Serving prefers ``<root>/<model>/orbax`` over on-load
+    safetensors conversion (serve/models.py:_load_params)."""
+    import jax
+    import numpy as np
+
+    from image_to_pointcloud_tpu.models import (
+        DepthAnything,
+        convert_depth_anything,
+        load_safetensors,
+        preset,
+    )
+    from image_to_pointcloud_tpu.train.checkpoint import save_checkpoint
+
+    cfg = preset(args.model)
+    src = Path(args.safetensors)
+    if src.is_dir():
+        src = src / "model.safetensors"
+    if not src.exists():
+        raise SystemExit(f"no such checkpoint: {src}")
+    sd = load_safetensors(str(src))
+    params = convert_depth_anything(sd, num_layers=cfg.backbone.num_layers)
+
+    # Shape-check against the architecture before writing anything: a
+    # checkpoint for the wrong family member should fail here, not at
+    # the first HTTP request.
+    model = DepthAnything(cfg)
+    expect = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
+        )["params"]
+    )
+    flat_e = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(expect)[0]
+    }
+    flat_g = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    if set(flat_e) != set(flat_g):
+        missing = sorted(set(flat_e) - set(flat_g))[:5]
+        extra = sorted(set(flat_g) - set(flat_e))[:5]
+        raise SystemExit(
+            f"checkpoint tree mismatch for {args.model}: "
+            f"missing={missing} extra={extra}"
+        )
+    bad = [
+        (k, flat_g[k].shape, flat_e[k].shape)
+        for k in flat_e
+        if tuple(flat_g[k].shape) != tuple(flat_e[k].shape)
+    ]
+    if bad:
+        raise SystemExit(f"checkpoint shape mismatch for {args.model}: {bad[:5]}")
+
+    out = Path(args.output) / args.model / "orbax"
+    save_checkpoint(str(out), params)
+    n = sum(int(np.prod(v.shape)) for v in flat_g.values())
+    print(
+        f"{src} -> {out}  ({len(flat_g)} tensors, {n/1e6:.1f}M params); "
+        f"serve with IPC_TPU_CHECKPOINT_DIR={args.output}"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="image_to_pointcloud_tpu",
@@ -452,6 +523,19 @@ def main(argv=None) -> int:
     pt.add_argument("--eval-every", type=int, default=0,
                     help="print depth metrics on a held-out batch every N steps")
     pt.set_defaults(fn=cmd_train)
+
+    pck = sub.add_parser(
+        "convert-ckpt",
+        help="HF safetensors weights → Orbax checkpoint for serving "
+        "(point IPC_TPU_CHECKPOINT_DIR at the output root)",
+    )
+    pck.add_argument("safetensors",
+                     help="model.safetensors file or its directory")
+    pck.add_argument("--model", default="depth-anything-v2")
+    pck.add_argument("-o", "--output", default="checkpoints",
+                     help="checkpoint root; weights land in "
+                     "<output>/<model>/orbax")
+    pck.set_defaults(fn=cmd_convert_ckpt)
 
     ps = sub.add_parser("serve", help="run the HTTP service",
                         add_help=False)

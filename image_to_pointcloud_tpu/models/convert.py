@@ -103,15 +103,19 @@ def convert_depth_anything(
         pre = f"neck.fusion_stage.layers.{j}"
         neck[f"fusion{j}"] = {
             "projection": _conv(sd, f"{pre}.projection"),
-            "res1": {
-                "conv1": _conv(sd, f"{pre}.residual_layer1.convolution1"),
-                "conv2": _conv(sd, f"{pre}.residual_layer1.convolution2"),
-            },
             "res2": {
                 "conv1": _conv(sd, f"{pre}.residual_layer2.convolution1"),
                 "conv2": _conv(sd, f"{pre}.residual_layer2.convolution2"),
             },
         }
+        if j > 0:
+            # HF DPT's first fusion layer carries residual_layer1 weights
+            # in the checkpoint but never applies them (no residual input
+            # at the deepest stage); the Flax tree rightly omits them.
+            neck[f"fusion{j}"]["res1"] = {
+                "conv1": _conv(sd, f"{pre}.residual_layer1.convolution1"),
+                "conv2": _conv(sd, f"{pre}.residual_layer1.convolution2"),
+            }
 
     neck["head_conv1"] = _conv(sd, "head.conv1")
     neck["head_conv2"] = _conv(sd, "head.conv2")

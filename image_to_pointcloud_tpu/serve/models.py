@@ -45,6 +45,7 @@ class ModelManager:
         use_flash_attention: bool | None = None,
         mesh: Any = None,
         int8: bool | None = None,
+        model_target: int = 518,
     ):
         self._cache: dict[str, DepthPipeline] = {}
         # One build at a time: a warmup thread and the first HTTP request
@@ -73,6 +74,10 @@ class ModelManager:
                 "1", "true", "yes",
             )
         self.int8 = int8
+        # Model-native inference resolution (518 = HF processor target,
+        # backend/app.py:109 semantics); smaller values trade quality
+        # for latency and keep tiny-model tests fast.
+        self.model_target = model_target
 
     def loaded(self) -> list[str]:
         return sorted(self._cache)
@@ -141,6 +146,8 @@ class ModelManager:
 
             cfg = cfg.with_quantized(True)
             params = quantize_encoder_params(params, cfg.backbone.num_layers)
-        pipe = DepthPipeline(cfg, params, mesh=self.mesh)
+        pipe = DepthPipeline(
+            cfg, params, mesh=self.mesh, model_target=self.model_target
+        )
         self._cache[name] = pipe
         return pipe
