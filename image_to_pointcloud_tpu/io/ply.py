@@ -35,6 +35,20 @@ def ply_points_bytes(points: np.ndarray, colors: np.ndarray | None) -> bytes:
         ]
     header += ["end_header", ""]
 
+    head = "\n".join(header).encode("ascii")
+
+    # Native fast path (exact same byte layout; f32 inputs only so the
+    # f64 promotion happens in C with no precision change).
+    pts = np.asarray(points)
+    if pts.dtype == np.float32 and (
+        not has_c or np.asarray(colors).dtype in (np.float32, np.uint8)
+    ):
+        from image_to_pointcloud_tpu import native
+
+        body = native.ply_pack(pts, np.asarray(colors) if has_c else None)
+        if body is not None:
+            return head + body
+
     fields = [("x", "<f8"), ("y", "<f8"), ("z", "<f8")]
     if has_c:
         fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
@@ -44,7 +58,7 @@ def ply_points_bytes(points: np.ndarray, colors: np.ndarray | None) -> bytes:
     if has_c:
         c = np.clip(np.round(np.asarray(colors, np.float64)), 0, 255).astype(np.uint8)
         rec["red"], rec["green"], rec["blue"] = c[:, 0], c[:, 1], c[:, 2]
-    return "\n".join(header).encode("ascii") + rec.tobytes()
+    return head + rec.tobytes()
 
 
 def write_ply_points(

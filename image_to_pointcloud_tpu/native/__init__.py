@@ -78,6 +78,22 @@ def _load() -> ctypes.CDLL | None:
         lib.ipc_surface_release.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ipc_json_f32_list.restype = ctypes.c_int64
+        lib.ipc_json_f32_list.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.ipc_json_f32_triplets.restype = ctypes.c_int64
+        lib.ipc_json_f32_triplets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.ipc_json_i32_list.restype = ctypes.c_int64
+        lib.ipc_json_i32_list.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.ipc_ply_pack.restype = ctypes.c_int64
+        lib.ipc_ply_pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.ipc_reconstruct.restype = ctypes.c_int64
         lib.ipc_reconstruct.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -163,6 +179,70 @@ def reconstruct_points(
         out_xyz.ctypes.data, out_rgb.ctypes.data,
     )
     return out_xyz[:m], out_rgb[:m]
+
+
+def json_f32_list(values: np.ndarray) -> bytes | None:
+    """``[v0,v1,...]`` JSON bytes for a flat f32 array; None if unavailable.
+
+    Serves the reference's inline preview contract (backend/app.py:545-559)
+    without materializing 10^5 Python float objects per job."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.float32).reshape(-1)
+    cap = 32 * max(len(v), 1) + 16
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.ipc_json_f32_list(v.ctypes.data, len(v), buf, cap)
+    if written < 0:
+        return None
+    return buf.raw[:written]
+
+
+def json_f32_triplets(values: np.ndarray) -> bytes | None:
+    """``[[x,y,z],...]`` JSON bytes for an (N,3) f32 array; None if
+    unavailable. The reference's preview shape (backend/app.py:504-505)."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.float32).reshape(-1, 3)
+    n = len(v)
+    cap = 3 * 32 * max(n, 1) + 4 * max(n, 1) + 16
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.ipc_json_f32_triplets(v.ctypes.data, n, buf, cap)
+    if written < 0:
+        return None
+    return buf.raw[:written]
+
+
+def json_i32_list(values: np.ndarray) -> bytes | None:
+    """``[v0,v1,...]`` JSON bytes for a flat int32 array; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.int32).reshape(-1)
+    cap = 16 * max(len(v), 1) + 16
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.ipc_json_i32_list(v.ctypes.data, len(v), buf, cap)
+    if written < 0:
+        return None
+    return buf.raw[:written]
+
+
+def ply_pack(points: np.ndarray, colors: np.ndarray | None) -> bytes | None:
+    """Binary PLY vertex records (f64 xyz + u8 rgb); None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(points, np.float32)
+    n = len(p)
+    has_c = colors is not None and len(colors) == n
+    rec = 27 if has_c else 24
+    out = ctypes.create_string_buffer(rec * max(n, 1))
+    c = np.ascontiguousarray(colors, np.float32) if has_c else None
+    written = lib.ipc_ply_pack(
+        p.ctypes.data, c.ctypes.data if has_c else None, n, out
+    )
+    return out.raw[:written]
 
 
 def format_xyz(points: np.ndarray, colors: np.ndarray) -> bytes | None:

@@ -76,6 +76,10 @@ class PipelineResult:
     kept_point_count: int
     packed: np.ndarray | None = None  # (8, N) planar buffer (grid-ordered)
     grid_hw: tuple[int, int] | None = None  # strided grid shape (hh, ww)
+    # Pre-LUT normalized depth (u8); lets the server encode the preview
+    # as a paletted PNG (~10x cheaper than RGB zlib) that canvas-decodes
+    # to exactly PLASMA_RGB[gray].
+    depth_preview_gray: np.ndarray | None = None
 
 
 def default_quantized_transfer() -> bool:
@@ -556,11 +560,13 @@ class DepthPipeline:
         depth_scales = depth_scales[:b]
         out = jax.tree_util.tree_map(lambda x: x[:b], out)
         prev_np = None
+        prev_gray = None
         if want_preview:
             prev_np = np.asarray(prev)[:b]
             if prev_np.ndim == 3:  # gray u8 → PLASMA LUT on host
                 from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
 
+                prev_gray = prev_np
                 prev_np = PLASMA_RGB[prev_np]
         results = []
         if self.quantized_transfer:
@@ -613,6 +619,9 @@ class DepthPipeline:
                                 depth_preview_rgb=(
                                     prev_np[i] if want_preview else None
                                 ),
+                                depth_preview_gray=(
+                                    prev_gray[i] if prev_gray is not None else None
+                                ),
                                 raw_point_count=n,
                                 kept_point_count=len(pts),
                                 packed=None,
@@ -651,6 +660,9 @@ class DepthPipeline:
                         points=np.ascontiguousarray(xyz[i].T[keep]),
                         colors=np.ascontiguousarray(rgb[i][keep]),
                         depth_preview_rgb=prev_np[i] if want_preview else None,
+                        depth_preview_gray=(
+                            prev_gray[i] if prev_gray is not None else None
+                        ),
                         raw_point_count=n,
                         kept_point_count=int(keep.sum()),
                         packed=packed,
@@ -667,6 +679,9 @@ class DepthPipeline:
                     points=np.ascontiguousarray(packed_all[i, :3].T[keep]),
                     colors=np.ascontiguousarray(packed_all[i, 3:6].T[keep]),
                     depth_preview_rgb=prev_np[i] if want_preview else None,
+                    depth_preview_gray=(
+                        prev_gray[i] if prev_gray is not None else None
+                    ),
                     raw_point_count=packed_all.shape[2],
                     kept_point_count=int(keep.sum()),
                     packed=packed_all[i] if want_packed else None,

@@ -115,6 +115,37 @@ def _is_transient(e: Exception) -> bool:
     )
 
 
+def _triplets_json(arr: np.ndarray):
+    """(N,3) float array → reference preview value (backend/app.py:504-505
+    ``.astype(float).tolist()`` shape). Native C serializer when
+    available (a RawJSON fragment spliced into the status body), plain
+    nested lists otherwise — both parse to identical values."""
+    from image_to_pointcloud_tpu import native
+    from image_to_pointcloud_tpu.serve.rawjson import RawJSON
+
+    a = np.asarray(arr)
+    if a.dtype == np.float32:
+        frag = native.json_f32_triplets(a)
+        if frag is not None:
+            return RawJSON(frag)
+    return a.astype(float).tolist()
+
+
+def _ints_json(arr: np.ndarray):
+    """Flat int array → JSON value (native fragment or list of ints)."""
+    from image_to_pointcloud_tpu import native
+    from image_to_pointcloud_tpu.serve.rawjson import RawJSON
+
+    a = np.asarray(arr).reshape(-1)
+    if a.dtype in (np.int32, np.int64) and (
+        a.size == 0 or (a.min() >= -(2**31) and a.max() < 2**31)
+    ):
+        frag = native.json_i32_list(a.astype(np.int32))
+        if frag is not None:
+            return RawJSON(frag)
+    return a.astype(int).tolist()
+
+
 def _parse_bool(v: str | bool, default: bool) -> bool:
     if isinstance(v, bool):
         return v
@@ -277,7 +308,17 @@ class V1Service:
                     res = await batcher.submit(image, req["depth_scale"], opts)
                 _mark("inference_unproject_refine", t0)
                 t0 = _time.perf_counter()
-                depth_data_url = png_data_url(res.depth_preview_rgb)
+                if res.depth_preview_gray is not None:
+                    from image_to_pointcloud_tpu.io.image import (
+                        png_data_url_palette,
+                    )
+                    from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
+
+                    depth_data_url = png_data_url_palette(
+                        res.depth_preview_gray, PLASMA_RGB
+                    )
+                else:
+                    depth_data_url = png_data_url(res.depth_preview_rgb)
                 _mark("preview_encode", t0)
                 points, colors = res.points, res.colors
                 packed = res  # keep for mesh path
@@ -310,8 +351,8 @@ class V1Service:
                 pprev, cprev = points[::stride], colors[::stride]
             else:
                 pprev, cprev = points, colors
-            preview_points = pprev.astype(float).tolist()
-            preview_colors = cprev.astype(float).tolist()
+            preview_points = _triplets_json(pprev)
+            preview_colors = _triplets_json(cprev)
 
             fmt = req["output_format"].lower()
             mesh_preview = None
@@ -400,10 +441,10 @@ class V1Service:
         dv, dc, df, _ = decimate_grid_mesh(res.packed, res.grid_hw, 20000)
         dn = vertex_normals(dv, df)
         mesh_preview = {
-            "vertices": dv.astype(float).tolist(),
-            "normals": dn.astype(float).tolist(),
-            "colors": (dc / 255.0).astype(float).tolist(),
-            "faces": df.reshape(-1).astype(int).tolist(),
+            "vertices": _triplets_json(dv),
+            "normals": _triplets_json(dn),
+            "colors": _triplets_json((dc / 255.0).astype(np.float32)),
+            "faces": _ints_json(df.reshape(-1)),
         }
         return filepath, mesh_preview
 

@@ -158,10 +158,12 @@ class Response:
 
 
 def json_response(obj: Any, status: int = 200) -> Response:
+    from image_to_pointcloud_tpu.serve.rawjson import dumps_raw
+
     return Response(
         status=status,
         headers={"content-type": "application/json"},
-        body=json.dumps(obj).encode(),
+        body=dumps_raw(obj),
     )
 
 

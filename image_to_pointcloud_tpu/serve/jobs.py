@@ -66,7 +66,9 @@ class Job:
         """
         body = self.extra.get("_status_body")
         if body is None:
-            body = json.dumps(render()).encode()
+            from image_to_pointcloud_tpu.serve.rawjson import dumps_raw
+
+            body = dumps_raw(render())
             self.extra["_status_body"] = body
         return body
 

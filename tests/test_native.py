@@ -151,3 +151,105 @@ class TestSurfaceReconstruct:
         assert native.surface_reconstruct(
             np.zeros((4, 3), np.float32), None
         ) is None
+
+
+class TestSerialize:
+    """native/src/serialize.cpp vs the pure-Python serialization paths
+    (reference result contract: backend/app.py:504-505, 545-559)."""
+
+    def test_json_triplets_matches_tolist(self, rng):
+        import json
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        pts = rng.normal(0, 5, (500, 3)).astype(np.float32)
+        # include exact integers, tiny and huge magnitudes
+        pts[0] = [0.0, -1.0, 255.0]
+        pts[1] = [1e-30, -1e30, 3.5]
+        frag = native.json_f32_triplets(pts)
+        assert json.loads(frag) == pts.astype(float).tolist()
+
+    def test_json_i32_list_matches_tolist(self):
+        import json
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        v = np.arange(-7, 99999, 13, dtype=np.int32)
+        assert json.loads(native.json_i32_list(v)) == v.tolist()
+
+    def test_json_f32_list_matches_tolist(self, rng):
+        import json
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        v = rng.normal(0, 100, (1000,)).astype(np.float32)
+        assert json.loads(native.json_f32_list(v)) == v.astype(float).tolist()
+
+    def test_ply_pack_matches_numpy_bytes(self, rng):
+        from image_to_pointcloud_tpu.io.ply import ply_points_bytes
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        pts = rng.normal(0, 5, (777, 3)).astype(np.float32)
+        cols = rng.uniform(-3, 258, (777, 3)).astype(np.float32)  # clamps
+        native_bytes = ply_points_bytes(pts, cols)
+        numpy_bytes = ply_points_bytes(pts.astype(np.float64), cols)
+        assert native_bytes == numpy_bytes
+
+    def test_ply_pack_no_colors(self, rng):
+        from image_to_pointcloud_tpu.io.ply import ply_points_bytes
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        pts = rng.normal(0, 5, (10, 3)).astype(np.float32)
+        assert ply_points_bytes(pts, None) == ply_points_bytes(
+            pts.astype(np.float64), None
+        )
+
+
+class TestRawJSON:
+    def test_splice_nested_fragments(self):
+        import json
+
+        from image_to_pointcloud_tpu.serve.rawjson import RawJSON, dumps_raw
+
+        weird = "\\u0000RAW0" + chr(0)  # adversarial content, must survive
+        obj = {
+            "a": [1, RawJSON(b"[1.5,2]"), {"b": RawJSON(b'{"x":1}')}],
+            "weird": weird,
+        }
+        assert json.loads(dumps_raw(obj)) == {
+            "a": [1, [1.5, 2], {"b": {"x": 1}}],
+            "weird": weird,
+        }
+
+    def test_no_fragments_is_plain_json(self):
+        import json
+
+        from image_to_pointcloud_tpu.serve.rawjson import dumps_raw
+
+        assert json.loads(dumps_raw({"x": [1, 2.5]})) == {"x": [1, 2.5]}
+
+    def test_unserializable_still_raises(self):
+        from image_to_pointcloud_tpu.serve.rawjson import dumps_raw
+
+        with pytest.raises(TypeError):
+            dumps_raw({"x": object()})
+
+
+def test_png_palette_data_url_decodes_exact(rng):
+    import base64
+    import io
+
+    from PIL import Image
+
+    from image_to_pointcloud_tpu.io.image import png_data_url_palette
+    from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
+
+    gray = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+    url = png_data_url_palette(gray, PLASMA_RGB)
+    prefix = "data:image/png;base64,"
+    assert url.startswith(prefix)
+    png = base64.b64decode(url[len(prefix):])
+    back = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+    np.testing.assert_array_equal(back, PLASMA_RGB[gray])
