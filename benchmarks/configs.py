@@ -1,9 +1,13 @@
 """Measure the five BASELINE.json configs on the current backend.
 
-1. MiDaS-small 256²: single JPEG → relative depth → PLY (p50 img→PLY
-   latency — the BASELINE latency metric).
+1. "MiDaS-small" slot, 256²: single JPEG → relative depth → PLY (p50
+   img→PLY latency — the BASELINE latency metric). Honest label: the
+   model is DA-V2-Small (a DPT-class stand-in for MiDaS; the real MiDaS
+   EfficientNet-lite encoder is not implemented).
 2. Depth-Anything-Base 518², batch-8 depth + unprojection.
-3. ZoeDepth-class metric depth with real intrinsics → metric cloud.
+3. ZoeDepth metric depth with real intrinsics → metric cloud — the real
+   architecture (BEiT + adaptive bins, models/zoedepth.py) at
+   zoedepth-small scale (BEiT-base; no released weights at this size).
 4. High-res 1024² tiled inference + voxel downsample to ≤1M points.
 5. Video: 30-frame clip, temporally batched → fused cloud.
 
@@ -48,7 +52,7 @@ def main() -> None:
 
     enable_persistent_cache()
     from image_to_pointcloud_tpu import io as pcio
-    from image_to_pointcloud_tpu.models import DepthAnything, preset
+    from image_to_pointcloud_tpu.models import preset
     from image_to_pointcloud_tpu.pipeline.advanced import (
         CameraIntrinsics,
         HighResPipeline,
@@ -65,9 +69,13 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     def params_for(cfg):
-        model = DepthAnything(cfg)
+        from image_to_pointcloud_tpu.models import build_model
+
+        model = build_model(cfg)
+        ps = cfg.backbone.patch_size
         return model.init(
-            jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
+            jax.random.PRNGKey(0),
+            np.zeros((1, 2 * ps, 2 * ps, 3), np.float32),
         )["params"]
 
     reps = 8 if on_tpu else 2
@@ -87,7 +95,7 @@ def main() -> None:
             res = pipe.run(img, options=opts, want_preview=False)
             pcio.write_ply_points(out, res.points, res.colors)
             lat.append(time.perf_counter() - t0)
-        _emit("1_midas_small_256_jpeg_to_ply", lat)
+        _emit("1_midas_slot_da_small_256_jpeg_to_ply", lat)
 
     if "2" in which:
         cfg = preset("depth-anything-v2-base")

@@ -378,8 +378,8 @@ def cmd_convert_ckpt(args) -> int:
     import numpy as np
 
     from image_to_pointcloud_tpu.models import (
-        DepthAnything,
-        convert_depth_anything,
+        build_model,
+        convert_checkpoint,
         load_safetensors,
         preset,
     )
@@ -392,15 +392,22 @@ def cmd_convert_ckpt(args) -> int:
     if not src.exists():
         raise SystemExit(f"no such checkpoint: {src}")
     sd = load_safetensors(str(src))
-    params = convert_depth_anything(sd, num_layers=cfg.backbone.num_layers)
+    try:
+        params = convert_checkpoint(cfg, sd)
+    except KeyError as e:
+        raise SystemExit(
+            f"checkpoint tree mismatch for {args.model}: missing tensor {e}"
+        ) from None
 
     # Shape-check against the architecture before writing anything: a
     # checkpoint for the wrong family member should fail here, not at
     # the first HTTP request.
-    model = DepthAnything(cfg)
+    model = build_model(cfg)
+    ps = cfg.backbone.patch_size
     expect = jax.eval_shape(
         lambda: model.init(
-            jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
+            jax.random.PRNGKey(0),
+            np.zeros((1, 2 * ps, 2 * ps, 3), np.float32),
         )["params"]
     )
     flat_e = {

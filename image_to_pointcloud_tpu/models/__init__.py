@@ -1,10 +1,14 @@
-"""Flax depth-model family (DINOv2 backbones + DPT necks) with converters."""
+"""Flax depth-model family (DINOv2/BEiT backbones + DPT necks + metric
+bins) with torch-checkpoint converters."""
 
 from image_to_pointcloud_tpu.models.attention import flash_attention, multi_head_attention
+from image_to_pointcloud_tpu.models.beit import BeitBackbone, BeitConfig
 from image_to_pointcloud_tpu.models.convert import (
     convert_depth_anything,
+    convert_zoedepth,
     load_safetensors,
 )
+from image_to_pointcloud_tpu.models.zoedepth import ZoeDepth, ZoeDepthConfig
 from image_to_pointcloud_tpu.models.depth_anything import (
     IMAGENET_MEAN,
     IMAGENET_STD,
@@ -33,4 +37,26 @@ __all__ = [
     "DinoV2Config",
     "DPTConfig",
     "DPTNeckHead",
+    "BeitBackbone",
+    "BeitConfig",
+    "ZoeDepth",
+    "ZoeDepthConfig",
+    "convert_zoedepth",
+    "build_model",
 ]
+
+
+def build_model(cfg):
+    """Model module for a preset config (family dispatch by config type)."""
+    if isinstance(cfg, ZoeDepthConfig):
+        return ZoeDepth(cfg)
+    return DepthAnything(cfg)
+
+
+def convert_checkpoint(cfg, state_dict):
+    """Torch/HF state dict → Flax params for the family ``cfg`` selects."""
+    if isinstance(cfg, ZoeDepthConfig):
+        return convert_zoedepth(state_dict, num_layers=cfg.backbone.num_layers)
+    return convert_depth_anything(
+        state_dict, num_layers=cfg.backbone.num_layers
+    )

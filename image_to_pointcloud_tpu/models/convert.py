@@ -22,7 +22,7 @@ from typing import Mapping
 
 import numpy as np
 
-__all__ = ["convert_depth_anything", "load_safetensors"]
+__all__ = ["convert_depth_anything", "convert_zoedepth", "load_safetensors"]
 
 
 def _np(x) -> np.ndarray:
@@ -122,6 +122,107 @@ def convert_depth_anything(
     neck["head_conv3"] = _conv(sd, "head.conv3")
 
     return {"backbone": backbone, "neck": neck}
+
+
+def convert_zoedepth(state_dict: Mapping[str, object], num_layers: int) -> dict:
+    """Flax ``params`` tree from an HF ZoeDepth state dict
+    (``Intel/zoedepth-nyu-kitti``-layout; modeling_zoedepth.py)."""
+    sd = state_dict
+    patch_w = _np(sd["backbone.embeddings.patch_embeddings.projection.weight"])
+    p = patch_w.shape[-1]
+    d = patch_w.shape[0]
+
+    backbone: dict = {
+        "cls_token": _np(sd["backbone.embeddings.cls_token"]),
+        "patch_embed": patch_w.transpose(2, 3, 1, 0).reshape(p * p * 3, d),
+        "patch_bias": _np(sd["backbone.embeddings.patch_embeddings.projection.bias"]),
+    }
+    for i in range(num_layers):
+        pre = f"backbone.encoder.layer.{i}"
+        backbone[f"block{i}"] = {
+            "norm1": _ln(sd, f"{pre}.layernorm_before"),
+            "attn": {
+                "q": _dense(sd, f"{pre}.attention.attention.query"),
+                "k": {
+                    "kernel": _np(
+                        sd[f"{pre}.attention.attention.key.weight"]
+                    ).T
+                },
+                "v": _dense(sd, f"{pre}.attention.attention.value"),
+                "proj": _dense(sd, f"{pre}.attention.output.dense"),
+                "rel_pos_table": _np(
+                    sd[
+                        f"{pre}.attention.attention.relative_position_bias"
+                        ".relative_position_bias_table"
+                    ]
+                ),
+            },
+            "ls1": _np(sd[f"{pre}.lambda_1"]),
+            "ls2": _np(sd[f"{pre}.lambda_2"]),
+            "norm2": _ln(sd, f"{pre}.layernorm_after"),
+            "fc1": _dense(sd, f"{pre}.intermediate.dense"),
+            "fc2": _dense(sd, f"{pre}.output.dense"),
+        }
+
+    reassemble: dict = {}
+    for i in range(4):
+        reassemble[f"readout{i}"] = _dense(
+            sd, f"neck.reassemble_stage.readout_projects.{i}.0"
+        )
+        pre = f"neck.reassemble_stage.layers.{i}"
+        reassemble[f"proj{i}"] = _conv(sd, f"{pre}.projection")
+        if i in (0, 1):
+            reassemble[f"up{i}"] = _convtrans(sd, f"{pre}.resize")
+        elif i == 3:
+            reassemble[f"down{i}"] = _conv(sd, f"{pre}.resize")
+
+    params: dict = {"backbone": backbone, "reassemble": reassemble}
+    for i in range(4):
+        params[f"conv{i}"] = _conv(sd, f"neck.convs.{i}", bias=False)
+    for j in range(4):
+        pre = f"neck.fusion_stage.layers.{j}"
+        fusion = {
+            "projection": _conv(sd, f"{pre}.projection"),
+            "res2": {
+                "conv1": _conv(sd, f"{pre}.residual_layer2.convolution1"),
+                "conv2": _conv(sd, f"{pre}.residual_layer2.convolution2"),
+            },
+        }
+        if j > 0:
+            # layers.0's residual_layer1 is checkpoint dead weight, as in
+            # the DA converter above (no residual input at the deepest
+            # fusion stage).
+            fusion["res1"] = {
+                "conv1": _conv(sd, f"{pre}.residual_layer1.convolution1"),
+                "conv2": _conv(sd, f"{pre}.residual_layer1.convolution2"),
+            }
+        params[f"fusion{j}"] = fusion
+
+    params["rel_conv1"] = _conv(sd, "relative_head.conv1")
+    params["rel_conv2"] = _conv(sd, "relative_head.conv2")
+    params["rel_conv3"] = _conv(sd, "relative_head.conv3")
+
+    params["mh_conv2"] = _conv(sd, "metric_head.conv2")
+    params["seed_conv1"] = _conv(sd, "metric_head.seed_bin_regressor.conv1")
+    params["seed_conv2"] = _conv(sd, "metric_head.seed_bin_regressor.conv2")
+    params["seed_projector"] = {
+        "conv1": _conv(sd, "metric_head.seed_projector.conv1"),
+        "conv2": _conv(sd, "metric_head.seed_projector.conv2"),
+    }
+    for i in range(4):
+        params[f"projector{i}"] = {
+            "conv1": _conv(sd, f"metric_head.projectors.{i}.conv1"),
+            "conv2": _conv(sd, f"metric_head.projectors.{i}.conv2"),
+        }
+        params[f"attractor{i}"] = {
+            "conv1": _conv(sd, f"metric_head.attractors.{i}.conv1"),
+            "conv2": _conv(sd, f"metric_head.attractors.{i}.conv2"),
+        }
+    params["cond_log_binomial"] = {
+        "mlp1": _conv(sd, "metric_head.conditional_log_binomial.mlp.0"),
+        "mlp2": _conv(sd, "metric_head.conditional_log_binomial.mlp.2"),
+    }
+    return params
 
 
 def load_safetensors(path: str) -> dict[str, np.ndarray]:

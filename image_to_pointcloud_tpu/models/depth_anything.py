@@ -97,14 +97,39 @@ PRESETS: dict[str, DepthAnythingConfig] = {
 # Canonical alias used by the reference API (`model=depth-anything-v2`,
 # backend/app.py:613).
 PRESETS["depth-anything-v2"] = PRESETS["depth-anything-v2-small"]
-# Model-class aliases matching the north-star config names
-# (BASELINE.json): MiDaS-small / DPT-Large are relative-depth DPT
-# architectures of the same class as DA-S / DA-L; ZoeDepth is the
-# metric-head class.
+# Honest-label aliases for the north-star config names (BASELINE.json):
+# MiDaS-small (EfficientNet-lite encoder) and DPT-Large (ViT-L DPT) are
+# *stand-ins* — the DA-class architecture of matching size serves those
+# slots; benchmark output labels say so (benchmarks/configs.py).
 PRESETS["midas-small"] = PRESETS["depth-anything-v2-small"]
 PRESETS["dpt-large"] = PRESETS["depth-anything-v2-large"]
-PRESETS["zoedepth"] = PRESETS["depth-anything-v2-metric-base"]
-PRESETS["zoedepth-small"] = PRESETS["depth-anything-v2-metric-small"]
+
+
+def _zoedepth_presets() -> dict:
+    """Real ZoeDepth (BEiT + adaptive metric bins, models/zoedepth.py).
+
+    'zoedepth' matches the released ``Intel/zoedepth-nyu-kitti`` layout
+    (BEiT-L/16-384) so its weights drop in via convert_zoedepth;
+    'zoedepth-small' is the same architecture at BEiT-base scale (no
+    released weights — random init or fine-tune)."""
+    from image_to_pointcloud_tpu.models.beit import BeitConfig
+    from image_to_pointcloud_tpu.models.zoedepth import ZoeDepthConfig
+
+    return {
+        "zoedepth": ZoeDepthConfig(),
+        "zoedepth-small": ZoeDepthConfig(
+            backbone=BeitConfig(
+                hidden_size=768,
+                num_layers=12,
+                num_heads=12,
+                intermediate_size=3072,
+                out_layers=(3, 6, 9, 12),
+            ),
+        ),
+    }
+
+
+PRESETS.update(_zoedepth_presets())
 
 
 def preset(name: str) -> DepthAnythingConfig:

@@ -4,7 +4,8 @@ The reference tops out at one downscaled single-image forward
 (backend/app.py:438-460); these pipelines are where the TPU framework
 goes beyond it:
 
-* :class:`MetricPipeline` — metric-depth model (ZoeDepth-class sigmoid
+* :class:`MetricPipeline` — metric-depth model (real ZoeDepth: BEiT +
+  adaptive metric bins, models/zoedepth.py; or the DA-metric sigmoid
   head) + real camera intrinsics → metric-scale colorized cloud
   (config 3). No normalization: predicted depth IS z.
 * :class:`HighResPipeline` — tiled 1024²+ inference: overlapping
@@ -42,6 +43,7 @@ from image_to_pointcloud_tpu.parallel.tiling import (
     plan_tiles,
 )
 from image_to_pointcloud_tpu.pipeline.preprocess import (
+    model_preprocess_spec,
     preprocess_for_model,
     processor_output_size,
 )
@@ -67,23 +69,39 @@ class CameraIntrinsics:
 class MetricPipeline:
     """Metric depth + real intrinsics → metric-scale point cloud."""
 
-    def __init__(self, cfg: DepthAnythingConfig, params: Any, model_target: int = 518):
+    def __init__(
+        self,
+        cfg: DepthAnythingConfig,
+        params: Any,
+        model_target: int | tuple[int, int] | None = None,
+    ):
+        from image_to_pointcloud_tpu.models import build_model
+
         assert cfg.neck.metric_depth, "MetricPipeline needs a metric head"
-        self.model = DepthAnything(cfg)
+        self.model = build_model(cfg)
         self.params = params
-        self.model_target = model_target
+        (
+            self.model_target,
+            self.size_multiple,
+            self.pixel_mean,
+            self.pixel_std,
+        ) = model_preprocess_spec(cfg, model_target)
         self._compiled: dict = {}
 
     def _fn(self, h: int, w: int, step: int):
         key = (h, w, step)
         if key in self._compiled:
             return self._compiled[key]
-        mh, mw = processor_output_size(h, w, self.model_target)
+        mh, mw = processor_output_size(
+            h, w, self.model_target, multiple=self.size_multiple
+        )
 
         @jax.jit
         def fn(params, img_u8, fx, fy, cx, cy):
             img = img_u8.astype(jnp.float32)[None]
-            x = preprocess_for_model(img, (mh, mw))
+            x = preprocess_for_model(
+                img, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
+            )
             depth = self.model.apply({"params": params}, x)  # (1, mh, mw)
             d = resize_batched(depth[:, :, :, None], (h, w), "linear")[0, :, :, 0]
             return unproject_intrinsics(
@@ -138,7 +156,9 @@ class HighResPipeline:
         model_target: int = 518,
         quantized_transfer: bool | None = None,
     ):
-        self.model = DepthAnything(cfg)
+        from image_to_pointcloud_tpu.models import build_model
+
+        self.model = build_model(cfg)
         self.params = params
         self.tile = tile
         self.overlap = overlap
@@ -276,7 +296,9 @@ class VideoPipeline:
         *,
         quantized_transfer: bool | None = None,
     ):
-        self.model = DepthAnything(cfg)
+        from image_to_pointcloud_tpu.models import build_model
+
+        self.model = build_model(cfg)
         self.params = params
         self.model_target = model_target
         if quantized_transfer is None:

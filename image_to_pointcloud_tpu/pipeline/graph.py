@@ -41,6 +41,7 @@ from image_to_pointcloud_tpu.ops import (
 )
 from image_to_pointcloud_tpu.ops.resize import resize_batched
 from image_to_pointcloud_tpu.pipeline.preprocess import (
+    model_preprocess_spec,
     preprocess_for_model,
     processor_output_size,
 )
@@ -201,14 +202,21 @@ class DepthPipeline:
         cfg: DepthAnythingConfig,
         params: Any,
         *,
-        model_target: int = 518,
+        model_target: int | tuple[int, int] | None = None,
         quantized_transfer: bool | None = None,
         mesh: Any = None,
         pipe_microbatches: int = 4,
     ):
+        from image_to_pointcloud_tpu.models import build_model
+
         self.cfg = cfg
-        self.model = DepthAnything(cfg)
-        self.model_target = model_target
+        self.model = build_model(cfg)
+        (
+            self.model_target,
+            self.size_multiple,
+            self.pixel_mean,
+            self.pixel_std,
+        ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
@@ -298,7 +306,9 @@ class DepthPipeline:
         """Compile the full fused graph for one (input size, batch) signature."""
         h0, w0 = in_hw
         h, w = _proc_hw(h0, w0)
-        mh, mw = processor_output_size(h, w, self.model_target)
+        mh, mw = processor_output_size(
+            h, w, self.model_target, multiple=self.size_multiple
+        )
         from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
 
         step = DENSITY_STRIDES[opts.density]
@@ -319,7 +329,9 @@ class DepthPipeline:
                 img = jnp.clip(
                     jnp.round(resize_batched(img, (h, w), "area")), 0, 255
                 )
-            x = preprocess_for_model(img, (mh, mw))
+            x = preprocess_for_model(
+                img, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
+            )
             if self._pipelined:
                 from image_to_pointcloud_tpu.parallel.pipeline_par import (
                     pipelined_depth_apply,

@@ -20,7 +20,27 @@ from image_to_pointcloud_tpu.models.depth_anything import (
 )
 from image_to_pointcloud_tpu.ops.resize import resize_batched
 
-__all__ = ["processor_output_size", "preprocess_for_model"]
+__all__ = [
+    "processor_output_size",
+    "preprocess_for_model",
+    "model_preprocess_spec",
+]
+
+
+def model_preprocess_spec(cfg, model_target=None):
+    """Per-family (target, multiple, mean, std) preprocess parameters.
+
+    DA-family configs use the HF DPT processor defaults (518,
+    multiple-of-14, ImageNet stats); ZoeDepthConfig carries overrides
+    ((384,512), multiple-of-32, 0.5/0.5 stats)."""
+    return (
+        model_target
+        if model_target is not None
+        else getattr(cfg, "native_target", 518),
+        getattr(cfg, "size_multiple", 14),
+        tuple(getattr(cfg, "pixel_mean", IMAGENET_MEAN)),
+        tuple(getattr(cfg, "pixel_std", IMAGENET_STD)),
+    )
 
 
 def _constrain_to_multiple_of(val: float, multiple: int, min_val: int = 0) -> int:
@@ -33,13 +53,16 @@ def _constrain_to_multiple_of(val: float, multiple: int, min_val: int = 0) -> in
 def processor_output_size(
     h: int,
     w: int,
-    target: int = 518,
+    target: int | tuple[int, int] = 518,
     multiple: int = 14,
     keep_aspect_ratio: bool = True,
 ) -> tuple[int, int]:
-    """Resize target used by the DPT processor (keep-aspect, multiple-of-14)."""
-    scale_h = target / h
-    scale_w = target / w
+    """Resize target used by the DPT-family processors (keep-aspect,
+    multiple-of-N). ``target`` may be (th, tw) for non-square natives
+    (ZoeDepth trains at 384x512, image_processing_zoedepth.py)."""
+    th, tw = (target, target) if isinstance(target, int) else target
+    scale_h = th / h
+    scale_w = tw / w
     if keep_aspect_ratio:
         if abs(1 - scale_w) < abs(1 - scale_h):
             scale_h = scale_w
@@ -52,12 +75,16 @@ def processor_output_size(
 
 
 def preprocess_for_model(
-    images_rgb: jax.Array, out_hw: tuple[int, int]
+    images_rgb: jax.Array,
+    out_hw: tuple[int, int],
+    mean: tuple[float, ...] = IMAGENET_MEAN,
+    std: tuple[float, ...] = IMAGENET_STD,
 ) -> jax.Array:
-    """(B, H, W, 3) uint8/float RGB → (B, mh, mw, 3) normalized model input."""
+    """(B, H, W, 3) uint8/float RGB → (B, mh, mw, 3) normalized model input.
+
+    mean/std default to the DA family's ImageNet stats; ZoeDepth passes
+    its 0.5/0.5 (IMAGENET_STANDARD) stats via the model config."""
     x = images_rgb.astype(jnp.float32)
     x = resize_batched(x, out_hw, "bicubic_pil")
     x = x * (1.0 / 255.0)
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    return (x - mean) / std
+    return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)

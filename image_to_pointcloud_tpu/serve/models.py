@@ -21,8 +21,9 @@ import jax
 import numpy as np
 
 from image_to_pointcloud_tpu.models import (
-    DepthAnything,
-    convert_depth_anything,
+    ZoeDepthConfig,
+    build_model,
+    convert_checkpoint,
     load_safetensors,
     preset,
 )
@@ -45,7 +46,7 @@ class ModelManager:
         use_flash_attention: bool | None = None,
         mesh: Any = None,
         int8: bool | None = None,
-        model_target: int = 518,
+        model_target: int | None = None,
     ):
         self._cache: dict[str, DepthPipeline] = {}
         # One build at a time: a warmup thread and the first HTTP request
@@ -74,9 +75,10 @@ class ModelManager:
                 "1", "true", "yes",
             )
         self.int8 = int8
-        # Model-native inference resolution (518 = HF processor target,
-        # backend/app.py:109 semantics); smaller values trade quality
-        # for latency and keep tiny-model tests fast.
+        # Model-native inference resolution override (None = the family's
+        # native target: 518 for DA per backend/app.py:109 semantics,
+        # (384,512) for ZoeDepth); smaller values trade quality for
+        # latency and keep tiny-model tests fast.
         self.model_target = model_target
 
     def loaded(self) -> list[str]:
@@ -106,17 +108,18 @@ class ModelManager:
             logger.info("Loading %s weights from %s", name, ckpt)
             sd = load_safetensors(str(ckpt))
             self.random_weights[name] = False
-            return convert_depth_anything(sd, num_layers=cfg.backbone.num_layers)
+            return convert_checkpoint(cfg, sd)
         logger.warning(
             "No checkpoint for %s (set %s); using deterministic random init",
             name,
             CHECKPOINT_ENV,
         )
         self.random_weights[name] = True
-        model = DepthAnything(cfg)
+        model = build_model(cfg)
         # Param shapes don't depend on the input size; init with the
         # smallest legal input (2×2 patches) so tracing is instant.
-        dummy = np.zeros((1, 28, 28, 3), np.float32)
+        ps = cfg.backbone.patch_size
+        dummy = np.zeros((1, 2 * ps, 2 * ps, 3), np.float32)
         return model.init(jax.random.PRNGKey(0), dummy)["params"]
 
     def get(self, name: str) -> DepthPipeline:
@@ -139,7 +142,12 @@ class ModelManager:
         if self.use_flash:
             cfg = cfg.with_flash_attention(True)
         params = self._load_params(name, cfg)
-        if self.int8:
+        if self.int8 and isinstance(cfg, ZoeDepthConfig):
+            logger.warning(
+                "int8 encoder quantization is not wired for ZoeDepth; "
+                "serving %s in %s", name, cfg.dtype,
+            )
+        elif self.int8:
             from image_to_pointcloud_tpu.models.quantize import (
                 quantize_encoder_params,
             )

@@ -68,19 +68,23 @@ class Trainer:
     ):
         self.mesh = mesh
         self.cfg = cfg
-        if cfg.remat:
+        if cfg.remat and isinstance(model_cfg, DepthAnythingConfig):
             # Per-block remat (nn.remat on each encoder Block): live
             # activations bound to one block, and only that block is
             # recomputed — not a jax.checkpoint around the whole apply,
             # which would recompute the full encoder+neck as one segment
-            # for the worst FLOPs/memory trade.
+            # for the worst FLOPs/memory trade. (ZoeDepth's BEiT blocks
+            # train un-rematerialized for now — fine at its 577-token
+            # sequences.)
             model_cfg = DepthAnythingConfig(
                 backbone=dataclasses.replace(
                     model_cfg.backbone, remat_blocks=True
                 ),
                 neck=model_cfg.neck,
             )
-        self.model = DepthAnything(model_cfg)
+        from image_to_pointcloud_tpu.models import build_model
+
+        self.model = build_model(model_cfg)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),

@@ -1,0 +1,158 @@
+"""Numerical parity of the Flax ZoeDepth vs the HF torch implementation.
+
+Random-initialized weights converted with models.convert.convert_zoedepth
+and both forwards compared — validates the BEiT backbone, DPT neck,
+relative head and the adaptive metric-bins head at once, the same check
+the released ``Intel/zoedepth-nyu-kitti`` checkpoint would get.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _build_pair(hidden=32, layers=4, heads=2, image_size=64, seed=0):
+    import torch
+    from transformers import ZoeDepthConfig as HFZoeConfig
+    from transformers import ZoeDepthForDepthEstimation
+    from transformers.models.beit import BeitConfig as HFBeitConfig
+
+    from image_to_pointcloud_tpu.models import (
+        BeitConfig,
+        ZoeDepth,
+        ZoeDepthConfig,
+        convert_zoedepth,
+    )
+
+    torch.manual_seed(seed)
+    bb = HFBeitConfig(
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        intermediate_size=hidden * 2,
+        image_size=image_size,
+        patch_size=16,
+        use_relative_position_bias=True,
+        reshape_hidden_states=False,
+        out_indices=list(range(1, layers + 1)),
+        out_features=[f"stage{i}" for i in range(1, layers + 1)],
+    )
+    hf_cfg = HFZoeConfig(
+        backbone_config=bb,
+        neck_hidden_sizes=[8, 16, 24, 32],
+        fusion_hidden_size=16,
+        bottleneck_features=16,
+        num_relative_features=8,
+        bin_embedding_dim=8,
+        bin_configurations=[{"n_bins": 16, "min_depth": 1e-3, "max_depth": 10.0}],
+        num_attractors=[4, 3, 2, 1],
+    )
+    hf = ZoeDepthForDepthEstimation(hf_cfg).eval()
+    # Random init leaves the rel-pos tables at zero; give them signal so
+    # the bias path is actually exercised.
+    sd = hf.state_dict()
+    with torch.no_grad():
+        for name, t in hf.named_parameters():
+            if "relative_position_bias_table" in name:
+                t.normal_(0, 0.5)
+    sd = hf.state_dict()
+
+    cfg = ZoeDepthConfig(
+        backbone=BeitConfig(
+            hidden_size=hidden,
+            num_layers=layers,
+            num_heads=heads,
+            intermediate_size=hidden * 2,
+            patch_size=16,
+            window_size=image_size // 16,
+            out_layers=tuple(range(1, layers + 1)),
+        ),
+        neck_hidden_sizes=(8, 16, 24, 32),
+        fusion_hidden_size=16,
+        bottleneck_features=16,
+        num_relative_features=8,
+        bin_embedding_dim=8,
+        n_bins=16,
+        num_attractors=(4, 3, 2, 1),
+    )
+    params = convert_zoedepth(sd, num_layers=layers)
+    return hf, ZoeDepth(cfg), {"params": params}
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (96, 80)])
+def test_zoedepth_forward_parity(rng, hw):
+    """Native window (64²) and off-window (96x80: exercises the rel-pos
+    table re-interpolation path)."""
+    import torch
+
+    hf, model, variables = _build_pair(image_size=64)
+    h, w = hw
+    x = rng.normal(0, 1, (2, h, w, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).predicted_depth.numpy()
+
+    import jax
+
+    # Jitted on purpose: the serving path always runs compiled, and XLA
+    # fusion once NaN'd the log-binomial constants (models/zoedepth.py).
+    ours = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=5e-5)
+
+
+def test_zoedepth_depth_is_positive_and_finite(rng):
+    hf, model, variables = _build_pair(image_size=64, seed=3)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert np.isfinite(out).all()
+    assert (out > 0).all()  # sum of softmax-weighted softplus bin centers
+
+
+def test_zoedepth_through_depth_pipeline(rng):
+    """Tiny ZoeDepth serves through the fused DepthPipeline graph
+    (family dispatch in pipeline/graph.py + per-family preprocess)."""
+    from image_to_pointcloud_tpu.pipeline.graph import (
+        DepthPipeline,
+        PipelineOptions,
+    )
+
+    _, model, variables = _build_pair(image_size=64)
+    pipe = DepthPipeline(model.cfg, variables["params"], model_target=64)
+    assert pipe.size_multiple == 32 and pipe.pixel_mean == (0.5, 0.5, 0.5)
+    imgs = rng.integers(0, 255, (1, 70, 90, 3)).astype(np.uint8)
+    res = pipe.run_batch(
+        imgs, options=PipelineOptions(density="low", refine=False)
+    )[0]
+    assert len(res.points) > 50
+    assert np.isfinite(res.points).all()
+
+
+def test_zoedepth_through_metric_pipeline(rng):
+    """ZoeDepth's metric output drives MetricPipeline (real intrinsics)."""
+    from image_to_pointcloud_tpu.pipeline.advanced import (
+        CameraIntrinsics,
+        MetricPipeline,
+    )
+
+    _, model, variables = _build_pair(image_size=64)
+    mp = MetricPipeline(model.cfg, variables["params"], model_target=64)
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    pts, cols = mp.run(img, CameraIntrinsics.from_fov(64, 64, 60.0), step=2)
+    assert len(pts) > 100
+    assert (pts[:, 2] > 0).all()  # softplus bins → positive metric z
+
+
+def test_zoedepth_presets_are_real():
+    from image_to_pointcloud_tpu.models import ZoeDepthConfig, preset
+
+    z = preset("zoedepth")
+    assert isinstance(z, ZoeDepthConfig)
+    # Released Intel/zoedepth-nyu-kitti layout: BEiT-L/16-384.
+    assert z.backbone.hidden_size == 1024 and z.backbone.num_layers == 24
+    assert z.n_bins == 64 and z.neck.metric_depth is True
+    zs = preset("zoedepth-small")
+    assert isinstance(zs, ZoeDepthConfig)
+    assert zs.backbone.hidden_size == 768
