@@ -5,8 +5,14 @@ from image_to_pointcloud_tpu.models.attention import flash_attention, multi_head
 from image_to_pointcloud_tpu.models.beit import BeitBackbone, BeitConfig
 from image_to_pointcloud_tpu.models.convert import (
     convert_depth_anything,
+    convert_segformer,
     convert_zoedepth,
     load_safetensors,
+)
+from image_to_pointcloud_tpu.models.segformer import (
+    SegformerConfig,
+    SegformerMatte,
+    segformer_b0,
 )
 from image_to_pointcloud_tpu.models.zoedepth import ZoeDepth, ZoeDepthConfig
 from image_to_pointcloud_tpu.models.depth_anything import (
@@ -42,6 +48,10 @@ __all__ = [
     "ZoeDepth",
     "ZoeDepthConfig",
     "convert_zoedepth",
+    "SegformerConfig",
+    "SegformerMatte",
+    "segformer_b0",
+    "convert_segformer",
     "build_model",
 ]
 

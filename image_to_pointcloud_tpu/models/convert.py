@@ -22,7 +22,12 @@ from typing import Mapping
 
 import numpy as np
 
-__all__ = ["convert_depth_anything", "convert_zoedepth", "load_safetensors"]
+__all__ = [
+    "convert_depth_anything",
+    "convert_zoedepth",
+    "convert_segformer",
+    "load_safetensors",
+]
 
 
 def _np(x) -> np.ndarray:
@@ -222,6 +227,58 @@ def convert_zoedepth(state_dict: Mapping[str, object], num_layers: int) -> dict:
         "mlp1": _conv(sd, "metric_head.conditional_log_binomial.mlp.0"),
         "mlp2": _conv(sd, "metric_head.conditional_log_binomial.mlp.2"),
     }
+    return params
+
+
+def convert_segformer(state_dict: Mapping[str, object]) -> dict:
+    """Flax params for models.segformer.SegformerMatte from an HF
+    SegformerForSemanticSegmentation state dict (modeling_segformer.py;
+    e.g. a matte-head fine-tune of nvidia/mit-b0)."""
+    sd = state_dict
+    params: dict = {}
+    enc = "segformer.encoder"
+    stage = 0
+    while f"{enc}.patch_embeddings.{stage}.proj.weight" in sd:
+        params[f"embed{stage}"] = _conv(sd, f"{enc}.patch_embeddings.{stage}.proj")
+        params[f"embed_norm{stage}"] = _ln(
+            sd, f"{enc}.patch_embeddings.{stage}.layer_norm"
+        )
+        params[f"stage_norm{stage}"] = _ln(sd, f"{enc}.layer_norm.{stage}")
+        j = 0
+        while f"{enc}.block.{stage}.{j}.layer_norm_1.weight" in sd:
+            pre = f"{enc}.block.{stage}.{j}"
+            attn = {
+                "q": _dense(sd, f"{pre}.attention.self.query"),
+                "k": _dense(sd, f"{pre}.attention.self.key"),
+                "v": _dense(sd, f"{pre}.attention.self.value"),
+                "proj": _dense(sd, f"{pre}.attention.output.dense"),
+            }
+            if f"{pre}.attention.self.sr.weight" in sd:
+                attn["sr"] = _conv(sd, f"{pre}.attention.self.sr")
+                attn["sr_norm"] = _ln(sd, f"{pre}.attention.self.layer_norm")
+            params[f"stage{stage}_block{j}"] = {
+                "norm1": _ln(sd, f"{pre}.layer_norm_1"),
+                "attn": attn,
+                "norm2": _ln(sd, f"{pre}.layer_norm_2"),
+                "mlp": {
+                    "fc1": _dense(sd, f"{pre}.mlp.dense1"),
+                    "dwconv": _conv(sd, f"{pre}.mlp.dwconv.dwconv"),
+                    "fc2": _dense(sd, f"{pre}.mlp.dense2"),
+                },
+            }
+            j += 1
+        stage += 1
+
+    for i in range(stage):
+        params[f"linear_c{i}"] = _dense(sd, f"decode_head.linear_c.{i}.proj")
+    params["linear_fuse"] = _conv(sd, "decode_head.linear_fuse", bias=False)
+    params["bn"] = {
+        "scale": _np(sd["decode_head.batch_norm.weight"]),
+        "bias": _np(sd["decode_head.batch_norm.bias"]),
+        "mean": _np(sd["decode_head.batch_norm.running_mean"]),
+        "var": _np(sd["decode_head.batch_norm.running_var"]),
+    }
+    params["classifier"] = _conv(sd, "decode_head.classifier")
     return params
 
 

@@ -100,8 +100,19 @@ class V2Service:
             pipeline = await loop.run_in_executor(
                 self.executor, self.models.get, self.model_name
             )
-            self.processor = Depth3DProcessor(pipeline)
-            logger.info("3D processor ready (%s)", self.model_name)
+            from image_to_pointcloud_tpu.serve.matting import load_matte_model
+
+            matte = await loop.run_in_executor(
+                self.executor,
+                load_matte_model,
+                self.models.checkpoint_dir,
+            )
+            self.processor = Depth3DProcessor(pipeline, matte=matte)
+            logger.info(
+                "3D processor ready (%s; matte=%s)",
+                self.model_name,
+                "learned-segformer" if matte is not None else "classical",
+            )
         except Exception as e:  # noqa: BLE001
             logger.error("Failed to initialize 3D processor: %s", e)
 

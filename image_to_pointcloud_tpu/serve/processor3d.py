@@ -83,8 +83,13 @@ def foreground_crop(
 
 
 class Depth3DProcessor:
-    def __init__(self, pipeline: DepthPipeline):
+    def __init__(self, pipeline: DepthPipeline, matte=None):
+        """``matte``: optional learned matting model (serve/matting.
+        MatteModel) taking the reference's ``transparent_background``
+        slot (spar3d_processor.py:88); None falls back to the classical
+        border-statistics matte."""
         self.pipeline = pipeline
+        self.matte = matte
 
     def _preprocess(
         self,
@@ -102,7 +107,10 @@ class Depth3DProcessor:
             ).astype(np.uint8)
 
         if remove_background:
-            alpha = estimate_background_matte(img)
+            if self.matte is not None:
+                alpha = self.matte.alpha(img)
+            else:
+                alpha = estimate_background_matte(img)
             comp = (
                 img.astype(np.float32) * alpha[:, :, None]
                 + (1 - alpha[:, :, None]) * 255.0

@@ -1,0 +1,155 @@
+"""SegFormer matting model: torch parity + checkpoint ingestion.
+
+Fills the reference's learned background-matting slot
+(transparent_background.Remover, spar3d_processor.py:88) with a real
+segmentation architecture; these tests give it the same treatment as
+the depth families: converted random weights vs the HF torch forward,
+then the full safetensors → MatteModel → Depth3DProcessor chain.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _build_pair(num_labels=1, image_size=64, seed=0):
+    import torch
+    from transformers import SegformerConfig as HFSegConfig
+    from transformers import SegformerForSemanticSegmentation
+
+    from image_to_pointcloud_tpu.models import (
+        SegformerConfig,
+        SegformerMatte,
+        convert_segformer,
+    )
+
+    torch.manual_seed(seed)
+    hf_cfg = HFSegConfig(
+        hidden_sizes=[8, 16, 24, 32],
+        depths=[1, 1, 1, 1],
+        num_attention_heads=[1, 2, 3, 4],
+        sr_ratios=[8, 4, 2, 1],
+        decoder_hidden_size=16,
+        num_labels=num_labels,
+        image_size=image_size,
+    )
+    hf = SegformerForSemanticSegmentation(hf_cfg).eval()
+    cfg = SegformerConfig(
+        hidden_sizes=(8, 16, 24, 32),
+        depths=(1, 1, 1, 1),
+        num_heads=(1, 2, 3, 4),
+        sr_ratios=(8, 4, 2, 1),
+        decoder_hidden_size=16,
+        num_labels=num_labels,
+    )
+    params = convert_segformer(hf.state_dict())
+    return hf, SegformerMatte(cfg), {"params": params}
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (96, 64)])
+def test_segformer_forward_parity(rng, hw):
+    import torch
+
+    import jax
+
+    hf, model, variables = _build_pair()
+    h, w = hw
+    x = rng.normal(0, 1, (2, h, w, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+    ours = ours.transpose(0, 3, 1, 2)  # NHWC → NCHW for comparison
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=5e-5)
+
+
+def test_matte_model_ingestion_and_processor(rng, tmp_path, monkeypatch):
+    """safetensors → load_matte_model → Depth3DProcessor._preprocess uses
+    the learned matte (not the classical heuristic)."""
+    import torch
+    from safetensors.torch import save_file
+
+    from image_to_pointcloud_tpu.serve.matting import load_matte_model
+    from image_to_pointcloud_tpu.serve.processor3d import Depth3DProcessor
+
+    hf, _, _ = _build_pair(num_labels=1, seed=1)
+    ck = tmp_path / "ckpts" / "matting"
+    ck.mkdir(parents=True)
+    save_file(
+        {k: v.contiguous() for k, v in hf.state_dict().items()},
+        str(ck / "model.safetensors"),
+    )
+
+    # Tiny-head checkpoints differ in shape from the b0 default — the
+    # loader must reject them gracefully (None → classical fallback)
+    # rather than crash serving.
+    assert load_matte_model(tmp_path / "nope") is None
+
+    # Build a b0-shaped checkpoint so load succeeds: random torch b0.
+    from transformers import SegformerConfig as HFSegConfig
+    from transformers import SegformerForSemanticSegmentation
+
+    torch.manual_seed(0)
+    b0 = SegformerForSemanticSegmentation(
+        HFSegConfig(num_labels=1)
+    ).eval()
+    ck2 = tmp_path / "ck2" / "matting"
+    ck2.mkdir(parents=True)
+    save_file(
+        {k: v.contiguous() for k, v in b0.state_dict().items()},
+        str(ck2 / "model.safetensors"),
+    )
+    matte = load_matte_model(tmp_path / "ck2")
+    assert matte is not None and matte.num_labels == 1
+
+    img = rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)
+    alpha = matte.alpha(img)
+    assert alpha.shape == (80, 100)
+    assert alpha.dtype == np.float32
+    assert (alpha >= 0).all() and (alpha <= 1).all()
+
+    # The learned path must match torch's alpha for the same inputs.
+    from PIL import Image
+
+    im512 = np.asarray(
+        Image.fromarray(img).resize((512, 512), Image.BILINEAR)
+    )
+    xn = (im512.astype(np.float32) / 255.0 - [0.485, 0.456, 0.406]) / [
+        0.229, 0.224, 0.225,
+    ]
+    with torch.no_grad():
+        tl = b0(
+            torch.from_numpy(
+                xn.astype(np.float32).transpose(2, 0, 1)[None]
+            )
+        ).logits
+        tprob = torch.sigmoid(tl)[0, 0].numpy()
+    jprob = np.asarray(matte._fn(matte._params, im512[None]))[0]
+    # matte._fn upsamples device-side to 512²; compare at logits res.
+    tprob_up = np.asarray(
+        Image.fromarray((tprob * 255).astype(np.uint8)).resize(
+            (512, 512), Image.BILINEAR
+        )
+    ).astype(np.float32) / 255.0
+    assert np.abs(jprob - tprob_up).max() < 0.02  # u8-quantized PIL ref
+
+    # Processor prefers the learned matte over the classical one.
+    class _SpyMatte:
+        def __init__(self):
+            self.calls = 0
+
+        def alpha(self, rgb):
+            self.calls += 1
+            a = np.zeros(rgb.shape[:2], np.float32)
+            a[10:40, 20:60] = 1.0
+            return a
+
+    spy = _SpyMatte()
+    proc = Depth3DProcessor.__new__(Depth3DProcessor)
+    proc.pipeline = None
+    proc.matte = spy
+    out = proc._preprocess(img, remove_background=True, foreground_ratio=1.2)
+    assert spy.calls == 1
+    assert out.shape == (512, 512, 3)
