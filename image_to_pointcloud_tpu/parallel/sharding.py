@@ -78,6 +78,20 @@ _TP_RULES: list[tuple[str, P]] = [
     (r"block\d+/mlp/fc1/(bias|kernel_scale)$", P(MODEL_AXIS)),
     (r"block\d+/mlp/fc2/kernel(_q)?$", P(MODEL_AXIS, None)),
     (r"block\d+/mlp/fc2/(bias|kernel_scale)$", P(None)),
+    # BEiT encoder (ZoeDepth backbone, models/beit.py): same megatron
+    # split; paths nest attention under /attn/ and put fc1/fc2 at block
+    # level. The relative-position bias table is (num_rel, heads) —
+    # shard its head dim with the head-sharded q/k/v so the bias add
+    # stays local to each model shard.
+    (r"block\d+/attn/(q|k|v)/kernel$", P(None, MODEL_AXIS)),
+    (r"block\d+/attn/(q|k|v)/bias$", P(MODEL_AXIS)),
+    (r"block\d+/attn/proj/kernel$", P(MODEL_AXIS, None)),
+    (r"block\d+/attn/proj/bias$", P(None)),
+    (r"block\d+/attn/rel_pos_table$", P(None, MODEL_AXIS)),
+    (r"block\d+/fc1/kernel$", P(None, MODEL_AXIS)),
+    (r"block\d+/fc1/bias$", P(MODEL_AXIS)),
+    (r"block\d+/fc2/kernel$", P(MODEL_AXIS, None)),
+    (r"block\d+/fc2/bias$", P(None)),
 ]
 
 

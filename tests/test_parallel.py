@@ -41,6 +41,17 @@ class TestTPRules:
         assert param_sharding_rules("neck/fusion0/projection/kernel") == P()
         assert param_sharding_rules("backbone/block0/norm1/scale") == P()
 
+    def test_beit_attention_and_mlp_sharded(self):
+        assert param_sharding_rules("backbone/block0/attn/q/kernel") == P(None, "model")
+        assert param_sharding_rules("backbone/block0/attn/k/kernel") == P(None, "model")
+        assert param_sharding_rules("backbone/block2/attn/proj/kernel") == P("model", None)
+        assert param_sharding_rules("backbone/block2/attn/rel_pos_table") == P(None, "model")
+        assert param_sharding_rules("backbone/block1/fc1/kernel") == P(None, "model")
+        assert param_sharding_rules("backbone/block1/fc2/kernel") == P("model", None)
+        # ZoeDepth neck/head stays replicated.
+        assert param_sharding_rules("reassemble/readout0/kernel") == P()
+        assert param_sharding_rules("attractor0/conv1/kernel") == P()
+
 
 class TestTPForwardParity:
     def test_sharded_forward_matches_single_device(self, rng):
@@ -54,6 +65,29 @@ class TestTPForwardParity:
         x = rng.normal(0, 1, (4, 56, 56, 3)).astype(np.float32)
 
         ref = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+        mesh = make_mesh(model=2)
+        params = shard_params(variables["params"], mesh)
+        xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh, 4))
+        fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx))
+        out = np.asarray(fn(params, xs))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestZoeDepthTPForwardParity:
+    def test_sharded_zoedepth_matches_single_device(self, rng):
+        """ZoeDepth (BEiT backbone) with TP=2, DP=4 equals unsharded —
+        validates the BEiT megatron rules incl. the head-sharded
+        relative-position bias table."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_zoedepth_parity import _build_pair
+
+        _, model, variables = _build_pair(image_size=64)
+        x = rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32)
+
+        ref = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
 
         mesh = make_mesh(model=2)
         params = shard_params(variables["params"], mesh)
