@@ -86,6 +86,10 @@ def _load() -> ctypes.CDLL | None:
         lib.ipc_json_f32_triplets.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.ipc_json_i32_triplets.restype = ctypes.c_int64
+        lib.ipc_json_i32_triplets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.ipc_json_i32_list.restype = ctypes.c_int64
         lib.ipc_json_i32_list.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -209,6 +213,22 @@ def json_f32_triplets(values: np.ndarray) -> bytes | None:
     cap = 3 * 32 * max(n, 1) + 4 * max(n, 1) + 16
     buf = ctypes.create_string_buffer(cap)
     written = lib.ipc_json_f32_triplets(v.ctypes.data, n, buf, cap)
+    if written < 0:
+        return None
+    return buf.raw[:written]
+
+
+def json_i32_triplets(values: np.ndarray) -> bytes | None:
+    """``[[a,b,c],...]`` JSON bytes for an (N,3) int32 array; None if
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.int32).reshape(-1, 3)
+    n = len(v)
+    cap = 3 * 16 * max(n, 1) + 4 * max(n, 1) + 16
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.ipc_json_i32_triplets(v.ctypes.data, n, buf, cap)
     if written < 0:
         return None
     return buf.raw[:written]

@@ -94,6 +94,37 @@ int64_t ipc_json_f32_triplets(const float* v, int64_t n, char* out,
   return w;
 }
 
+// JSON array of n [a,b,c] int triples from an (n,3) i32 buffer.
+int64_t ipc_json_i32_triplets(const int32_t* v, int64_t n, char* out,
+                              int64_t cap) {
+  int64_t w = 0;
+  if (cap < 2) return -1;
+  out[w++] = '[';
+  for (int64_t i = 0; i < n; ++i) {
+    if (i) {
+      if (w + 1 > cap) return -1;
+      out[w++] = ',';
+    }
+    if (w + 1 > cap) return -1;
+    out[w++] = '[';
+    for (int c = 0; c < 3; ++c) {
+      if (c) {
+        if (w + 1 > cap) return -1;
+        out[w++] = ',';
+      }
+      if (cap - w < 16) return -1;
+      auto res = std::to_chars(out + w, out + cap, v[i * 3 + c]);
+      if (res.ec != std::errc()) return -1;
+      w = res.ptr - out;
+    }
+    if (w + 1 > cap) return -1;
+    out[w++] = ']';
+  }
+  if (w + 1 > cap) return -1;
+  out[w++] = ']';
+  return w;
+}
+
 // JSON array of n i32 values. Returns bytes written, or -1 on overflow.
 int64_t ipc_json_i32_list(const int32_t* v, int64_t n, char* out, int64_t cap) {
   int64_t w = 0;

@@ -115,35 +115,10 @@ def _is_transient(e: Exception) -> bool:
     )
 
 
-def _triplets_json(arr: np.ndarray):
-    """(N,3) float array → reference preview value (backend/app.py:504-505
-    ``.astype(float).tolist()`` shape). Native C serializer when
-    available (a RawJSON fragment spliced into the status body), plain
-    nested lists otherwise — both parse to identical values."""
-    from image_to_pointcloud_tpu import native
-    from image_to_pointcloud_tpu.serve.rawjson import RawJSON
-
-    a = np.asarray(arr)
-    if a.dtype == np.float32:
-        frag = native.json_f32_triplets(a)
-        if frag is not None:
-            return RawJSON(frag)
-    return a.astype(float).tolist()
-
-
-def _ints_json(arr: np.ndarray):
-    """Flat int array → JSON value (native fragment or list of ints)."""
-    from image_to_pointcloud_tpu import native
-    from image_to_pointcloud_tpu.serve.rawjson import RawJSON
-
-    a = np.asarray(arr).reshape(-1)
-    if a.dtype in (np.int32, np.int64) and (
-        a.size == 0 or (a.min() >= -(2**31) and a.max() < 2**31)
-    ):
-        frag = native.json_i32_list(a.astype(np.int32))
-        if frag is not None:
-            return RawJSON(frag)
-    return a.astype(int).tolist()
+from image_to_pointcloud_tpu.serve.rawjson import (
+    float_triplets as _triplets_json,
+    int_list as _ints_json,
+)
 
 
 def _parse_bool(v: str | bool, default: bool) -> bool:

@@ -249,11 +249,20 @@ class Depth3DProcessor:
             sel = rng.choice(len(v), max_v, replace=False)
             v, c, n = v[sel], c[sel], n[sel]
             faces = []
+        from image_to_pointcloud_tpu.serve.rawjson import (
+            float_triplets,
+            int_triplets,
+        )
+
         preview["mesh"] = {
-            "vertices": np.asarray(v, float).tolist(),
-            "colors": np.asarray(c, float).astype(int).tolist(),
-            "faces": np.asarray(faces, int).tolist() if len(faces) else [],
-            "normals": np.asarray(n, float).tolist(),
+            "vertices": float_triplets(v),
+            "colors": int_triplets(np.asarray(c)),
+            "faces": (
+                int_triplets(np.asarray(faces, np.int32))
+                if len(faces)
+                else []
+            ),
+            "normals": float_triplets(n),
         }
         pts = res.points
         cols = res.colors
@@ -262,7 +271,7 @@ class Depth3DProcessor:
             sel = rng.choice(len(pts), max_p, replace=False)
             pts, cols = pts[sel], cols[sel]
         preview["points"] = {
-            "positions": np.asarray(pts, float).tolist(),
-            "colors": np.asarray(cols, float).tolist(),
+            "positions": float_triplets(pts),
+            "colors": float_triplets(cols),
         }
         return preview

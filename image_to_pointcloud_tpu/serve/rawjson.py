@@ -20,7 +20,13 @@ from __future__ import annotations
 import json
 from typing import Any
 
-__all__ = ["RawJSON", "dumps_raw"]
+__all__ = [
+    "RawJSON",
+    "dumps_raw",
+    "float_triplets",
+    "int_triplets",
+    "int_list",
+]
 
 _NUL = chr(0)
 
@@ -63,3 +69,51 @@ def dumps_raw(obj: Any) -> bytes:
         out.append(frags[int(idx)])
         out.append(rest.encode())
     return b"".join(out)
+
+
+def float_triplets(arr):
+    """(N,3) float array → reference preview value (``.astype(float)
+    .tolist()`` shape, backend/app.py:504-505): native fragment when the
+    dtype is f32, plain nested lists otherwise — identical parsed values."""
+    import numpy as np
+
+    from image_to_pointcloud_tpu import native
+
+    a = np.asarray(arr)
+    if a.dtype == np.float32:
+        frag = native.json_f32_triplets(a)
+        if frag is not None:
+            return RawJSON(frag)
+    return a.astype(float).tolist()
+
+
+def int_triplets(arr):
+    """(N,3) int array → nested-int-triplet JSON value."""
+    import numpy as np
+
+    from image_to_pointcloud_tpu import native
+
+    a = np.asarray(arr)
+    if a.dtype.kind in "iuf":
+        b = a.astype(np.int64)  # truncates floats like .astype(int)
+        if b.size == 0 or (b.min() >= -(2**31) and b.max() < 2**31):
+            frag = native.json_i32_triplets(b.astype(np.int32))
+            if frag is not None:
+                return RawJSON(frag)
+    return a.astype(int).tolist()
+
+
+def int_list(arr):
+    """Flat int array → JSON value (native fragment or list of ints)."""
+    import numpy as np
+
+    from image_to_pointcloud_tpu import native
+
+    a = np.asarray(arr).reshape(-1)
+    if a.dtype in (np.int32, np.int64) and (
+        a.size == 0 or (a.min() >= -(2**31) and a.max() < 2**31)
+    ):
+        frag = native.json_i32_list(a.astype(np.int32))
+        if frag is not None:
+            return RawJSON(frag)
+    return a.astype(int).tolist()

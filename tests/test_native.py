@@ -253,3 +253,13 @@ def test_png_palette_data_url_decodes_exact(rng):
     png = base64.b64decode(url[len(prefix):])
     back = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
     np.testing.assert_array_equal(back, PLASMA_RGB[gray])
+
+
+def test_json_i32_triplets_matches_tolist(rng):
+    import json
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    v = rng.integers(-50, 70000, (321, 3)).astype(np.int32)
+    assert json.loads(native.json_i32_triplets(v)) == v.tolist()
+    assert json.loads(native.json_i32_triplets(np.zeros((0, 3), np.int32))) == []

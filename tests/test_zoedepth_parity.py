@@ -156,3 +156,71 @@ def test_zoedepth_presets_are_real():
     zs = preset("zoedepth-small")
     assert isinstance(zs, ZoeDepthConfig)
     assert zs.backbone.hidden_size == 768
+
+
+def test_zoedepth_trainer_step(rng):
+    """Tiny ZoeDepth fine-tunes through the sharded Trainer (DP mesh;
+    BEiT params replicate or TP-shard per parallel/sharding rules)."""
+    import jax
+
+    from image_to_pointcloud_tpu.parallel.sharding import make_mesh
+    from image_to_pointcloud_tpu.train.trainer import TrainConfig, Trainer
+
+    _, model, variables = _build_pair(image_size=64)
+    mesh = make_mesh(data=2, model=2)
+    trainer = Trainer(
+        model.cfg, jax.device_get(variables["params"]), mesh,
+        TrainConfig(loss="silog", remat=True),
+    )
+    x = jnp.asarray(rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random((4, 64, 64)).astype(np.float32) + 0.5)
+    l1 = float(trainer.train_step(x, y))
+    l2 = float(trainer.train_step(x, y))
+    assert np.isfinite(l1) and np.isfinite(l2)
+
+
+def test_zoedepth_cli_convert_ckpt(tmp_path):
+    """ZoeDepth-family safetensors → convert-ckpt CLI → Orbax →
+    ModelManager (the same ingestion loop the DA family has)."""
+    import torch
+    from safetensors.torch import save_file
+
+    from image_to_pointcloud_tpu.cli import main as cli_main
+    from image_to_pointcloud_tpu.models import ZoeDepthConfig, preset
+    from image_to_pointcloud_tpu.serve.models import ModelManager
+
+    # Shrink the preset so the CLI shape check validates a real (if
+    # tiny) ZoeDepth rather than instantiating BEiT-base in the test.
+    hf, model, variables = _build_pair(image_size=64)
+    src = tmp_path / "hf"
+    src.mkdir()
+    save_file(
+        {k: v.contiguous() for k, v in hf.state_dict().items()},
+        str(src / "model.safetensors"),
+    )
+
+    from image_to_pointcloud_tpu.models.depth_anything import PRESETS
+
+    PRESETS["zoedepth-tiny-test"] = model.cfg
+    try:
+        out_root = tmp_path / "converted"
+        rc = cli_main(
+            [
+                "convert-ckpt", str(src),
+                "--model", "zoedepth-tiny-test",
+                "-o", str(out_root),
+            ]
+        )
+        assert rc == 0
+        mm = ModelManager(
+            checkpoint_dir=str(out_root), use_bf16=False,
+            use_flash_attention=False,
+        )
+        params = mm._load_params("zoedepth-tiny-test", model.cfg)
+        assert mm.random_weights["zoedepth-tiny-test"] is False
+        x = np.zeros((1, 64, 64, 3), np.float32)
+        a = np.asarray(model.apply({"params": params}, x))
+        b = np.asarray(model.apply(variables, x))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    finally:
+        PRESETS.pop("zoedepth-tiny-test", None)
