@@ -153,7 +153,7 @@ class HighResPipeline:
         *,
         tile: int = 518,
         overlap: int = 128,
-        model_target: int = 518,
+        model_target: int | tuple[int, int] | None = None,
         quantized_transfer: bool | None = None,
     ):
         from image_to_pointcloud_tpu.models import build_model
@@ -162,7 +162,12 @@ class HighResPipeline:
         self.params = params
         self.tile = tile
         self.overlap = overlap
-        self.model_target = model_target
+        (
+            self.model_target,
+            self.size_multiple,
+            self.pixel_mean,
+            self.pixel_std,
+        ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             from image_to_pointcloud_tpu.pipeline.graph import (
                 default_quantized_transfer,
@@ -182,15 +187,21 @@ class HighResPipeline:
         tile = min(self.tile, h, w)
         overlap = max(0, min(self.overlap, tile - 1))
         corners = plan_tiles(h, w, tile, overlap)
-        mh, mw = processor_output_size(tile, tile, self.model_target)
-        ah, aw = processor_output_size(h, w, self.model_target)
+        mh, mw = processor_output_size(
+            tile, tile, self.model_target, multiple=self.size_multiple
+        )
+        ah, aw = processor_output_size(
+            h, w, self.model_target, multiple=self.size_multiple
+        )
 
         @jax.jit
         def fn(params, img_u8, depth_scale):
             img = img_u8.astype(jnp.float32)
 
             # Global anchor pass at model resolution → upsampled to full.
-            xa = preprocess_for_model(img[None], (ah, aw))
+            xa = preprocess_for_model(
+                img[None], (ah, aw), mean=self.pixel_mean, std=self.pixel_std
+            )
             anchor = self.model.apply({"params": params}, xa)
             anchor = resize_batched(anchor[:, :, :, None], (h, w), "linear")[
                 0, :, :, 0
@@ -198,7 +209,9 @@ class HighResPipeline:
 
             # All tiles as one batch (DP over chips when mesh-sharded).
             tiles = extract_tiles(img, corners, tile)
-            xt = preprocess_for_model(tiles, (mh, mw))
+            xt = preprocess_for_model(
+                tiles, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
+            )
             td = self.model.apply({"params": params}, xt)  # (T, mh, mw)
             td = resize_batched(
                 td[:, :, :, None], (tile, tile), "linear"
@@ -292,7 +305,7 @@ class VideoPipeline:
         self,
         cfg: DepthAnythingConfig,
         params: Any,
-        model_target: int = 518,
+        model_target: int | tuple[int, int] | None = None,
         *,
         quantized_transfer: bool | None = None,
     ):
@@ -300,7 +313,12 @@ class VideoPipeline:
 
         self.model = build_model(cfg)
         self.params = params
-        self.model_target = model_target
+        (
+            self.model_target,
+            self.size_multiple,
+            self.pixel_mean,
+            self.pixel_std,
+        ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             from image_to_pointcloud_tpu.pipeline.graph import (
                 default_quantized_transfer,
@@ -314,12 +332,16 @@ class VideoPipeline:
         key = (t, h, w, step, quant)
         if key in self._compiled:
             return self._compiled[key]
-        mh, mw = processor_output_size(h, w, self.model_target)
+        mh, mw = processor_output_size(
+            h, w, self.model_target, multiple=self.size_multiple
+        )
 
         @jax.jit
         def fn(params, frames_u8, depth_scale):
             img = frames_u8.astype(jnp.float32)  # (T, h, w, 3)
-            x = preprocess_for_model(img, (mh, mw))
+            x = preprocess_for_model(
+                img, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
+            )
             depth = self.model.apply({"params": params}, x)  # (T, mh, mw)
             d = resize_batched(depth[:, :, :, None], (h, w), "linear")[..., 0]
             dn = jax.vmap(lambda dd: normalize_depth(dd, True))(d)
