@@ -101,10 +101,9 @@ def _interp_bias_table(
 
 class _BeitAttention(nn.Module):
     cfg: BeitConfig
-    grid: tuple[int, int]  # runtime patch grid (wh, ww)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, grid: tuple[int, int]) -> jax.Array:
         cfg = self.cfg
         b, n, d = x.shape
         h = cfg.num_heads
@@ -125,9 +124,9 @@ class _BeitAttention(nn.Module):
             nn.initializers.zeros,
             (num_rel, h),
         )
-        if self.grid != native:
-            table = _interp_bias_table(table, native, self.grid)
-        idx = jnp.asarray(relative_position_index(*self.grid))
+        if tuple(grid) != native:
+            table = _interp_bias_table(table, native, tuple(grid))
+        idx = jnp.asarray(relative_position_index(*grid))
         bias = jnp.take(table, idx.reshape(-1), axis=0).reshape(n, n, h)
         bias = bias.transpose(2, 0, 1)[None].astype(jnp.float32)
 
@@ -148,16 +147,15 @@ class _BeitAttention(nn.Module):
 
 class BeitBlock(nn.Module):
     cfg: BeitConfig
-    grid: tuple[int, int]
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, grid: tuple[int, int]) -> jax.Array:
         cfg = self.cfg
         d = cfg.hidden_size
         h = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm1"
         )(x)
-        h = _BeitAttention(cfg, self.grid, name="attn")(h)
+        h = _BeitAttention(cfg, name="attn")(h, grid)
         if cfg.layer_scale:
             h = h * self.param("ls1", nn.initializers.ones, (d,)).astype(
                 cfg.dtype
@@ -177,47 +175,63 @@ class BeitBlock(nn.Module):
 
 
 class BeitBackbone(nn.Module):
-    """(B, H, W, 3) pixels → list of (B, N+1, D) token maps (with CLS)."""
+    """(B, H, W, 3) pixels → list of (B, N+1, D) token maps (with CLS).
+
+    setup-style like DinoV2Backbone so the encoder can be split: ``embed``
+    produces tokens, ``blocks`` run sequentially here or streamed through
+    the GPipe schedule (parallel/pipeline_par.pipelined_zoedepth_apply —
+    BEiT-L's taps at 6/12/18/24 are exactly the 4 stage boundaries)."""
 
     cfg: BeitConfig
 
-    @nn.compact
-    def __call__(self, pixels: jax.Array) -> list[jax.Array]:
+    def setup(self):
         cfg = self.cfg
         p = cfg.patch_size
-        b, hh, ww, _ = pixels.shape
-        gh, gw = hh // p, ww // p
-        grid = (gh, gw)
-
-        # Patchify as one matmul: (B, gh*gw, p*p*3) @ (p*p*3, D).
-        x = pixels.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, gh * gw, p * p * 3).astype(cfg.dtype)
-        w = self.param(
+        self.patch_embed = self.param(
             "patch_embed",
             nn.initializers.lecun_normal(),
             (p * p * 3, cfg.hidden_size),
         )
-        bias = self.param(
+        self.patch_bias = self.param(
             "patch_bias", nn.initializers.zeros, (cfg.hidden_size,)
         )
-        x = (
-            jnp.einsum("bnk,kd->bnd", x, w.astype(cfg.dtype),
-                       preferred_element_type=jnp.float32)
-            + bias
-        ).astype(cfg.dtype)
-
-        cls = self.param(
+        self.cls_token = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size)
         )
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls, (b, 1, cfg.hidden_size)).astype(cfg.dtype), x],
-            axis=1,
-        )
+        self.blocks = [
+            BeitBlock(cfg, name=f"block{i}") for i in range(cfg.num_layers)
+        ]
 
+    def embed(self, pixels: jax.Array) -> jax.Array:
+        """(B, H, W, 3) → (B, 1+gh·gw, D) tokens (patchify matmul + CLS;
+        BEiT has no absolute position embeddings)."""
+        cfg = self.cfg
+        p = cfg.patch_size
+        b, hh, ww, _ = pixels.shape
+        gh, gw = hh // p, ww // p
+        x = pixels.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * 3).astype(cfg.dtype)
+        x = (
+            jnp.einsum(
+                "bnk,kd->bnd", x, self.patch_embed.astype(cfg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + self.patch_bias
+        ).astype(cfg.dtype)
+        cls = jnp.broadcast_to(
+            self.cls_token, (b, 1, cfg.hidden_size)
+        ).astype(cfg.dtype)
+        return jnp.concatenate([cls, x], axis=1)
+
+    def __call__(self, pixels: jax.Array) -> list[jax.Array]:
+        cfg = self.cfg
+        p = cfg.patch_size
+        grid = (pixels.shape[1] // p, pixels.shape[2] // p)
+        x = self.embed(pixels)
         taps = []
         want = {i - 1 for i in cfg.out_layers}  # 1-indexed stages → blocks
         for i in range(cfg.num_layers):
-            x = BeitBlock(cfg, grid, name=f"block{i}")(x)
+            x = self.blocks[i](x, grid)
             if i in want:
                 taps.append(x.astype(jnp.float32))
         return taps

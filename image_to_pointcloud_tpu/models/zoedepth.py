@@ -309,12 +309,17 @@ class ZoeDepth(nn.Module):
     cfg: ZoeDepthConfig
 
     @nn.compact
-    def __call__(self, pixels: jax.Array) -> jax.Array:
+    def __call__(self, pixels: jax.Array, taps=None) -> jax.Array:
+        """``taps``: optional precomputed backbone activations (4× (B,
+        N+1, D)) — the GPipe-pipelined path runs the encoder externally
+        (parallel/pipeline_par.pipelined_zoedepth_apply) and feeds the
+        neck/heads here."""
         cfg = self.cfg
         p = cfg.backbone.patch_size
         gh, gw = pixels.shape[1] // p, pixels.shape[2] // p
 
-        taps = BeitBackbone(cfg.backbone, name="backbone")(pixels)
+        if taps is None:
+            taps = BeitBackbone(cfg.backbone, name="backbone")(pixels)
         stages = _Reassemble(cfg, (gh, gw), name="reassemble")(taps)
         feats = [
             _conv(

@@ -39,9 +39,12 @@ __all__ = [
     "make_pipe_mesh",
     "stack_block_params",
     "make_stage_fn",
+    "make_stage_fn_apply",
     "make_tapped_stage_fn",
     "gpipe_apply",
     "pipelined_depth_apply",
+    "pipelined_zoedepth_apply",
+    "build_beit_stage_params",
     "stage_tap_indices",
 ]
 
@@ -92,6 +95,21 @@ def make_stage_fn(block_module) -> Callable[[Any, jax.Array], tuple]:
     def stage_fn(stage_params, x):
         def body(h, p):
             return block_module.apply({"params": p}, h), None
+
+        y, _ = jax.lax.scan(body, x, stage_params)
+        return y, y
+
+    return stage_fn
+
+
+def make_stage_fn_apply(apply_fn) -> Callable[[Any, jax.Array], tuple]:
+    """Like :func:`make_stage_fn` for blocks whose apply takes extra
+    static arguments (e.g. BEiT's runtime patch grid): ``apply_fn(p, h)
+    -> h`` is scanned over the stacked stage params, boundary = tap."""
+
+    def stage_fn(stage_params, x):
+        def body(h, p):
+            return apply_fn(p, h), None
 
         y, _ = jax.lax.scan(body, x, stage_params)
         return y, y
@@ -338,3 +356,84 @@ def pipelined_depth_apply(
     )
     depth = DPTNeckHead(cfg.neck).apply({"params": params["neck"]}, feats)
     return depth.astype(jnp.float32)
+
+
+# ---------- ZoeDepth (BEiT) pipelined forward ----------
+
+
+def build_beit_stage_params(cfg, params, *, mesh: Mesh | None = None) -> Any:
+    """Stack a ZoeDepth param tree's BEiT blocks into (S, L/S, ...) GPipe
+    stage params. BEiT taps are exactly the stage boundaries (out_layers
+    (6,12,18,24) of 24 for BEiT-L), so no tap indices are needed —
+    boundary activations ARE the DPT inputs. With ``mesh``, each leaf is
+    host-stacked and placed with P('pipe') so no chip holds more than
+    its own stage (same residency argument as build_stage_params)."""
+    s = len(cfg.backbone.out_layers)
+    num_layers = cfg.backbone.num_layers
+    per = num_layers // s
+    assert per * s == num_layers, (num_layers, s)
+    expect = tuple((i + 1) * per for i in range(s))
+    assert tuple(cfg.backbone.out_layers) == expect, (
+        f"BEiT pipelining needs boundary taps {expect}, "
+        f"got {tuple(cfg.backbone.out_layers)}"
+    )
+    if mesh is None:
+        return stack_block_params(params["backbone"], num_layers, s)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    blocks_host = jax.device_get(
+        [params["backbone"][f"block{i}"] for i in range(num_layers)]
+    )
+
+    def stack(*leaves):
+        a = np.stack(leaves)
+        return a.reshape(s, per, *a.shape[1:])
+
+    stacked = jax.tree_util.tree_map(stack, *blocks_host)
+    sharding = NamedSharding(mesh, P(PIPE_AXIS))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), stacked
+    )
+
+
+def pipelined_zoedepth_apply(
+    cfg,
+    params,
+    stage_params,
+    pixels: jax.Array,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+) -> jax.Array:
+    """ZoeDepth forward with the BEiT encoder GPipe-pipelined over the
+    mesh's ``pipe`` axis: patch embed and the DPT neck + relative +
+    metric-bins heads run data-parallel on every device; the 4 encoder
+    stages stream microbatches over ICI, each stage boundary emitting
+    its DPT tap directly.
+
+    Args mirror :func:`pipelined_depth_apply`; ``params`` is the full
+    ZoeDepth tree (backbone blocks may be pruned — they live only in
+    ``stage_params``)."""
+    from image_to_pointcloud_tpu.models.beit import BeitBackbone, BeitBlock
+    from image_to_pointcloud_tpu.models.zoedepth import ZoeDepth
+
+    backbone = BeitBackbone(cfg.backbone)
+    p = cfg.backbone.patch_size
+    grid = (pixels.shape[1] // p, pixels.shape[2] // p)
+
+    tokens = backbone.apply(
+        {"params": params["backbone"]}, pixels, method="embed"
+    )
+    block = BeitBlock(cfg.backbone)
+    _, taps = gpipe_apply(
+        mesh,
+        make_stage_fn_apply(
+            lambda bp, h: block.apply({"params": bp}, h, grid)
+        ),
+        stage_params,
+        tokens,
+        num_microbatches=num_microbatches,
+    )
+    taps = [t.astype(jnp.float32) for t in taps]
+    return ZoeDepth(cfg).apply({"params": params}, pixels, taps=taps)

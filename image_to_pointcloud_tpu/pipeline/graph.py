@@ -241,7 +241,9 @@ class DepthPipeline:
 
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from image_to_pointcloud_tpu.models.zoedepth import ZoeDepthConfig
             from image_to_pointcloud_tpu.parallel.pipeline_par import (
+                build_beit_stage_params,
                 build_stage_params,
             )
 
@@ -254,7 +256,10 @@ class DepthPipeline:
             # Stage params go straight from host to their pipe slice
             # (mesh=...) — never materializing the whole stacked encoder
             # on one chip, which is the residency PP exists to avoid.
-            stages = build_stage_params(cfg, params, mesh=mesh)
+            if isinstance(cfg, ZoeDepthConfig):
+                stages = build_beit_stage_params(cfg, params, mesh=mesh)
+            else:
+                stages = build_stage_params(cfg, params, mesh=mesh)
             # Blocks live only in the stacked stage params; prune them
             # from the replicated tree so Large's encoder isn't resident
             # twice per device.
@@ -333,8 +338,12 @@ class DepthPipeline:
                 img, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
             )
             if self._pipelined:
+                from image_to_pointcloud_tpu.models.zoedepth import (
+                    ZoeDepthConfig,
+                )
                 from image_to_pointcloud_tpu.parallel.pipeline_par import (
                     pipelined_depth_apply,
+                    pipelined_zoedepth_apply,
                 )
 
                 # Microbatches must divide the batch, and each
@@ -348,7 +357,12 @@ class DepthPipeline:
                 m = max(1, min(self.pipe_microbatches, batch))
                 while m > 1 and (batch % m or (batch // m) % dp):
                     m -= 1
-                depth = pipelined_depth_apply(
+                pp_apply = (
+                    pipelined_zoedepth_apply
+                    if isinstance(self.cfg, ZoeDepthConfig)
+                    else pipelined_depth_apply
+                )
+                depth = pp_apply(
                     self.cfg,
                     params["tree"],
                     params["stages"],
