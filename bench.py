@@ -66,7 +66,15 @@ def main() -> None:
         )
 
         def watchdog():
-            d1 = max(5.0, min(warm_deadline, remaining() - cpu_reserve))
+            # Attempt 1 gets a short leash (a dead relay shows up fast);
+            # attempt 2 gets ALL remaining headroom above the CPU
+            # reserve, so a healthy-but-slow remote compile (documented
+            # 20s-8min per graph) still lands a TPU number — total TPU
+            # window ≈ the old single 400s deadline, now with a retry.
+            if attempt == 1:
+                d1 = max(5.0, min(warm_deadline, remaining() - cpu_reserve))
+            else:
+                d1 = max(5.0, remaining() - cpu_reserve)
             if not warmed.wait(d1):
                 if attempt == 1 and remaining() > cpu_reserve + 60:
                     reexec(

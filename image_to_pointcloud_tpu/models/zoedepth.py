@@ -70,6 +70,13 @@ class ZoeDepthConfig:
     pixel_std: Sequence[float] = (0.5, 0.5, 0.5)
     native_target: tuple[int, int] = (384, 512)
     size_multiple: int = 32
+    # ZoeDepth reflect-pads the input by int(sqrt(dim/2)*3) per side
+    # before resizing and crops the prediction back (boundary-artifact
+    # fix; image_processing_zoedepth.py pad_image / post_process), and
+    # resizes with torch bilinear align_corners=True — not the DPT
+    # processor's PIL bicubic.
+    pad_reflect_factor: int = 3
+    resize_method: str = "linear_ac"
     dtype: jnp.dtype = jnp.float32
 
     # ---- config-surface compatibility with DepthAnythingConfig ----

@@ -86,6 +86,10 @@ def _load() -> ctypes.CDLL | None:
         lib.ipc_json_f32_triplets.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.ipc_json_f64_triplets.restype = ctypes.c_int64
+        lib.ipc_json_f64_triplets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.ipc_json_i32_triplets.restype = ctypes.c_int64
         lib.ipc_json_i32_triplets.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -218,6 +222,22 @@ def json_f32_triplets(values: np.ndarray) -> bytes | None:
     return buf.raw[:written]
 
 
+def json_f64_triplets(values: np.ndarray) -> bytes | None:
+    """``[[x,y,z],...]`` JSON bytes for an (N,3) f64 array (exact
+    doubles); None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.float64).reshape(-1, 3)
+    n = len(v)
+    cap = 3 * 32 * max(n, 1) + 4 * max(n, 1) + 16
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.ipc_json_f64_triplets(v.ctypes.data, n, buf, cap)
+    if written < 0:
+        return None
+    return buf.raw[:written]
+
+
 def json_i32_triplets(values: np.ndarray) -> bytes | None:
     """``[[a,b,c],...]`` JSON bytes for an (N,3) int32 array; None if
     unavailable."""
@@ -249,13 +269,21 @@ def json_i32_list(values: np.ndarray) -> bytes | None:
 
 
 def ply_pack(points: np.ndarray, colors: np.ndarray | None) -> bytes | None:
-    """Binary PLY vertex records (f64 xyz + u8 rgb); None if unavailable."""
+    """Binary PLY vertex records (f64 xyz + u8 rgb); None if unavailable.
+
+    Raises on a colors/points length mismatch — silently emitting
+    colorless 24-byte records under a header advertising RGB would be a
+    corrupt file (callers decide the has-colors question explicitly)."""
     lib = _load()
     if lib is None:
         return None
     p = np.ascontiguousarray(points, np.float32)
     n = len(p)
-    has_c = colors is not None and len(colors) == n
+    has_c = colors is not None
+    if has_c and len(colors) != n:
+        raise ValueError(
+            f"colors length {len(colors)} != points length {n}"
+        )
     rec = 27 if has_c else 24
     out = ctypes.create_string_buffer(rec * max(n, 1))
     c = np.ascontiguousarray(colors, np.float32) if has_c else None

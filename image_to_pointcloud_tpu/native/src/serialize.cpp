@@ -94,6 +94,37 @@ int64_t ipc_json_f32_triplets(const float* v, int64_t n, char* out,
   return w;
 }
 
+// JSON array of n [x,y,z] triples from an (n,3) f64 buffer (exact
+// doubles — used where the Python path emitted float64 values).
+int64_t ipc_json_f64_triplets(const double* v, int64_t n, char* out,
+                              int64_t cap) {
+  int64_t w = 0;
+  if (cap < 2) return -1;
+  out[w++] = '[';
+  for (int64_t i = 0; i < n; ++i) {
+    if (i) {
+      if (w + 1 > cap) return -1;
+      out[w++] = ',';
+    }
+    if (w + 1 > cap) return -1;
+    out[w++] = '[';
+    for (int c = 0; c < 3; ++c) {
+      if (c) {
+        if (w + 1 > cap) return -1;
+        out[w++] = ',';
+      }
+      int64_t k = put_double(v[i * 3 + c], out + w, cap - w);
+      if (k == 0) return -1;
+      w += k;
+    }
+    if (w + 1 > cap) return -1;
+    out[w++] = ']';
+  }
+  if (w + 1 > cap) return -1;
+  out[w++] = ']';
+  return w;
+}
+
 // JSON array of n [a,b,c] int triples from an (n,3) i32 buffer.
 int64_t ipc_json_i32_triplets(const int32_t* v, int64_t n, char* out,
                               int64_t cap) {

@@ -85,27 +85,11 @@ def stack_block_params(
     return jax.tree_util.tree_map(stack, *blocks)
 
 
-def make_stage_fn(block_module) -> Callable[[Any, jax.Array], tuple]:
-    """Stage = scan of one Flax block module over its stacked params.
-
-    Returns ``(y, y)`` — the stage's boundary activation doubles as its
-    tap (the DA-S/B case, where every tap layer IS a stage boundary).
-    """
-
-    def stage_fn(stage_params, x):
-        def body(h, p):
-            return block_module.apply({"params": p}, h), None
-
-        y, _ = jax.lax.scan(body, x, stage_params)
-        return y, y
-
-    return stage_fn
-
-
 def make_stage_fn_apply(apply_fn) -> Callable[[Any, jax.Array], tuple]:
-    """Like :func:`make_stage_fn` for blocks whose apply takes extra
-    static arguments (e.g. BEiT's runtime patch grid): ``apply_fn(p, h)
-    -> h`` is scanned over the stacked stage params, boundary = tap."""
+    """Stage = scan of ``apply_fn(block_params, h) -> h`` over the
+    stacked stage params; returns ``(y, y)`` — the boundary activation
+    doubles as the tap (the case where every tap layer IS a stage
+    boundary: DA-S/B, and BEiT whose apply closes over the patch grid)."""
 
     def stage_fn(stage_params, x):
         def body(h, p):
@@ -115,6 +99,13 @@ def make_stage_fn_apply(apply_fn) -> Callable[[Any, jax.Array], tuple]:
         return y, y
 
     return stage_fn
+
+
+def make_stage_fn(block_module) -> Callable[[Any, jax.Array], tuple]:
+    """:func:`make_stage_fn_apply` over a plain Flax block module."""
+    return make_stage_fn_apply(
+        lambda p, h: block_module.apply({"params": p}, h)
+    )
 
 
 def stage_tap_indices(
@@ -278,18 +269,36 @@ def build_stage_params(cfg, params, *, mesh: Mesh | None = None) -> Any:
     taps = stage_tap_indices(
         cfg.backbone.num_layers, s, cfg.backbone.out_layers
     )
+    stacked = _stack_blocks(
+        params["backbone"], cfg.backbone.num_layers, s, mesh
+    )
     if mesh is None:
-        stacked = stack_block_params(
-            params["backbone"], cfg.backbone.num_layers, s
-        )
         return {"blocks": stacked, "tap": jnp.asarray(taps, jnp.int32)}
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    num_layers = cfg.backbone.num_layers
+    tap = jax.device_put(
+        np.asarray(taps, np.int32), NamedSharding(mesh, P(PIPE_AXIS))
+    )
+    return {"blocks": stacked, "tap": tap}
+
+
+def _stack_blocks(
+    backbone_params: Any, num_layers: int, s: int, mesh: Mesh | None
+) -> Any:
+    """(S, L/S, ...) stacked block pytree. With ``mesh``, stacking
+    happens on host and each leaf is placed with a P('pipe') sharding so
+    no chip ever holds more than its own stage's blocks (the residency
+    PP exists to provide); without one, a plain jnp stack (jit-closed
+    tests and the dryrun). Shared by the DA and BEiT builders."""
+    if mesh is None:
+        return stack_block_params(backbone_params, num_layers, s)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     per = num_layers // s
     blocks_host = jax.device_get(
-        [params["backbone"][f"block{i}"] for i in range(num_layers)]
+        [backbone_params[f"block{i}"] for i in range(num_layers)]
     )
 
     def stack(*leaves):
@@ -298,11 +307,9 @@ def build_stage_params(cfg, params, *, mesh: Mesh | None = None) -> Any:
 
     stacked = jax.tree_util.tree_map(stack, *blocks_host)
     sharding = NamedSharding(mesh, P(PIPE_AXIS))
-    stacked = jax.tree_util.tree_map(
+    return jax.tree_util.tree_map(
         lambda a: jax.device_put(a, sharding), stacked
     )
-    tap = jax.device_put(np.asarray(taps, np.int32), sharding)
-    return {"blocks": stacked, "tap": tap}
 
 
 def pipelined_depth_apply(
@@ -377,24 +384,7 @@ def build_beit_stage_params(cfg, params, *, mesh: Mesh | None = None) -> Any:
         f"BEiT pipelining needs boundary taps {expect}, "
         f"got {tuple(cfg.backbone.out_layers)}"
     )
-    if mesh is None:
-        return stack_block_params(params["backbone"], num_layers, s)
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    blocks_host = jax.device_get(
-        [params["backbone"][f"block{i}"] for i in range(num_layers)]
-    )
-
-    def stack(*leaves):
-        a = np.stack(leaves)
-        return a.reshape(s, per, *a.shape[1:])
-
-    stacked = jax.tree_util.tree_map(stack, *blocks_host)
-    sharding = NamedSharding(mesh, P(PIPE_AXIS))
-    return jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, sharding), stacked
-    )
+    return _stack_blocks(params["backbone"], num_layers, s, mesh)
 
 
 def pipelined_zoedepth_apply(

@@ -78,6 +78,7 @@ class MetricPipeline:
         from image_to_pointcloud_tpu.models import build_model
 
         assert cfg.neck.metric_depth, "MetricPipeline needs a metric head"
+        self.cfg = cfg
         self.model = build_model(cfg)
         self.params = params
         (
@@ -85,6 +86,7 @@ class MetricPipeline:
             self.size_multiple,
             self.pixel_mean,
             self.pixel_std,
+            self.resize_method,
         ) = model_preprocess_spec(cfg, model_target)
         self._compiled: dict = {}
 
@@ -92,18 +94,42 @@ class MetricPipeline:
         key = (h, w, step)
         if key in self._compiled:
             return self._compiled[key]
+        from image_to_pointcloud_tpu.pipeline.preprocess import (
+            reflect_pad_margins,
+        )
+
+        pad_h, pad_w = reflect_pad_margins(self.cfg, h, w)
+        hp, wp = h + 2 * pad_h, w + 2 * pad_w
         mh, mw = processor_output_size(
-            h, w, self.model_target, multiple=self.size_multiple
+            hp, wp, self.model_target, multiple=self.size_multiple
         )
 
         @jax.jit
         def fn(params, img_u8, fx, fy, cx, cy):
             img = img_u8.astype(jnp.float32)[None]
+            img_in = img
+            if pad_h or pad_w:
+                # ZoeDepth reflect pad + post-process crop (boundary
+                # artifact fix, image_processing_zoedepth.py).
+                img_in = jnp.pad(
+                    img,
+                    ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)),
+                    mode="reflect",
+                )
             x = preprocess_for_model(
-                img, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
+                img_in, (mh, mw), mean=self.pixel_mean, std=self.pixel_std,
+                method=self.resize_method,
             )
             depth = self.model.apply({"params": params}, x)  # (1, mh, mw)
-            d = resize_batched(depth[:, :, :, None], (h, w), "linear")[0, :, :, 0]
+            if pad_h or pad_w:
+                d4 = resize_batched(
+                    depth[..., None], (hp, wp), "bicubic_torch"
+                )
+                d = d4[0, pad_h : hp - pad_h, pad_w : wp - pad_w, 0]
+            else:
+                d = resize_batched(
+                    depth[:, :, :, None], (h, w), "linear"
+                )[0, :, :, 0]
             return unproject_intrinsics(
                 d, img[0], fx=fx, fy=fy, cx=cx, cy=cy, step=step
             )
@@ -167,6 +193,7 @@ class HighResPipeline:
             self.size_multiple,
             self.pixel_mean,
             self.pixel_std,
+            self.resize_method,
         ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             from image_to_pointcloud_tpu.pipeline.graph import (
@@ -200,7 +227,8 @@ class HighResPipeline:
 
             # Global anchor pass at model resolution → upsampled to full.
             xa = preprocess_for_model(
-                img[None], (ah, aw), mean=self.pixel_mean, std=self.pixel_std
+                img[None], (ah, aw), mean=self.pixel_mean, std=self.pixel_std,
+                method=self.resize_method,
             )
             anchor = self.model.apply({"params": params}, xa)
             anchor = resize_batched(anchor[:, :, :, None], (h, w), "linear")[
@@ -210,7 +238,8 @@ class HighResPipeline:
             # All tiles as one batch (DP over chips when mesh-sharded).
             tiles = extract_tiles(img, corners, tile)
             xt = preprocess_for_model(
-                tiles, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
+                tiles, (mh, mw), mean=self.pixel_mean, std=self.pixel_std,
+                method=self.resize_method,
             )
             td = self.model.apply({"params": params}, xt)  # (T, mh, mw)
             td = resize_batched(
@@ -318,6 +347,7 @@ class VideoPipeline:
             self.size_multiple,
             self.pixel_mean,
             self.pixel_std,
+            self.resize_method,
         ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             from image_to_pointcloud_tpu.pipeline.graph import (
@@ -340,7 +370,8 @@ class VideoPipeline:
         def fn(params, frames_u8, depth_scale):
             img = frames_u8.astype(jnp.float32)  # (T, h, w, 3)
             x = preprocess_for_model(
-                img, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
+                img, (mh, mw), mean=self.pixel_mean, std=self.pixel_std,
+                method=self.resize_method,
             )
             depth = self.model.apply({"params": params}, x)  # (T, mh, mw)
             d = resize_batched(depth[:, :, :, None], (h, w), "linear")[..., 0]

@@ -44,6 +44,7 @@ from image_to_pointcloud_tpu.pipeline.preprocess import (
     model_preprocess_spec,
     preprocess_for_model,
     processor_output_size,
+    reflect_pad_margins,
 )
 
 __all__ = ["PipelineOptions", "PipelineResult", "DepthPipeline", "dummy_point_cloud_graph"]
@@ -216,6 +217,7 @@ class DepthPipeline:
             self.size_multiple,
             self.pixel_mean,
             self.pixel_std,
+            self.resize_method,
         ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             quantized_transfer = default_quantized_transfer()
@@ -311,13 +313,20 @@ class DepthPipeline:
         """Compile the full fused graph for one (input size, batch) signature."""
         h0, w0 = in_hw
         h, w = _proc_hw(h0, w0)
+        # ZoeDepth reflect-pads before resize and crops the prediction
+        # back (reflect_pad_margins; (0,0) for the DA family).
+        pad_h, pad_w = reflect_pad_margins(self.cfg, h, w)
+        hp, wp = h + 2 * pad_h, w + 2 * pad_w
         mh, mw = processor_output_size(
-            h, w, self.model_target, multiple=self.size_multiple
+            hp, wp, self.model_target, multiple=self.size_multiple
         )
+        # Depth-grid dims seen by everything after the model: the model
+        # resolution, or the unpadded image size once the pad is cropped.
+        dmh, dmw = (h, w) if (pad_h or pad_w) else (mh, mw)
         from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
 
         step = DENSITY_STRIDES[opts.density]
-        pv_h, pv_w = _preview_hw(mh, mw)
+        pv_h, pv_w = _preview_hw(dmh, dmw)
 
         def graph(params, payload_u8):
             # One fused H2D buffer per batch: [u8 RGB pixels | f32 LE
@@ -334,8 +343,16 @@ class DepthPipeline:
                 img = jnp.clip(
                     jnp.round(resize_batched(img, (h, w), "area")), 0, 255
                 )
+            img_in = img
+            if pad_h or pad_w:
+                img_in = jnp.pad(
+                    img,
+                    ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)),
+                    mode="reflect",
+                )
             x = preprocess_for_model(
-                img, (mh, mw), mean=self.pixel_mean, std=self.pixel_std
+                img_in, (mh, mw), mean=self.pixel_mean, std=self.pixel_std,
+                method=self.resize_method,
             )
             if self._pipelined:
                 from image_to_pointcloud_tpu.models.zoedepth import (
@@ -373,12 +390,21 @@ class DepthPipeline:
             else:
                 depth = self.model.apply({"params": params}, x)  # (B, mh, mw)
 
+            if pad_h or pad_w:
+                # ZoeDepth post-process: bicubic (align_corners=False)
+                # back to padded image size, then crop the pad margins
+                # (image_processing_zoedepth.post_process_depth_estimation).
+                d4 = resize_batched(depth[..., None], (hp, wp), "bicubic_torch")
+                depth = d4[
+                    :, pad_h : hp - pad_h, pad_w : wp - pad_w, 0
+                ]  # (B, h, w)
+
             # Point-cloud path: upscale depth to working size, re-normalize,
             # unproject. Refine runs batched AFTER the vmap: the Pallas
             # grid-kNN kernel is natively batched (vmapping a manual-grid
             # pallas_call would shift its program_id axes).
             def normalize_one(d):
-                if (mh, mw) != (h, w):
+                if (dmh, dmw) != (h, w):
                     d = resize_batched(d[None, :, :, None], (h, w), "linear")[
                         0, :, :, 0
                     ]
@@ -399,10 +425,10 @@ class DepthPipeline:
             # preserve the reference's colorize-then-area-resize order.
             if not preview:
                 prev_out = jnp.zeros((1,), jnp.uint8)
-            elif (pv_h, pv_w) != (mh, mw):
+            elif (pv_h, pv_w) != (dmh, dmw):
                 dn_prev = (
                     dn_all
-                    if (mh, mw) == (h, w) and not opts.smooth_depth
+                    if (dmh, dmw) == (h, w) and not opts.smooth_depth
                     else jax.vmap(
                         lambda d: normalize_depth(d, opts.invert_depth)
                     )(depth)
@@ -422,12 +448,12 @@ class DepthPipeline:
             else:
                 dn_prev = (
                     dn_all
-                    if (mh, mw) == (h, w) and not opts.smooth_depth
+                    if (dmh, dmw) == (h, w) and not opts.smooth_depth
                     else jax.vmap(
                         lambda d: normalize_depth(d, opts.invert_depth)
                     )(depth)
                 )
-                prev_out = (dn_prev * 255.0).astype(jnp.uint8)  # gray (B,mh,mw)
+                prev_out = (dn_prev * 255.0).astype(jnp.uint8)  # gray (B,dmh,dmw)
             packed = jax.vmap(
                 lambda dn, im, s: unproject(
                     dn, im, depth_scale=s, step=step, h=h, w=w, fov_deg=opts.fov

@@ -24,15 +24,31 @@ __all__ = [
     "processor_output_size",
     "preprocess_for_model",
     "model_preprocess_spec",
+    "reflect_pad_margins",
 ]
+
+
+def reflect_pad_margins(cfg, h: int, w: int) -> tuple[int, int]:
+    """Per-side reflect-pad margins for the model family.
+
+    ZoeDepth pads by ``int(sqrt(dim/2) * 3)`` before resizing and crops
+    the prediction back (image_processing_zoedepth.py:287-292 and
+    post_process_depth_estimation); the DA family pads nothing."""
+    import math
+
+    f = getattr(cfg, "pad_reflect_factor", 0)
+    if not f:
+        return 0, 0
+    return int(math.sqrt(h / 2) * f), int(math.sqrt(w / 2) * f)
 
 
 def model_preprocess_spec(cfg, model_target=None):
     """Per-family (target, multiple, mean, std) preprocess parameters.
 
     DA-family configs use the HF DPT processor defaults (518,
-    multiple-of-14, ImageNet stats); ZoeDepthConfig carries overrides
-    ((384,512), multiple-of-32, 0.5/0.5 stats)."""
+    multiple-of-14, ImageNet stats, PIL-bicubic resize); ZoeDepthConfig
+    carries overrides ((384,512), multiple-of-32, 0.5/0.5 stats,
+    bilinear-align-corners resize + reflect pad)."""
     return (
         model_target
         if model_target is not None
@@ -40,6 +56,7 @@ def model_preprocess_spec(cfg, model_target=None):
         getattr(cfg, "size_multiple", 14),
         tuple(getattr(cfg, "pixel_mean", IMAGENET_MEAN)),
         tuple(getattr(cfg, "pixel_std", IMAGENET_STD)),
+        getattr(cfg, "resize_method", "bicubic_pil"),
     )
 
 
@@ -79,12 +96,14 @@ def preprocess_for_model(
     out_hw: tuple[int, int],
     mean: tuple[float, ...] = IMAGENET_MEAN,
     std: tuple[float, ...] = IMAGENET_STD,
+    method: str = "bicubic_pil",
 ) -> jax.Array:
     """(B, H, W, 3) uint8/float RGB → (B, mh, mw, 3) normalized model input.
 
-    mean/std default to the DA family's ImageNet stats; ZoeDepth passes
-    its 0.5/0.5 (IMAGENET_STANDARD) stats via the model config."""
+    mean/std/method default to the DA family's HF-DPT-processor
+    semantics (ImageNet stats, PIL bicubic); ZoeDepth passes 0.5/0.5
+    stats and torch bilinear-align-corners resize via its config."""
     x = images_rgb.astype(jnp.float32)
-    x = resize_batched(x, out_hw, "bicubic_pil")
+    x = resize_batched(x, out_hw, method)
     x = x * (1.0 / 255.0)
     return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)

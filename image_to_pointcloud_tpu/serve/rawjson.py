@@ -45,13 +45,25 @@ class RawJSON:
 
 
 def dumps_raw(obj: Any) -> bytes:
-    """``json.dumps(obj).encode()`` with RawJSON fragments spliced in."""
+    """``json.dumps(obj).encode()`` with RawJSON fragments spliced in.
+
+    The placeholder carries a fresh 128-bit nonce per call, so
+    user-controlled strings (which are fixed before the nonce exists)
+    cannot forge or collide with a splice point — including via escaped
+    quotes or literal NUL bytes in request params. If the spliced text
+    still doesn't account for every fragment (defense in depth), fall
+    back to parsing the fragments and re-dumping, which is slow but
+    always correct.
+    """
+    import secrets
+
     frags: list[bytes] = []
+    nonce = secrets.token_hex(16)
 
     def default(o):
         if isinstance(o, RawJSON):
             frags.append(o.data)
-            return f"{_NUL}RAW{len(frags) - 1}{_NUL}"
+            return f"{_NUL}{nonce}:{len(frags) - 1}{_NUL}"
         raise TypeError(
             f"Object of type {type(o).__name__} is not JSON serializable"
         )
@@ -59,31 +71,42 @@ def dumps_raw(obj: Any) -> bytes:
     text = json.dumps(obj, default=default)
     if not frags:
         return text.encode()
-    # json.dumps escapes the placeholder's NULs, so it appears in the
-    # output as the quoted string "BACKSLASH-u0000RAW<i>BACKSLASH-u0000"
-    # — replace each occurrence with its fragment.
-    parts = text.split('"' + "\\u0000RAW")
+    # json.dumps escapes the placeholder's NULs, so each placeholder
+    # appears in the output as the quoted string
+    # "BACKSLASH-u0000<nonce>:<i>BACKSLASH-u0000".
+    opener = '"' + "\\u0000" + nonce + ":"
+    closer = "\\u0000" + '"'
+    parts = text.split(opener)
+    if len(parts) != len(frags) + 1:
+        return json.dumps(obj, default=lambda o: o.parsed()).encode()
     out = [parts[0].encode()]
-    for part in parts[1:]:
-        idx, rest = part.split("\\u0000" + '"', 1)
-        out.append(frags[int(idx)])
-        out.append(rest.encode())
+    try:
+        for part in parts[1:]:
+            idx, rest = part.split(closer, 1)
+            out.append(frags[int(idx)])
+            out.append(rest.encode())
+    except (ValueError, IndexError):
+        return json.dumps(obj, default=lambda o: o.parsed()).encode()
     return b"".join(out)
 
 
 def float_triplets(arr):
     """(N,3) float array → reference preview value (``.astype(float)
-    .tolist()`` shape, backend/app.py:504-505): native fragment when the
-    dtype is f32, plain nested lists otherwise — identical parsed values."""
+    .tolist()`` shape, backend/app.py:504-505): native fragment for f32
+    and f64 inputs (exact shortest-round-trip doubles either way), plain
+    nested lists otherwise — identical parsed values in all cases."""
     import numpy as np
 
     from image_to_pointcloud_tpu import native
 
     a = np.asarray(arr)
+    frag = None
     if a.dtype == np.float32:
         frag = native.json_f32_triplets(a)
-        if frag is not None:
-            return RawJSON(frag)
+    elif a.dtype == np.float64:
+        frag = native.json_f64_triplets(a)
+    if frag is not None:
+        return RawJSON(frag)
     return a.astype(float).tolist()
 
 

@@ -263,3 +263,49 @@ def test_json_i32_triplets_matches_tolist(rng):
     v = rng.integers(-50, 70000, (321, 3)).astype(np.int32)
     assert json.loads(native.json_i32_triplets(v)) == v.tolist()
     assert json.loads(native.json_i32_triplets(np.zeros((0, 3), np.int32))) == []
+
+
+class TestRawJSONAdversarial:
+    """Regression: user-controlled strings must never break the splice
+    (found in review — an escaped quote + NUL+marker sequence inside a
+    request param crashed terminal_body before the per-call nonce)."""
+
+    def test_escaped_quote_nul_marker_content(self):
+        import json
+
+        from image_to_pointcloud_tpu.serve.rawjson import RawJSON, dumps_raw
+
+        evil = 'x"' + chr(0) + 'RAW0' + chr(0) + '"y'
+        obj = {
+            "coordinateSystem": evil,
+            "preview": {"points": RawJSON(b"[[1.5,2.0,3.0]]")},
+        }
+        assert json.loads(dumps_raw(obj)) == {
+            "coordinateSystem": evil,
+            "preview": {"points": [[1.5, 2.0, 3.0]]},
+        }
+
+    def test_exact_placeholder_imitation(self):
+        import json
+
+        from image_to_pointcloud_tpu.serve.rawjson import RawJSON, dumps_raw
+
+        # A value that is literally NUL+marker+NUL — the pre-nonce
+        # scheme could not distinguish this from a real placeholder.
+        for fake_idx in (0, 1, 99):
+            evil = chr(0) + f"RAW{fake_idx}" + chr(0)
+            obj = {"a": evil, "b": RawJSON(b"[7]"), "c": [evil, evil]}
+            assert json.loads(dumps_raw(obj)) == {
+                "a": evil, "b": [7], "c": [evil, evil],
+            }
+
+    def test_many_fragments_with_hostile_neighbors(self):
+        import json
+
+        from image_to_pointcloud_tpu.serve.rawjson import RawJSON, dumps_raw
+
+        evil = "\\" + '"' + chr(0)
+        obj = {
+            "x": [RawJSON(b"[1]"), evil, RawJSON(b"[2]"), evil, RawJSON(b"[3]")]
+        }
+        assert json.loads(dumps_raw(obj)) == {"x": [[1], evil, [2], evil, [3]]}

@@ -224,3 +224,49 @@ def test_zoedepth_cli_convert_ckpt(tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-6)
     finally:
         PRESETS.pop("zoedepth-tiny-test", None)
+
+
+def test_zoedepth_full_hf_processor_chain_parity(rng):
+    """Padded preprocessing parity: our MetricPipeline graph (reflect pad
+    → bilinear-align-corners resize → model → bicubic unpad) must match
+    HF's ZoeDepthImageProcessor + model + post_process_depth_estimation
+    end to end — the serving semantics real Intel/zoedepth weights get."""
+    import torch
+    from transformers import ZoeDepthImageProcessor
+
+    from image_to_pointcloud_tpu.pipeline.advanced import (
+        CameraIntrinsics,
+        MetricPipeline,
+    )
+
+    hf, model, variables = _build_pair(image_size=64)
+    h, w = 64, 64
+    img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+
+    proc = ZoeDepthImageProcessor(
+        size={"height": 64, "width": 64},
+        keep_aspect_ratio=True,
+        ensure_multiple_of=32,
+        do_pad=True,
+    )
+    inputs = proc(images=img, return_tensors="pt")
+    with torch.no_grad():
+        out = hf(**inputs)
+    ref = proc.post_process_depth_estimation(out, source_sizes=[(h, w)])
+    ref_depth = ref[0]["predicted_depth"].numpy()  # (h, w)
+
+    mp = MetricPipeline(model.cfg, variables["params"], model_target=64)
+    fn = mp._fn(h, w, 1)
+    packed = np.asarray(
+        fn(
+            mp.params,
+            jnp.asarray(img),
+            jnp.float32(50.0), jnp.float32(50.0),
+            jnp.float32(w / 2), jnp.float32(h / 2),
+        )
+    )
+    ours_depth = packed[2].reshape(h, w)  # z == metric depth at step=1
+    scale = max(np.abs(ref_depth).max(), 1e-6)
+    np.testing.assert_allclose(
+        ours_depth / scale, ref_depth / scale, atol=5e-5
+    )
