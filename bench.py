@@ -32,6 +32,7 @@ def main() -> None:
     #   CPU fallback last, only after both TPU attempts stalled (or a
     #     post-warmup stall ate the remaining headroom).
     warmed = threading.Event()
+    backend_up = threading.Event()
     done = threading.Event()
     forced_cpu = os.environ.get("IPC_BENCH_FORCED_CPU") == "1"
     no_fallback = os.environ.get("IPC_BENCH_NO_FALLBACK") == "1"
@@ -66,26 +67,33 @@ def main() -> None:
         )
 
         def watchdog():
-            # Attempt 1 gets a short leash (a dead relay shows up fast);
-            # attempt 2 gets ALL remaining headroom above the CPU
-            # reserve, so a healthy-but-slow remote compile (documented
-            # 20s-8min per graph) still lands a TPU number — total TPU
-            # window ≈ the old single 400s deadline, now with a retry.
+            # Phase A — backend init. A dead relay hangs here and shows
+            # up fast; restarting only helps in this phase (re-exec
+            # throws away an ~80s init on a merely-degraded relay).
             if attempt == 1:
                 d1 = max(5.0, min(warm_deadline, remaining() - cpu_reserve))
             else:
                 d1 = max(5.0, remaining() - cpu_reserve)
-            if not warmed.wait(d1):
+            if not backend_up.wait(d1):
                 if attempt == 1 and remaining() > cpu_reserve + 60:
                     reexec(
                         False,
-                        f"TPU attempt 1 stalled in init/warmup after "
-                        f"{d1:.0f}s — re-exec TPU attempt 2",
+                        f"TPU attempt 1: backend init hung for {d1:.0f}s "
+                        "— re-exec TPU attempt 2",
                     )
                 reexec(
                     True,
-                    f"TPU attempt {attempt} stalled in init/warmup "
-                    f"after {d1:.0f}s — re-exec CPU fallback",
+                    f"TPU attempt {attempt}: backend init hung for "
+                    f"{d1:.0f}s — re-exec CPU fallback",
+                )
+            # Phase B — compile/warmup with a LIVE backend: never
+            # restart (that would re-pay init); give it every second
+            # above the CPU reserve, floor 60.
+            if not warmed.wait(max(60.0, remaining() - cpu_reserve)):
+                reexec(
+                    True,
+                    "TPU warmup stalled after backend init (compile "
+                    "helper hung) — re-exec CPU fallback",
                 )
             # Warmup succeeded on the TPU; if the relay dies mid-run,
             # still fall back while there is headroom to record a number.
@@ -116,6 +124,7 @@ def main() -> None:
     from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline, PipelineOptions
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    backend_up.set()  # device enumeration succeeded — relay is alive
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else (16 if on_tpu else 2)
 
     # Default: the flagship config (DA-V2-Small, BASELINE config 1/2);
@@ -149,9 +158,14 @@ def main() -> None:
     pipe.run_batch(imgs, options=opts, want_preview=False, want_packed=False)
 
     # Pipelined steady state: several batches in flight so upload, compute
-    # and download overlap across the host link.
+    # and download overlap across the host link. On a degraded relay
+    # that burned most of the budget warming up, shrink the loops — a
+    # short TPU measurement beats a CPU fallback.
     depth_q = 3 if on_tpu else 1
     iters = 12 if on_tpu else 3
+    short_on_time = on_tpu and not no_fallback and remaining() < 150
+    if short_on_time:
+        iters = 6
     lat: list[float] = []
     from collections import deque
 
@@ -190,6 +204,8 @@ def main() -> None:
         np.asarray(p)  # warm
         probes: deque = deque()
         dev_iters = 16 if on_tpu else 2
+        if short_on_time:
+            dev_iters = 8
         stamps = [time.perf_counter()]
         for _ in range(dev_iters):
             _, p = fn(pipe.params, dev_payload)
@@ -218,11 +234,38 @@ def main() -> None:
     done.set()  # disarm the mid-run watchdog: measurement is complete
     baseline_img_s = 0.4  # reference's claimed 2-3 s/image
     dev_part = f", device_graph_peak={dev_tp:.1f} img/s" if dev_tp else ""
+    last_path = os.path.join(os.path.dirname(__file__), ".last_tpu_bench.json")
     if forced_cpu:
         # The TPU relay was unreachable when this run started; this is
         # the CPU fallback, not the chip's number (see
         # benchmarks/RESULTS.md for TPU measurements).
         dev_part += ", tpu_relay_unreachable_at_run_time"
+        # Surface the last successful TPU measurement (clearly labeled
+        # as historical) so a relay flap doesn't erase the chip's record.
+        try:
+            with open(last_path) as f:
+                last = json.load(f)
+            dev_part += (
+                f", last_good_tpu={last['e2e']} img/s e2e"
+                f"/{last['device_peak']} device-peak @{last['date']}"
+            )
+        except Exception:  # noqa: BLE001
+            pass
+    elif on_tpu:
+        try:
+            import datetime
+
+            with open(last_path, "w") as f:
+                json.dump(
+                    {
+                        "e2e": round(throughput, 1),
+                        "device_peak": round(dev_tp, 1) if dev_tp else None,
+                        "date": datetime.date.today().isoformat(),
+                    },
+                    f,
+                )
+        except OSError:
+            pass
     print(
         json.dumps(
             {
