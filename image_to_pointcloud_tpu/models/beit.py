@@ -47,6 +47,7 @@ class BeitConfig:
     layer_scale: bool = True  # lambda_1 / lambda_2 (init 0.1 in torch)
     # 1-indexed stage outputs (ZoeDepth-large taps stages 6/12/18/24).
     out_layers: Sequence[int] = (6, 12, 18, 24)
+    quantized: bool = False  # int8 W8A8 block matmuls (models/quantize.py)
     dtype: jnp.dtype = jnp.float32
 
 
@@ -99,6 +100,15 @@ def _interp_bias_table(
     return jnp.concatenate([spatial, table[oh * ow :]], axis=0)
 
 
+def _dense(cfg: "BeitConfig", features: int, name: str, use_bias: bool = True):
+    """Block matmul: f32/bf16 Dense, or int8 QuantDense when quantized."""
+    if cfg.quantized:
+        from image_to_pointcloud_tpu.models.quantize import QuantDense
+
+        return QuantDense(features, dtype=cfg.dtype, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+
+
 class _BeitAttention(nn.Module):
     cfg: BeitConfig
 
@@ -109,10 +119,10 @@ class _BeitAttention(nn.Module):
         h = cfg.num_heads
         dh = d // h
 
-        q = nn.Dense(d, dtype=cfg.dtype, name="q")(x)
+        q = _dense(cfg, d, "q")(x)
         # BEiT's key projection has no bias (modeling_beit.py:253).
-        k = nn.Dense(d, use_bias=False, dtype=cfg.dtype, name="k")(x)
-        v = nn.Dense(d, dtype=cfg.dtype, name="v")(x)
+        k = _dense(cfg, d, "k", use_bias=False)(x)
+        v = _dense(cfg, d, "v")(x)
         q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
@@ -142,7 +152,7 @@ class _BeitAttention(nn.Module):
             "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
         ).astype(cfg.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-        return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
+        return _dense(cfg, d, "proj")(out)
 
 
 class BeitBlock(nn.Module):
@@ -164,9 +174,9 @@ class BeitBlock(nn.Module):
         h = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm2"
         )(x)
-        h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="fc1")(h)
+        h = _dense(cfg, cfg.intermediate_size, "fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(d, dtype=cfg.dtype, name="fc2")(h)
+        h = _dense(cfg, d, "fc2")(h)
         if cfg.layer_scale:
             h = h * self.param("ls2", nn.initializers.ones, (d,)).astype(
                 cfg.dtype

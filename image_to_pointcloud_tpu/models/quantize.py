@@ -31,8 +31,14 @@ import jax.numpy as jnp
 
 __all__ = ["QuantDense", "quantize_dense_params", "quantize_encoder_params"]
 
-# Dense submodules of each encoder block that carry the matmul FLOPs.
-QUANT_TARGETS = ("q", "k", "v", "proj", "mlp/fc1", "mlp/fc2")
+# Dense submodules of each encoder block that carry the matmul FLOPs:
+# DINOv2 layout first (DA family), then BEiT's (ZoeDepth backbone —
+# attention nested under /attn/, MLP at block level). Missing paths are
+# skipped, so one list serves both families.
+QUANT_TARGETS = (
+    "q", "k", "v", "proj", "mlp/fc1", "mlp/fc2",
+    "attn/q", "attn/k", "attn/v", "attn/proj", "fc1", "fc2",
+)
 
 
 class QuantDense(nn.Module):
@@ -45,6 +51,7 @@ class QuantDense(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    use_bias: bool = True  # BEiT's key projection is bias-free
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -58,8 +65,12 @@ class QuantDense(nn.Module):
         kernel_scale = self.param(
             "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
         )
         # Dynamic per-token activation quantization.
         xf = x.astype(jnp.float32)
@@ -74,7 +85,9 @@ class QuantDense(nn.Module):
             preferred_element_type=jnp.int32,
         )
         out = acc.astype(jnp.float32) * a_scale * kernel_scale
-        return (out + bias).astype(self.dtype)
+        if bias is not None:
+            out = out + bias
+        return out.astype(self.dtype)
 
 
 def quantize_dense_params(dense: dict) -> dict:

@@ -99,9 +99,9 @@ class ZoeDepthConfig:
         return self
 
     def with_quantized(self, on: bool) -> "ZoeDepthConfig":
-        if on:
-            raise ValueError("int8 quantization is not wired for ZoeDepth")
-        return self
+        return dataclasses.replace(
+            self, backbone=dataclasses.replace(self.backbone, quantized=on)
+        )
 
 
 def _conv(c, k, name, *, dtype, stride=1, bias=True):

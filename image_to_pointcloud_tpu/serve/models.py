@@ -21,7 +21,6 @@ import jax
 import numpy as np
 
 from image_to_pointcloud_tpu.models import (
-    ZoeDepthConfig,
     build_model,
     convert_checkpoint,
     load_safetensors,
@@ -142,12 +141,7 @@ class ModelManager:
         if self.use_flash:
             cfg = cfg.with_flash_attention(True)
         params = self._load_params(name, cfg)
-        if self.int8 and isinstance(cfg, ZoeDepthConfig):
-            logger.warning(
-                "int8 encoder quantization is not wired for ZoeDepth; "
-                "serving %s in %s", name, cfg.dtype,
-            )
-        elif self.int8:
+        if self.int8:
             from image_to_pointcloud_tpu.models.quantize import (
                 quantize_encoder_params,
             )

@@ -270,3 +270,26 @@ def test_zoedepth_full_hf_processor_chain_parity(rng):
     np.testing.assert_allclose(
         ours_depth / scale, ref_depth / scale, atol=5e-5
     )
+
+
+def test_zoedepth_int8_quantized_close_to_f32(rng):
+    """W8A8 BEiT encoder (metric head stays float): depth within ~1%
+    of the f32 forward — the same check DA's TestQuantized applies."""
+    from image_to_pointcloud_tpu.models import ZoeDepth
+    from image_to_pointcloud_tpu.models.quantize import (
+        quantize_encoder_params,
+    )
+
+    _, model, variables = _build_pair(image_size=64)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    qcfg = model.cfg.with_quantized(True)
+    qparams = quantize_encoder_params(
+        variables["params"], qcfg.backbone.num_layers
+    )
+    out = np.asarray(
+        ZoeDepth(qcfg).apply({"params": qparams}, jnp.asarray(x))
+    )
+    rel = np.abs(out - ref) / max(np.abs(ref).max(), 1e-6)
+    assert rel.max() < 0.05, rel.max()
