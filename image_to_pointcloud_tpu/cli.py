@@ -165,7 +165,23 @@ def cmd_mesh(args) -> int:
         r = pipe.run(
             im, depth_scale=args.depth_scale, options=opts, want_preview=False
         )
-        verts, vcols, faces, _ = grid_mesh_from_packed(r.packed, r.grid_hw)
+        if args.method == "grid":
+            verts, vcols, faces, _ = grid_mesh_from_packed(r.packed, r.grid_hw)
+        else:
+            # Reference-parity reconstruction algorithms (Open3D
+            # poisson/bpa slots, backend/app.py:283-305).
+            from image_to_pointcloud_tpu.pipeline.meshing import (
+                reconstruct_cloud,
+            )
+
+            rec = reconstruct_cloud(
+                r.points, r.colors, method=args.method,
+                depth=args.poisson_depth, orient="camera",
+            )
+            if rec is None:
+                print(f"{src}: {args.method} reconstruction failed", file=sys.stderr)
+                return 1
+            verts, vcols, faces = rec
         norms = vertex_normals(verts, faces)
         out = _out_path(args, src, ".ply", multi)
         write_ply_mesh(str(out), verts, faces, colors=vcols, normals=norms)
@@ -458,6 +474,16 @@ def main(argv=None) -> int:
 
     pm = sub.add_parser("mesh", help="image(s) → surface mesh PLY")
     _add_common(pm)
+    pm.add_argument(
+        "--method", default="grid", choices=["grid", "poisson", "bpa", "sdf"],
+        help="grid: exact depth-grid triangulation (default); poisson/bpa: "
+        "the reference's Open3D algorithms (backend/app.py:283-305), "
+        "native reimplementations; sdf: fast implicit fallback",
+    )
+    pm.add_argument(
+        "--poisson-depth", type=int, default=8,
+        help="grid resolution exponent for poisson/sdf (reference depth=8)",
+    )
     pm.set_defaults(fn=cmd_mesh)
 
     ph = sub.add_parser(

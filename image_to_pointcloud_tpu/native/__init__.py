@@ -78,6 +78,23 @@ def _load() -> ctypes.CDLL | None:
         lib.ipc_surface_release.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ipc_poisson_reconstruct.restype = ctypes.c_int32
+        lib.ipc_poisson_reconstruct.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ipc_mean_nn_distance.restype = ctypes.c_float
+        lib.ipc_mean_nn_distance.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.ipc_bpa_reconstruct.restype = ctypes.c_int64
+        lib.ipc_bpa_reconstruct.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.ipc_bpa_release.restype = None
+        lib.ipc_bpa_release.argtypes = [ctypes.c_void_p]
         lib.ipc_json_f32_list.restype = ctypes.c_int64
         lib.ipc_json_f32_list.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -367,3 +384,117 @@ def surface_reconstruct(
     finally:
         lib.ipc_surface_release(vp, cp, fp)
     return verts, vcols, faces
+
+
+def poisson_reconstruct(
+    points: np.ndarray,
+    colors: np.ndarray | None = None,
+    *,
+    depth: int = 8,
+    orient: str = "centroid",
+    crop: bool = True,
+    screen_alpha: float = 4.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Poisson surface reconstruction (multigrid Poisson-equation solve).
+
+    The genuine Kazhdan formulation behind the reference's Open3D
+    ``create_from_point_cloud_poisson(pcd, depth=8)`` (backend/app.py:
+    297-301): splat the oriented normal field, solve lap(chi)=div V with
+    geometric multigrid, screened second pass, isovalue = mean chi at the
+    samples, marching-tet extraction. ``crop=True`` restricts extraction
+    to the sample bounding box, the reference's ``mesh.crop(bbox)``
+    behavior (backend/app.py:299-301). Returns (verts f32 (V,3), colors
+    u8 (V,3), faces i32 (F,3)) or None on failure.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(points, np.float32)
+    if colors is not None:
+        c = np.ascontiguousarray(np.clip(colors, 0, 255), np.uint8)
+        cptr = c.ctypes.data
+    else:
+        c, cptr = None, None
+    vp = ctypes.c_void_p()
+    cp = ctypes.c_void_p()
+    fp = ctypes.c_void_p()
+    nv = ctypes.c_int64(0)
+    nf = ctypes.c_int64(0)
+    status = lib.ipc_poisson_reconstruct(
+        p.ctypes.data, cptr, len(p), int(depth),
+        1 if orient == "camera" else 0, 1 if crop else 0,
+        float(screen_alpha),
+        ctypes.byref(vp), ctypes.byref(cp), ctypes.byref(nv),
+        ctypes.byref(fp), ctypes.byref(nf),
+    )
+    if status != 0:
+        return None
+    try:
+        verts = np.ctypeslib.as_array(
+            ctypes.cast(vp, ctypes.POINTER(ctypes.c_float)), (nv.value, 3)
+        ).copy()
+        vcols = np.ctypeslib.as_array(
+            ctypes.cast(cp, ctypes.POINTER(ctypes.c_uint8)), (nv.value, 3)
+        ).copy()
+        faces = np.ctypeslib.as_array(
+            ctypes.cast(fp, ctypes.POINTER(ctypes.c_int32)), (nf.value, 3)
+        ).copy()
+    finally:
+        lib.ipc_surface_release(vp, cp, fp)
+    return verts, vcols, faces
+
+
+def mean_nn_distance(points: np.ndarray) -> float | None:
+    """Mean nearest-neighbor distance (Open3D
+    compute_nearest_neighbor_distance, reference backend/app.py:288-290).
+    None if the native module is unavailable or the cloud is degenerate."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(points, np.float32)
+    d = lib.ipc_mean_nn_distance(p.ctypes.data, len(p))
+    return float(d) if d > 0 else None
+
+
+def bpa_reconstruct(
+    points: np.ndarray,
+    radii: np.ndarray | list[float] | None = None,
+    *,
+    orient: str = "centroid",
+) -> np.ndarray | None:
+    """Ball-pivoting reconstruction (Bernardini et al.).
+
+    The algorithm behind the reference's ``method="bpa"`` branch
+    (Open3D create_from_point_cloud_ball_pivoting, backend/app.py:
+    285-294). Vertices are the input points; the returned (F, 3) int32
+    faces index into ``points``. When ``radii`` is None the reference's
+    radius schedule mean-NN-distance x {1.5, 2.0, 2.5} is used
+    (backend/app.py:291). Returns None on failure or if the native
+    module is unavailable; an empty (0, 3) array when no ball fits.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(points, np.float32)
+    if radii is None:
+        avg = mean_nn_distance(p)
+        if avg is None:
+            return None
+        radii = [avg * 1.5, avg * 2.0, avg * 2.5]
+    r = np.ascontiguousarray(np.sort(np.asarray(radii)), np.float32)
+    fp = ctypes.c_void_p()
+    nf = lib.ipc_bpa_reconstruct(
+        p.ctypes.data, len(p), r.ctypes.data, len(r),
+        1 if orient == "camera" else 0, ctypes.byref(fp),
+    )
+    if nf < 0:
+        return None
+    if nf == 0:
+        return np.zeros((0, 3), np.int32)
+    try:
+        faces = np.ctypeslib.as_array(
+            ctypes.cast(fp, ctypes.POINTER(ctypes.c_int32)), (nf, 3)
+        ).copy()
+    finally:
+        lib.ipc_bpa_release(fp)
+    return faces

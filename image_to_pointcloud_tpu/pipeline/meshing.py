@@ -108,28 +108,59 @@ def reconstruct_cloud(
     points: np.ndarray,
     colors: np.ndarray | None = None,
     *,
+    method: str = "poisson",
     depth: int = 6,
     orient: str = "camera",
     target_faces: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
-    """Poisson-class reconstruction for clouds with no grid topology.
+    """Surface reconstruction for clouds with no grid topology.
 
-    Wraps the native implicit-surface module (SDF from oriented PCA
-    normals + marching tetrahedra, native/src/surface.cpp) — the
-    framework's equivalent of the reference's Open3D Poisson/BPA path
-    (backend/app.py:283-305) — with optional quadric decimation to a
-    face budget (backend/app.py:516). Returns (verts f32 (V,3),
-    colors f32 0-255 (V,3), faces i32 (F,3)) or None when the native
-    toolchain is unavailable or the cloud is degenerate.
+    The framework's equivalent of the reference's Open3D meshing
+    (backend/app.py:283-305), with the same two algorithms plus a
+    fallback, selected by ``method``:
+
+    - ``"poisson"`` (reference default, backend/app.py:297): native
+      multigrid Poisson-equation solve + screened pass + bbox crop
+      (native/src/poisson.cpp).
+    - ``"bpa"`` (backend/app.py:285-294): native ball-pivoting with
+      radii = mean-NN-distance x {1.5, 2.0, 2.5}; mesh vertices are the
+      input points (native/src/bpa.cpp).
+    - ``"sdf"``: Hoppe-style SDF + marching tetrahedra
+      (native/src/surface.cpp) — fast approximate fallback, also used
+      when the other methods fail.
+
+    Optional quadric decimation to a face budget mirrors the
+    reference's ``simplify_quadric_decimation(20000)`` preview path
+    (backend/app.py:516). Returns (verts f32 (V,3), colors f32 0-255
+    (V,3), faces i32 (F,3)) or None when the native toolchain is
+    unavailable or the cloud is degenerate.
     """
     from image_to_pointcloud_tpu import native
 
+    pts = np.asarray(points, np.float32)
     cols_u8 = None
     if colors is not None:
         cols_u8 = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
-    out = native.surface_reconstruct(
-        np.asarray(points, np.float32), cols_u8, depth=depth, orient=orient
-    )
+
+    out = None
+    if method == "bpa":
+        faces = native.bpa_reconstruct(pts, orient=orient)
+        if faces is not None and len(faces):
+            used = np.zeros(len(pts), bool)
+            used[faces.ravel()] = True
+            remap = np.cumsum(used) - 1
+            vcols = (
+                cols_u8[used]
+                if cols_u8 is not None
+                else np.full((int(used.sum()), 3), 180, np.uint8)
+            )
+            out = (pts[used], vcols, remap[faces].astype(np.int32))
+    elif method == "poisson":
+        out = native.poisson_reconstruct(
+            pts, cols_u8, depth=max(depth, 4), orient=orient, crop=True
+        )
+    if out is None:  # sdf fallback (or method == "sdf")
+        out = native.surface_reconstruct(pts, cols_u8, depth=depth, orient=orient)
     if out is None:
         return None
     verts, vcols, faces = out
