@@ -223,6 +223,9 @@ class DepthPipeline:
             quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
         self._compiled: dict[tuple, Callable] = {}
+        import threading as _threading
+
+        self._build_lock = _threading.Lock()
         # Multi-chip serving: place params per the megatron TP rules over
         # the 'model' axis (replicated elsewhere) and shard request
         # batches over 'data' — XLA propagates the shardings through the
@@ -530,8 +533,15 @@ class DepthPipeline:
     def _get(self, key, builder):
         fn = self._compiled.get(key)
         if fn is None:
-            fn = builder()
-            self._compiled[key] = fn
+            # Serialize builds: concurrent submitters (the pipelined
+            # batching queue overlaps dispatch with collect) must share
+            # one jitted callable per signature, or each would trigger
+            # its own minutes-long remote XLA compile.
+            with self._build_lock:
+                fn = self._compiled.get(key)
+                if fn is None:
+                    fn = builder()
+                    self._compiled[key] = fn
         return fn
 
     # ---------- host-facing API ----------

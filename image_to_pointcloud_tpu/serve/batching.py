@@ -33,6 +33,7 @@ class _Item:
     depth_scale: float
     options: PipelineOptions
     future: asyncio.Future
+    want_packed: bool = True
 
 
 class BatchingQueue:
@@ -74,70 +75,117 @@ class BatchingQueue:
         image: np.ndarray,
         depth_scale: float,
         options: PipelineOptions,
+        *,
+        want_packed: bool = True,
     ) -> PipelineResult:
         self._ensure_worker()
         fut = asyncio.get_running_loop().create_future()
-        await self._queue.put(_Item(image, depth_scale, options, fut))
+        await self._queue.put(
+            _Item(image, depth_scale, options, fut, want_packed)
+        )
         return await fut
 
     async def _run(self) -> None:
         loop = asyncio.get_running_loop()
         batch: list[_Item] = []
+        # Two drains may be in flight: one collecting results on the
+        # host (D2H + unproject/compact) while the next dispatches on
+        # the device — double-buffering host work against device
+        # compute (submit_batch/collect split, pipeline/graph.py).
+        sem = asyncio.Semaphore(2)
+        pending: set[asyncio.Task] = set()
         try:
             while True:
                 batch = []
                 first = await self._queue.get()
                 batch = [first]
-                if self.window_ms > 0:
+                # Adaptive coalescing: the previous dispatch's in-flight
+                # time is the real batching window — requests that
+                # arrived while the device was busy are already queued,
+                # so drain them immediately with no sleep. Only when the
+                # queue is empty (idle arrival) wait out window_ms for
+                # near-simultaneous company; a fixed pre-dispatch sleep
+                # would idle the TPU once per batch under load.
+                if self.window_ms > 0 and self._queue.empty():
                     await asyncio.sleep(self.window_ms / 1000.0)
                 while len(batch) < self.max_batch and not self._queue.empty():
                     batch.append(self._queue.get_nowait())
-                await self._drain(batch, loop)
+                await sem.acquire()
+                task = loop.create_task(self._drain(batch, loop, sem))
+                pending.add(task)
+                task.add_done_callback(pending.discard)
         except asyncio.CancelledError:
             # close(): items already dequeued into this batch would
             # otherwise never resolve and their submitters would hang.
             for item in batch:
                 if not item.future.done():
                     item.future.cancel()
+            for task in pending:
+                task.cancel()
             raise
 
-    async def _drain(self, batch: "list[_Item]", loop) -> None:
-        # Group by graph signature (shape × options).
-        groups: dict[Any, list[_Item]] = defaultdict(list)
-        for item in batch:
-            groups[(item.image.shape, item.options)].append(item)
+    async def _drain(
+        self, batch: "list[_Item]", loop, sem: asyncio.Semaphore
+    ) -> None:
+        try:
+            # Group by graph signature (shape × options).
+            groups: dict[Any, list[_Item]] = defaultdict(list)
+            for item in batch:
+                groups[(item.image.shape, item.options)].append(item)
 
-        for (_, options), items in groups.items():
-            from image_to_pointcloud_tpu.serve.metrics import BATCH_SIZE
+            for (_, options), items in groups.items():
+                from image_to_pointcloud_tpu.serve.metrics import BATCH_SIZE
 
-            BATCH_SIZE.observe(len(items))
-            # Pad to the next power-of-two bucket: every distinct batch
-            # size is its own XLA graph signature (minutes per compile on
-            # a remote-relay TPU), and arrival timing would otherwise
-            # produce an unbounded spread of sizes. Buckets cap the
-            # compile count at log2(max_batch)+1; padded rows repeat the
-            # last image and their results are dropped.
-            n = len(items)
-            bucket = 1
-            while bucket < n:
-                bucket *= 2
-            images = [i.image for i in items]
-            scales = [i.depth_scale for i in items]
-            images += [images[-1]] * (bucket - n)
-            scales += [scales[-1]] * (bucket - n)
-            try:
-                results = await loop.run_in_executor(
-                    None,
-                    lambda images=images, scales=scales, options=options: (
-                        self.pipeline.run_batch(
-                            images, depth_scales=scales, options=options
-                        )
-                    ),
-                )
-                for item, res in zip(items, results):
-                    if not item.future.done():
-                        item.future.set_result(res)
-            except Exception as e:  # noqa: BLE001
-                for item in items:
-                    if not item.future.done():
-                        item.future.set_exception(e)
+                BATCH_SIZE.observe(len(items))
+                # Pad to the next power-of-two bucket: every distinct
+                # batch size is its own XLA graph signature (minutes per
+                # compile on a remote-relay TPU), and arrival timing
+                # would otherwise produce an unbounded spread of sizes.
+                # Buckets cap the compile count at log2(max_batch)+1;
+                # padded rows repeat the last image and their results
+                # are dropped.
+                n = len(items)
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2
+                images = [i.image for i in items]
+                scales = [i.depth_scale for i in items]
+                images += [images[-1]] * (bucket - n)
+                scales += [scales[-1]] * (bucket - n)
+                # Packed grids (7×N float32 per image) are only
+                # assembled on host when someone in the group needs
+                # them (mesh output).
+                want_packed = any(i.want_packed for i in items)
+                try:
+                    handle = await loop.run_in_executor(
+                        None,
+                        lambda images=images, scales=scales, options=options: (
+                            self.pipeline.submit_batch(
+                                images, depth_scales=scales, options=options
+                            )
+                        ),
+                    )
+                    results = await loop.run_in_executor(
+                        None,
+                        lambda handle=handle, want_packed=want_packed: (
+                            self.pipeline.collect(
+                                handle, want_packed=want_packed
+                            )
+                        ),
+                    )
+                    for item, res in zip(items, results):
+                        if not item.future.done():
+                            item.future.set_result(res)
+                except Exception as e:  # noqa: BLE001
+                    for item in items:
+                        if not item.future.done():
+                            item.future.set_exception(e)
+        except asyncio.CancelledError:
+            # close() cancelled this drain mid-flight; resolve its
+            # submitters so they don't hang.
+            for item in batch:
+                if not item.future.done():
+                    item.future.cancel()
+            raise
+        finally:
+            sem.release()

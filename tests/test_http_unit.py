@@ -211,8 +211,13 @@ class TestBatchingQueue:
         calls = []
 
         class FakePipeline:
-            def run_batch(self, images, depth_scales=None, options=None):
+            # The batcher drives the real split dispatch interface
+            # (submit_batch → collect, pipeline/graph.py:572/604).
+            def submit_batch(self, images, depth_scales=None, options=None):
                 calls.append(len(images))
+                return list(images)
+
+            def collect(self, handle, want_packed=True):
                 return [
                     PipelineResult(
                         points=np.zeros((1, 3), np.float32),
@@ -221,7 +226,7 @@ class TestBatchingQueue:
                         raw_point_count=1,
                         kept_point_count=1,
                     )
-                    for _ in images
+                    for _ in handle
                 ]
 
         async def run():
@@ -249,7 +254,7 @@ class TestBatchingQueue:
         from image_to_pointcloud_tpu.serve.batching import BatchingQueue
 
         class NeverPipeline:
-            def run_batch(self, images, depth_scales=None, options=None):
+            def submit_batch(self, images, depth_scales=None, options=None):
                 raise AssertionError("must not dispatch")
 
         async def run():
@@ -518,11 +523,13 @@ class TestTransientRetry:
         class FlakyPipeline:
             quantized_transfer = False
 
-            def run_batch(self, images, depth_scales=None, options=None,
-                          want_preview=True, want_packed=True):
+            def submit_batch(self, images, depth_scales=None, options=None):
                 calls["n"] += 1
                 if calls["n"] == 1:
                     raise RuntimeError("UNAVAILABLE: tunnel reset")
+                return list(images)
+
+            def collect(self, handle, want_packed=True):
                 return [
                     PipelineResult(
                         points=np.zeros((5, 3), np.float32),
@@ -531,7 +538,7 @@ class TestTransientRetry:
                         raw_point_count=5,
                         kept_point_count=5,
                     )
-                    for _ in images
+                    for _ in handle
                 ]
 
         mm = ModelManager(use_bf16=False, use_flash_attention=False)
