@@ -63,6 +63,11 @@ class ServiceConfig:
     max_preview_points: int = 20000  # backend/app.py:496
     mesh_preview_tris: int = 20000  # backend/app.py:516
     honor_fov: bool = False  # bug-compatible default (SURVEY.md §8 quirk 1)
+    # v1 mesh_ply reconstruction: "grid" = exact depth-grid triangulation
+    # (default; PARITY.md deviation 2), "poisson" = the reference's
+    # actual algorithm (Poisson depth=8 + bbox crop, backend/app.py:
+    # 297-301), "bpa" = ball-pivoting (backend/app.py:285-294).
+    mesh_method: str = "grid"
     batch_window_ms: float = 5.0
     durable_jobs: bool = True  # JSONL job journal (beyond reference)
     max_jobs: int | None = None  # retention cap; None = reference parity

@@ -36,6 +36,13 @@ def main() -> None:
         "--honor-fov", action="store_true", default=cfg.honor_fov
     )
     parser.add_argument(
+        "--mesh-method", choices=["grid", "poisson", "bpa"],
+        default=cfg.mesh_method,
+        help="v1 mesh_ply reconstruction: 'grid' = exact depth-grid "
+        "triangulation (default), 'poisson'/'bpa' = the reference's "
+        "Open3D algorithms (backend/app.py:283-305) via native/",
+    )
+    parser.add_argument(
         "--warmup", default=cfg.warmup,
         help="comma-separated HxW sizes to pre-compile at startup, e.g. '518x518,480x640'",
     )
@@ -102,6 +109,7 @@ def main() -> None:
                 output_dir=args.output_dir,
                 models=models,
                 honor_fov=args.honor_fov,
+                mesh_method=args.mesh_method,
                 warmup_sizes=warmup_sizes,
                 batch_window_ms=cfg.batch_window_ms,
                 durable_jobs=cfg.durable_jobs,

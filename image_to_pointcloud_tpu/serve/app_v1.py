@@ -136,6 +136,7 @@ class V1Service:
         output_dir: str = "outputs",
         models: ModelManager | None = None,
         honor_fov: bool = False,
+        mesh_method: str = "grid",
         batch_window_ms: float = 5.0,
         warmup_sizes: "list[tuple[int, int]] | None" = None,
         durable_jobs: bool = True,
@@ -145,6 +146,10 @@ class V1Service:
         self.output_dir.mkdir(exist_ok=True, parents=True)
         self.models = models or ModelManager()
         self.honor_fov = honor_fov
+        # "grid" (default; exact depth-grid triangulation, PARITY.md
+        # deviation 2) | "poisson" | "bpa" (the reference's actual
+        # Open3D algorithms, backend/app.py:283-305, via native/).
+        self.mesh_method = mesh_method
         # Durable registry: finished jobs (and their /download URLs)
         # survive restarts — the reference loses all jobs (SURVEY.md §5).
         def _evict_artifacts(job):
@@ -269,8 +274,18 @@ class V1Service:
                 # rig's relay); one backoff+retry masks a hiccup without
                 # hiding a real failure. The reference has no retries
                 # anywhere (SURVEY.md §5 failure detection).
+                # Packed 7×N grids are host-assembled only for mesh
+                # output via grid triangulation; point formats and the
+                # point-based reconstructions skip that host cost.
+                need_packed = (
+                    req["output_format"].lower() in MESH_FORMATS
+                    and self.mesh_method == "grid"
+                )
                 try:
-                    res = await batcher.submit(image, req["depth_scale"], opts)
+                    res = await batcher.submit(
+                        image, req["depth_scale"], opts,
+                        want_packed=need_packed,
+                    )
                 except Exception as first_err:  # noqa: BLE001
                     if not _is_transient(first_err):
                         raise
@@ -280,7 +295,10 @@ class V1Service:
                     )
                     m.JOBS_TOTAL.inc(api="v1", status="retried")
                     await asyncio.sleep(1.0)
-                    res = await batcher.submit(image, req["depth_scale"], opts)
+                    res = await batcher.submit(
+                        image, req["depth_scale"], opts,
+                        want_packed=need_packed,
+                    )
                 _mark("inference_unproject_refine", t0)
                 t0 = _time.perf_counter()
                 if res.depth_preview_gray is not None:
@@ -400,10 +418,50 @@ class V1Service:
         raise ValueError(f"Unsupported format: {fmt}")
 
     def _export_mesh(self, base, req, res, points, colors):
-        """mesh_ply path: grid meshing + decimated preview
-        (reference backend/app.py:509-535; surface reconstruction here is
-        exact grid triangulation rather than Poisson — the cloud's grid
-        topology is known)."""
+        """mesh_ply path: surface reconstruction + decimated preview
+        (reference backend/app.py:509-535).
+
+        ``mesh_method="grid"`` (default) triangulates the depth grid
+        exactly — the cloud's topology is known, so this beats Poisson
+        on fidelity and cost (PARITY.md deviation 2). ``"poisson"`` /
+        ``"bpa"`` run the reference's actual algorithms (Open3D
+        create_from_point_cloud_poisson depth=8 + bbox crop /
+        ball_pivoting with mean-NN radii, backend/app.py:283-305) via
+        the native reconstructions in pipeline/meshing.py."""
+        if self.mesh_method in ("poisson", "bpa"):
+            from image_to_pointcloud_tpu.pipeline.meshing import (
+                reconstruct_cloud,
+            )
+
+            out = reconstruct_cloud(
+                points, colors, method=self.mesh_method, depth=8
+            )
+            if out is None:
+                raise ValueError("Not enough points for meshing")
+            verts, vcols, faces = out
+            norms = vertex_normals(verts, faces)
+            filepath = write_ply_mesh(
+                base + ".ply", verts, faces, colors=vcols, normals=norms
+            )
+            # ≤20k-face preview (reference app.py:516
+            # simplify_quadric_decimation(20000)) — quadric-decimate
+            # the full mesh rather than reconstructing twice.
+            dv, dc, df = verts, vcols, faces
+            if len(faces) > 20000:
+                from image_to_pointcloud_tpu import native
+
+                dec = native.decimate_mesh(verts, vcols, faces, 20000)
+                if dec is not None:
+                    dv, dc, df = dec
+            dn = vertex_normals(dv, df)
+            mesh_preview = {
+                "vertices": _triplets_json(dv),
+                "normals": _triplets_json(dn),
+                "colors": _triplets_json((dc / 255.0).astype(np.float32)),
+                "faces": _ints_json(df.reshape(-1)),
+            }
+            return filepath, mesh_preview
+
         if res is None or res.packed is None:
             raise ValueError("Mesh output requires a depth model")
         verts, vcols, faces, _ = grid_mesh_from_packed(res.packed, res.grid_hw)
