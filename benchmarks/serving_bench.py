@@ -55,7 +55,10 @@ def main() -> None:
     ap.add_argument("--jobs", type=int, default=40, help="total jobs")
     ap.add_argument("--density", default="medium")
     ap.add_argument("--format", default="ply")
-    ap.add_argument("--poll-s", type=float, default=0.05)
+    # The reference frontend polls at 1.5 s (App.jsx:1012); 0.25 s is
+    # still 6x that. 0.05 s made the co-located load generator itself a
+    # measurable server cost (240 req/s of polling on the shared core).
+    ap.add_argument("--poll-s", type=float, default=0.25)
     ap.add_argument("--warmup", type=int, default=2,
                     help="untimed jobs first (compile + cache warm)")
     args = ap.parse_args()
@@ -84,11 +87,16 @@ def main() -> None:
         job_id = r.json()["job_id"]
         while True:
             s = client.get(f"{args.url}/status/{job_id}", timeout=120)
-            data = s.json()
-            if data["status"] == "completed":
+            # The status field sits in the first ~80 bytes; don't
+            # json-parse the multi-MB completed body (the full bytes
+            # still traverse the socket — only client-side parse cost
+            # is skipped, and it would otherwise be charged to the
+            # shared core the server runs on).
+            head = s.content[:96]
+            if b'"status": "completed"' in head:
                 break
-            if data["status"] == "error":
-                raise RuntimeError(data["message"])
+            if b'"status": "error"' in head:
+                raise RuntimeError(s.json()["message"])
             time.sleep(args.poll_s)
         dt = time.perf_counter() - t0
         t = client.get(f"{args.url}/timings/{job_id}", timeout=30)

@@ -612,9 +612,20 @@ class DepthPipeline:
         return (out, prev, b, grid_hw, imgs, np.asarray(depth_scales), options, (h, w), step)
 
     def collect(
-        self, handle, *, want_preview: bool = True, want_packed: bool = True
+        self,
+        handle,
+        *,
+        want_preview: bool = True,
+        want_packed: bool = True,
+        want_preview_rgb: bool = True,
     ) -> list[PipelineResult]:
-        """Pull a submitted batch to host and assemble results."""
+        """Pull a submitted batch to host and assemble results.
+
+        ``want_preview_rgb=False`` skips the host-side PLASMA LUT over
+        the gray preview (a b×518² gather, tens of ms per batch) for
+        callers that consume the gray channel directly — the serving
+        path renders paletted PNGs from gray (app_v1.py), so the RGB
+        materialization there is pure waste."""
         out, prev, b, grid_hw, imgs, depth_scales, options, (h, w), step = handle
         # Drop mesh data-axis padding rows everywhere (submit_batch may
         # have padded imgs/depth_scales/device outputs to b+pad).
@@ -626,10 +637,13 @@ class DepthPipeline:
         if want_preview:
             prev_np = np.asarray(prev)[:b]
             if prev_np.ndim == 3:  # gray u8 → PLASMA LUT on host
-                from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
-
                 prev_gray = prev_np
-                prev_np = PLASMA_RGB[prev_np]
+                if want_preview_rgb:
+                    from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
+
+                    prev_np = PLASMA_RGB[prev_np]
+                else:
+                    prev_np = None
         results = []
         if self.quantized_transfer:
             bundle = np.asarray(out)  # one transfer: [d16 | keep bits | rgb?]
@@ -679,7 +693,7 @@ class DepthPipeline:
                                 points=pts,
                                 colors=cols,
                                 depth_preview_rgb=(
-                                    prev_np[i] if want_preview else None
+                                    prev_np[i] if prev_np is not None else None
                                 ),
                                 depth_preview_gray=(
                                     prev_gray[i] if prev_gray is not None else None
@@ -721,7 +735,7 @@ class DepthPipeline:
                     PipelineResult(
                         points=np.ascontiguousarray(xyz[i].T[keep]),
                         colors=np.ascontiguousarray(rgb[i][keep]),
-                        depth_preview_rgb=prev_np[i] if want_preview else None,
+                        depth_preview_rgb=prev_np[i] if prev_np is not None else None,
                         depth_preview_gray=(
                             prev_gray[i] if prev_gray is not None else None
                         ),
@@ -740,7 +754,7 @@ class DepthPipeline:
                 PipelineResult(
                     points=np.ascontiguousarray(packed_all[i, :3].T[keep]),
                     colors=np.ascontiguousarray(packed_all[i, 3:6].T[keep]),
-                    depth_preview_rgb=prev_np[i] if want_preview else None,
+                    depth_preview_rgb=prev_np[i] if prev_np is not None else None,
                     depth_preview_gray=(
                         prev_gray[i] if prev_gray is not None else None
                     ),

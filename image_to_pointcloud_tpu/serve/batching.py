@@ -13,10 +13,17 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import logging
+import os
+import time
 from collections import defaultdict
 from typing import Any
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+# IPC_TPU_BATCH_DEBUG=1: log per-drain submit/collect timings.
+_DEBUG = bool(os.environ.get("IPC_TPU_BATCH_DEBUG"))
 
 from image_to_pointcloud_tpu.pipeline.graph import (
     DepthPipeline,
@@ -157,6 +164,7 @@ class BatchingQueue:
                 # them (mesh output).
                 want_packed = any(i.want_packed for i in items)
                 try:
+                    t0 = time.perf_counter()
                     handle = await loop.run_in_executor(
                         None,
                         lambda images=images, scales=scales, options=options: (
@@ -165,14 +173,28 @@ class BatchingQueue:
                             )
                         ),
                     )
+                    t1 = time.perf_counter()
                     results = await loop.run_in_executor(
                         None,
                         lambda handle=handle, want_packed=want_packed: (
                             self.pipeline.collect(
-                                handle, want_packed=want_packed
+                                handle,
+                                want_packed=want_packed,
+                                # Serving renders paletted PNGs from the
+                                # gray channel (app_v1); don't pay the
+                                # host LUT for an unused RGB preview.
+                                want_preview_rgb=False,
                             )
                         ),
                     )
+                    if _DEBUG:
+                        t2 = time.perf_counter()
+                        logger.info(
+                            "drain n=%d bucket=%d packed=%s submit=%.0fms "
+                            "collect=%.0fms",
+                            n, bucket, want_packed,
+                            (t1 - t0) * 1e3, (t2 - t1) * 1e3,
+                        )
                     for item, res in zip(items, results):
                         if not item.future.done():
                             item.future.set_result(res)

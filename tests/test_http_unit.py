@@ -217,7 +217,7 @@ class TestBatchingQueue:
                 calls.append(len(images))
                 return list(images)
 
-            def collect(self, handle, want_packed=True):
+            def collect(self, handle, want_packed=True, want_preview_rgb=True):
                 return [
                     PipelineResult(
                         points=np.zeros((1, 3), np.float32),
@@ -529,7 +529,7 @@ class TestTransientRetry:
                     raise RuntimeError("UNAVAILABLE: tunnel reset")
                 return list(images)
 
-            def collect(self, handle, want_packed=True):
+            def collect(self, handle, want_packed=True, want_preview_rgb=True):
                 return [
                     PipelineResult(
                         points=np.zeros((5, 3), np.float32),

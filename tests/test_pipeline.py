@@ -208,6 +208,40 @@ class TestQuantizedTransfer:
         assert res.colors.shape == (res.kept_point_count, 3)
 
 
+class TestPreviewRgbOptOut:
+    def test_collect_skips_lut_keeps_gray(self, rng):
+        """want_preview_rgb=False: the serving batcher's collect returns
+        the gray preview (paletted-PNG source) and skips the host PLASMA
+        LUT; the RGB preview stays None."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        pipe = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        )
+        img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
+        opts = PipelineOptions(density="medium")
+        h = pipe.submit_batch([img], depth_scales=[10.0], options=opts)
+        (res,) = pipe.collect(h, want_packed=False, want_preview_rgb=False)
+        assert res.depth_preview_gray is not None
+        assert res.depth_preview_rgb is None
+        assert res.kept_point_count > 0
+        # Default collect still materializes RGB == PLASMA[gray].
+        h2 = pipe.submit_batch([img], depth_scales=[10.0], options=opts)
+        (res2,) = pipe.collect(h2, want_packed=False)
+        from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
+
+        np.testing.assert_array_equal(
+            res2.depth_preview_rgb, PLASMA_RGB[res2.depth_preview_gray]
+        )
+
+
 class TestPresets:
     def test_all_presets_resolve(self):
         from image_to_pointcloud_tpu.models import PRESETS, preset
