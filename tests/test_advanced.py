@@ -42,6 +42,30 @@ class TestMetric:
         z = pts[:, 2]
         assert np.isfinite(pts).all()
 
+    def test_metric_quantized_transfer_matches_f32(self, rng):
+        """The metric depth16 bundle reconstructs the same cloud: same
+        keep set (computed pre-quantization on device), z within
+        max_depth/2^16, x/y scaled accordingly."""
+        from image_to_pointcloud_tpu.pipeline.advanced import (
+            CameraIntrinsics,
+            MetricPipeline,
+        )
+
+        cfg, params = _metric_pair()
+        img = rng.integers(0, 256, (70, 84, 3), dtype=np.uint8)
+        intr = CameraIntrinsics(fx=100.0, fy=110.0, cx=42.0, cy=35.0)
+        a = MetricPipeline(
+            cfg, params, model_target=56, quantized_transfer=False
+        ).run(img, intr, step=2)
+        b = MetricPipeline(
+            cfg, params, model_target=56, quantized_transfer=True
+        ).run(img, intr, step=2)
+        assert len(a[0]) == len(b[0])
+        # Metric head is sigmoid×5 → max depth ≤ 5; tol = 5/65535 plus
+        # the |u-cx|/fx ≤ ~1 x/y magnification.
+        np.testing.assert_allclose(a[0], b[0], atol=2e-4)
+        np.testing.assert_array_equal(a[1], b[1])
+
     def test_fov_constructor(self):
         from image_to_pointcloud_tpu.pipeline.advanced import CameraIntrinsics
 
