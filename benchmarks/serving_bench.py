@@ -42,9 +42,12 @@ def _test_png(seed: int) -> bytes:
     img = np.stack(
         [base * 255, base * 200, 255 - base * 255], axis=-1
     ).astype(np.uint8)
-    noise = rng.integers(0, 24, img.shape, dtype=np.uint8)
+    noise = rng.integers(0, 24, img.shape, dtype=np.int16)
+    # Saturate — u8 wraparound would speckle the bright bands and
+    # inflate PNG size beyond the intended "smooth-ish" content.
+    img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
     buf = io.BytesIO()
-    Image.fromarray(img + noise).save(buf, format="PNG")
+    Image.fromarray(img).save(buf, format="PNG")
     return buf.getvalue()
 
 

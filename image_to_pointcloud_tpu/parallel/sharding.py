@@ -83,15 +83,15 @@ _TP_RULES: list[tuple[str, P]] = [
     # level. The relative-position bias table is (num_rel, heads) —
     # shard its head dim with the head-sharded q/k/v so the bias add
     # stays local to each model shard.
-    (r"block\d+/attn/(q|k|v)/kernel$", P(None, MODEL_AXIS)),
-    (r"block\d+/attn/(q|k|v)/bias$", P(MODEL_AXIS)),
-    (r"block\d+/attn/proj/kernel$", P(MODEL_AXIS, None)),
-    (r"block\d+/attn/proj/bias$", P(None)),
+    (r"block\d+/attn/(q|k|v)/kernel(_q)?$", P(None, MODEL_AXIS)),
+    (r"block\d+/attn/(q|k|v)/(bias|kernel_scale)$", P(MODEL_AXIS)),
+    (r"block\d+/attn/proj/kernel(_q)?$", P(MODEL_AXIS, None)),
+    (r"block\d+/attn/proj/(bias|kernel_scale)$", P(None)),
     (r"block\d+/attn/rel_pos_table$", P(None, MODEL_AXIS)),
-    (r"block\d+/fc1/kernel$", P(None, MODEL_AXIS)),
-    (r"block\d+/fc1/bias$", P(MODEL_AXIS)),
-    (r"block\d+/fc2/kernel$", P(MODEL_AXIS, None)),
-    (r"block\d+/fc2/bias$", P(None)),
+    (r"block\d+/fc1/kernel(_q)?$", P(None, MODEL_AXIS)),
+    (r"block\d+/fc1/(bias|kernel_scale)$", P(MODEL_AXIS)),
+    (r"block\d+/fc2/kernel(_q)?$", P(MODEL_AXIS, None)),
+    (r"block\d+/fc2/(bias|kernel_scale)$", P(None)),
 ]
 
 

@@ -457,7 +457,7 @@ class V1Service:
             mesh_preview = {
                 "vertices": _triplets_json(dv),
                 "normals": _triplets_json(dn),
-                "colors": _triplets_json((dc / 255.0).astype(np.float32)),
+                "colors": _triplets_json(dc / 255.0),
                 "faces": _ints_json(df.reshape(-1)),
             }
             return filepath, mesh_preview
@@ -476,7 +476,7 @@ class V1Service:
         mesh_preview = {
             "vertices": _triplets_json(dv),
             "normals": _triplets_json(dn),
-            "colors": _triplets_json((dc / 255.0).astype(np.float32)),
+            "colors": _triplets_json(dc / 255.0),
             "faces": _ints_json(df.reshape(-1)),
         }
         return filepath, mesh_preview

@@ -52,6 +52,30 @@ class TestTPRules:
         assert param_sharding_rules("reassemble/readout0/kernel") == P()
         assert param_sharding_rules("attractor0/conv1/kernel") == P()
 
+    def test_int8_variants_shard_like_float(self):
+        """kernel_q/kernel_scale (models/quantize.py) must follow the
+        float kernel's spec for BOTH path layouts (DA and BEiT) — a
+        replicated int8 weight next to a model-sharded bias defeats TP
+        and inserts reshards."""
+        for base in (
+            "backbone/block0/q", "backbone/block0/attn/q",
+            "backbone/block1/mlp/fc1", "backbone/block1/fc1",
+        ):
+            assert param_sharding_rules(f"{base}/kernel_q") == (
+                param_sharding_rules(f"{base}/kernel")
+            ), base
+            # scale is per-output-feature: 1-D, sharded iff the kernel's
+            # output dim is (column-parallel layers).
+            assert param_sharding_rules(f"{base}/kernel_scale") == P("model"), base
+        for base in (
+            "backbone/block3/proj", "backbone/block3/attn/proj",
+            "backbone/block1/mlp/fc2", "backbone/block1/fc2",
+        ):
+            assert param_sharding_rules(f"{base}/kernel_q") == (
+                param_sharding_rules(f"{base}/kernel")
+            ), base
+            assert param_sharding_rules(f"{base}/kernel_scale") == P(None), base
+
 
 class TestTPForwardParity:
     def test_sharded_forward_matches_single_device(self, rng):
