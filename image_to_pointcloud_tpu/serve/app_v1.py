@@ -198,14 +198,27 @@ class V1Service:
         # batching queue only dispatches bucket sizes), so concurrent
         # traffic never hits a cold compile either.
         buckets = [1, 2, 4, 8]
+        ok = 0
         for h, w in self.warmup_sizes:
             for b in buckets:
                 logger.info("Warmup compile %dx%d batch=%d", h, w, b)
                 imgs = _np.zeros((b, h, w, 3), _np.uint8)
-                pipeline.run_batch(imgs, options=PipelineOptions())
+                # A transient remote-compile failure (this rig's relay
+                # flaps) must not abort the rest of the warmup — the
+                # failed signature just compiles on first real use.
+                for attempt in (0, 1):
+                    try:
+                        pipeline.run_batch(imgs, options=PipelineOptions())
+                        ok += 1
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        logger.warning(
+                            "Warmup %dx%d batch=%d failed (attempt %d): %s",
+                            h, w, b, attempt + 1, e,
+                        )
         logger.info(
-            "Warmup complete (%d signatures)",
-            len(self.warmup_sizes) * len(buckets),
+            "Warmup complete (%d/%d signatures)",
+            ok, len(self.warmup_sizes) * len(buckets),
         )
 
     # ---------- pipeline task ----------

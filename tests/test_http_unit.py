@@ -749,3 +749,31 @@ class TestGzip:
             _req(headers={"accept-encoding": "gzip;q=0, identity"}), refused
         ))  # RFC 9110: q=0 is an explicit refusal
         assert "content-encoding" not in refused.headers
+
+
+class TestWarmupResilience:
+    def test_warmup_survives_transient_compile_failure(self, tmp_path):
+        """One flaky signature must not abort the rest of the warmup
+        (this rig's remote-compile relay flaps; a dead warmup thread
+        leaves every bucket cold)."""
+        from image_to_pointcloud_tpu.serve.app_v1 import V1Service
+        from image_to_pointcloud_tpu.serve.models import ModelManager
+
+        calls = []
+
+        class FlakyPipe:
+            def run_batch(self, images, depth_scales=None, options=None):
+                calls.append(len(images))
+                if len(images) == 2:  # bucket 2 always fails
+                    raise RuntimeError("UNAVAILABLE: relay down")
+                return []
+
+        mm = ModelManager(use_bf16=False, use_flash_attention=False)
+        mm._cache["depth-anything-v2"] = FlakyPipe()
+        svc = V1Service(
+            output_dir=str(tmp_path), models=mm,
+            warmup_sizes=[(8, 8)], durable_jobs=False,
+        )
+        svc.warmup()  # must not raise
+        # buckets 1,4,8 warmed once; bucket 2 tried twice.
+        assert sorted(calls) == [1, 2, 2, 4, 8]
