@@ -154,19 +154,17 @@ class MetricPipeline:
             # depth16 metric bundle: [d16 LE bytes | keep bits | maxd f32
             # bytes] in one u8 row (the relay charges ~25 ms latency per
             # serialized transfer — see DepthPipeline's bundle).
+            from image_to_pointcloud_tpu.pipeline.graph import (
+                pack_keep_bits,
+            )
+
             ds = d[::step, ::step]
             keep = ds > 0.0
             maxd = jnp.maximum(jnp.max(ds), 1e-12)
             d16 = jnp.round(
                 jnp.clip(ds / maxd, 0.0, 1.0) * 65535.0
             ).astype(jnp.uint16)
-            npts = keep.size
-            kb = jnp.pad(keep.reshape(-1), (0, (-npts) % 8))
-            kb = kb.reshape(-1, 8).astype(jnp.int32)
-            weights = jnp.asarray(
-                [1, 2, 4, 8, 16, 32, 64, 128], jnp.int32
-            )
-            keep_bits = jnp.sum(kb * weights, axis=-1).astype(jnp.uint8)
+            keep_bits = pack_keep_bits(keep.reshape(-1))
             return jnp.concatenate(
                 [
                     jax.lax.bitcast_convert_type(d16, jnp.uint8).reshape(-1),
@@ -225,13 +223,17 @@ class MetricPipeline:
         )[:, None]
         x = (u * z / np.float32(intrinsics.fx)).reshape(n)
         y = (v * z / np.float32(intrinsics.fy)).reshape(n)
-        pts = np.stack([x, y, z.reshape(n)], axis=1)[keep]
+        # Filter each 1-D column before stacking — skips the (n,3)
+        # temporary and stack's output is already contiguous.
+        pts = np.stack(
+            [x[keep], y[keep], z.reshape(n)[keep]], axis=1
+        )
         cols = (
             np.asarray(image_rgb_u8)[::step, ::step, :]
-            .reshape(n, 3)
-            .astype(np.float32)[keep]
+            .reshape(n, 3)[keep]
+            .astype(np.float32)
         )
-        return np.ascontiguousarray(pts), cols
+        return pts, cols
 
 
 class HighResPipeline:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 from typing import Any, Callable
 
 import jax
@@ -90,6 +91,18 @@ def default_quantized_transfer() -> bool:
     keeps tests bit-simple. Shared by DepthPipeline and the advanced
     pipelines."""
     return jax.default_backend() != "cpu"
+
+
+def pack_keep_bits(mask: jax.Array) -> jax.Array:
+    """Bit-pack a boolean keep mask along its last axis (8 points/byte,
+    little-endian bit order — ``np.unpackbits(..., bitorder="little")``
+    on the host). Device half of the depth16 transfer contract; shared
+    by DepthPipeline's bundle and MetricPipeline's metric bundle."""
+    n = mask.shape[-1]
+    kb = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, (-n) % 8)])
+    kb = kb.reshape(*mask.shape[:-1], -1, 8).astype(jnp.int32)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return jnp.sum(kb * weights, axis=-1).astype(jnp.uint8)
 
 
 def depth16_to_xyz(
@@ -223,9 +236,7 @@ class DepthPipeline:
             quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
         self._compiled: dict[tuple, Callable] = {}
-        import threading as _threading
-
-        self._build_lock = _threading.Lock()
+        self._build_lock = threading.Lock()
         # Multi-chip serving: place params per the megatron TP rules over
         # the 'model' axis (replicated elsewhere) and shard request
         # batches over 'data' — XLA propagates the shardings through the
@@ -514,11 +525,7 @@ class DepthPipeline:
             d16 = jnp.round(dn_s * 65535.0).astype(jnp.uint16)
             bq = d16.shape[0]
             keep_mask = packed[:, 6, :] > 0.5
-            npts = keep_mask.shape[1]
-            kb = jnp.pad(keep_mask, ((0, 0), (0, (-npts) % 8)))
-            kb = kb.reshape(bq, -1, 8).astype(jnp.int32)
-            weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
-            keep_bits = jnp.sum(kb * weights, axis=-1).astype(jnp.uint8)
+            keep_bits = pack_keep_bits(keep_mask)
             payload = [
                 jax.lax.bitcast_convert_type(d16, jnp.uint8).reshape(bq, -1),
                 keep_bits,

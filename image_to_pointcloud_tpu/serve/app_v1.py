@@ -466,14 +466,7 @@ class V1Service:
                 dec = native.decimate_mesh(verts, vcols, faces, 20000)
                 if dec is not None:
                     dv, dc, df = dec
-            dn = vertex_normals(dv, df)
-            mesh_preview = {
-                "vertices": _triplets_json(dv),
-                "normals": _triplets_json(dn),
-                "colors": _triplets_json(dc / 255.0),
-                "faces": _ints_json(df.reshape(-1)),
-            }
-            return filepath, mesh_preview
+            return filepath, self._mesh_preview(dv, dc, df)
 
         if res is None or res.packed is None:
             raise ValueError("Mesh output requires a depth model")
@@ -485,14 +478,19 @@ class V1Service:
 
         # Decimated preview ≤ 20k triangles (reference app.py:515-535).
         dv, dc, df, _ = decimate_grid_mesh(res.packed, res.grid_hw, 20000)
+        return filepath, self._mesh_preview(dv, dc, df)
+
+    @staticmethod
+    def _mesh_preview(dv, dc, df) -> dict:
+        """meshPreview payload (reference app.py:518-535 shape:
+        vertices/normals/colors/flat faces; colors as exact doubles)."""
         dn = vertex_normals(dv, df)
-        mesh_preview = {
+        return {
             "vertices": _triplets_json(dv),
             "normals": _triplets_json(dn),
             "colors": _triplets_json(dc / 255.0),
             "faces": _ints_json(df.reshape(-1)),
         }
-        return filepath, mesh_preview
 
     # ---------- routes ----------
 

@@ -21,15 +21,15 @@ from typing import Any
 
 import numpy as np
 
-logger = logging.getLogger(__name__)
-# IPC_TPU_BATCH_DEBUG=1: log per-drain submit/collect timings.
-_DEBUG = bool(os.environ.get("IPC_TPU_BATCH_DEBUG"))
-
 from image_to_pointcloud_tpu.pipeline.graph import (
     DepthPipeline,
     PipelineOptions,
     PipelineResult,
 )
+
+logger = logging.getLogger(__name__)
+# IPC_TPU_BATCH_DEBUG=1: log per-drain submit/collect timings.
+_DEBUG = bool(os.environ.get("IPC_TPU_BATCH_DEBUG"))
 
 __all__ = ["BatchingQueue"]
 
