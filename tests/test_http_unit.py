@@ -272,6 +272,59 @@ class TestBatchingQueue:
 
         asyncio.run(run())
 
+    def test_failed_drain_does_not_poison_pipeline(self, rng):
+        """With pipelined drains (2 in flight), one batch failing on
+        dispatch must fail only its own submitters — later batches
+        still process, and the drain semaphore is released (a leak
+        would deadlock the queue after two failures)."""
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            PipelineOptions,
+            PipelineResult,
+        )
+        from image_to_pointcloud_tpu.serve.batching import BatchingQueue
+
+        calls = {"n": 0}
+
+        class EveryOtherFails:
+            def submit_batch(self, images, depth_scales=None, options=None):
+                calls["n"] += 1
+                if calls["n"] % 2 == 1:
+                    raise RuntimeError("UNAVAILABLE: relay reset")
+                return list(images)
+
+            def collect(self, handle, want_packed=True, want_preview_rgb=True):
+                return [
+                    PipelineResult(
+                        points=np.zeros((1, 3), np.float32),
+                        colors=np.zeros((1, 3), np.float32),
+                        depth_preview_rgb=None,
+                        raw_point_count=1,
+                        kept_point_count=1,
+                    )
+                    for _ in handle
+                ]
+
+        async def run():
+            q = BatchingQueue(EveryOtherFails(), max_batch=4, window_ms=1.0)
+            img = rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+            opts = PipelineOptions()
+            results = []
+            # Serial submits force 4+ distinct drains through the
+            # semaphore; odd drains raise, even drains succeed.
+            for _ in range(4):
+                try:
+                    results.append(await q.submit(img, 10.0, opts))
+                except RuntimeError as e:
+                    results.append(e)
+            await q.close()
+            return results
+
+        results = asyncio.run(run())
+        oks = [r for r in results if not isinstance(r, Exception)]
+        errs = [r for r in results if isinstance(r, Exception)]
+        assert len(oks) == 2 and len(errs) == 2
+        assert all("UNAVAILABLE" in str(e) for e in errs)
+
 
 class TestStaticUI:
     """The first-party frontend is served from the /ui static mount
