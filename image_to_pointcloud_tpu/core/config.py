@@ -69,6 +69,10 @@ class ServiceConfig:
     # 297-301), "bpa" = ball-pivoting (backend/app.py:285-294).
     mesh_method: str = "grid"
     batch_window_ms: float = 5.0
+    # Micro-batch cap: batch-16 halves per-image device+transfer cost
+    # vs batch-8 on the measured chip (bench.py batch sweep); buckets
+    # warmed at startup are the powers of two up to this.
+    max_batch: int = 16
     durable_jobs: bool = True  # JSONL job journal (beyond reference)
     max_jobs: int | None = None  # retention cap; None = reference parity
     # (keep every job forever, SURVEY.md §8 quirk 8)

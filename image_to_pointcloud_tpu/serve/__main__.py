@@ -112,6 +112,7 @@ def main() -> None:
                 mesh_method=args.mesh_method,
                 warmup_sizes=warmup_sizes,
                 batch_window_ms=cfg.batch_window_ms,
+                max_batch=cfg.max_batch,
                 durable_jobs=cfg.durable_jobs,
                 max_jobs=cfg.max_jobs,
             )

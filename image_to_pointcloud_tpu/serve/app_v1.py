@@ -138,6 +138,7 @@ class V1Service:
         honor_fov: bool = False,
         mesh_method: str = "grid",
         batch_window_ms: float = 5.0,
+        max_batch: int = 16,
         warmup_sizes: "list[tuple[int, int]] | None" = None,
         durable_jobs: bool = True,
         max_jobs: int | None = None,
@@ -165,6 +166,7 @@ class V1Service:
         self.loaded_model_names: set[str] = set()
         self.executor = ThreadPoolExecutor(max_workers=2)
         self.batch_window_ms = batch_window_ms
+        self.max_batch = max_batch
         self._batchers: dict[str, object] = {}
         self.warmup_sizes = warmup_sizes or []
         # Strong refs to in-flight job tasks: the event loop only holds
@@ -197,7 +199,9 @@ class V1Service:
         # Warm every power-of-two micro-batch bucket per size (the
         # batching queue only dispatches bucket sizes), so concurrent
         # traffic never hits a cold compile either.
-        buckets = [1, 2, 4, 8]
+        buckets = [1]
+        while buckets[-1] < self.max_batch:
+            buckets.append(buckets[-1] * 2)
         ok = 0
         for h, w in self.warmup_sizes:
             for b in buckets:
@@ -275,7 +279,9 @@ class V1Service:
                 batcher = self._batchers.get(model_name)
                 if batcher is None:
                     batcher = BatchingQueue(
-                        pipeline, window_ms=self.batch_window_ms
+                        pipeline,
+                        window_ms=self.batch_window_ms,
+                        max_batch=self.max_batch,
                     )
                     self._batchers[model_name] = batcher
                 await jobs.update(

@@ -825,7 +825,7 @@ class TestWarmupResilience:
         mm._cache["depth-anything-v2"] = FlakyPipe()
         svc = V1Service(
             output_dir=str(tmp_path), models=mm,
-            warmup_sizes=[(8, 8)], durable_jobs=False,
+            warmup_sizes=[(8, 8)], durable_jobs=False, max_batch=8,
         )
         svc.warmup()  # must not raise
         # buckets 1,4,8 warmed once; bucket 2 tried twice.
