@@ -95,11 +95,16 @@ class BatchingQueue:
     async def _run(self) -> None:
         loop = asyncio.get_running_loop()
         batch: list[_Item] = []
-        # Two drains may be in flight: one collecting results on the
-        # host (D2H + unproject/compact) while the next dispatches on
-        # the device — double-buffering host work against device
-        # compute (submit_batch/collect split, pipeline/graph.py).
-        sem = asyncio.Semaphore(2)
+        # Pipelined drains: one collecting results on the host (D2H +
+        # unproject/compact) while the next dispatches on the device —
+        # double-buffering host work against device compute
+        # (submit_batch/collect split, pipeline/graph.py). Depth 2
+        # suffices for a locally-attached chip; on relay-tunneled rigs
+        # where the execute+fetch round trip dwarfs device time a
+        # deeper queue can hide more latency (IPC_TPU_DRAIN_DEPTH).
+        sem = asyncio.Semaphore(
+            max(1, int(os.environ.get("IPC_TPU_DRAIN_DEPTH", "2")))
+        )
         pending: set[asyncio.Task] = set()
         try:
             while True:
