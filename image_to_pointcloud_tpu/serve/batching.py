@@ -168,6 +168,11 @@ class BatchingQueue:
                 # assembled on host when someone in the group needs
                 # them (mesh output).
                 want_packed = any(i.want_packed for i in items)
+                from image_to_pointcloud_tpu.serve.metrics import (
+                    DRAIN_COLLECT,
+                    DRAIN_SUBMIT,
+                )
+
                 try:
                     t0 = time.perf_counter()
                     handle = await loop.run_in_executor(
@@ -192,8 +197,10 @@ class BatchingQueue:
                             )
                         ),
                     )
+                    t2 = time.perf_counter()
+                    DRAIN_SUBMIT.observe(t1 - t0)
+                    DRAIN_COLLECT.observe(t2 - t1)
                     if _DEBUG:
-                        t2 = time.perf_counter()
                         logger.info(
                             "drain n=%d bucket=%d packed=%s submit=%.0fms "
                             "collect=%.0fms",

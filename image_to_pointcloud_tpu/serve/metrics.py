@@ -179,6 +179,14 @@ BATCH_SIZE = REGISTRY.histogram(
     "Micro-batch sizes dispatched to the accelerator",
     buckets=(1, 2, 4, 8, 16, 32, 64),
 )
+DRAIN_SUBMIT = REGISTRY.histogram(
+    "ipc_drain_submit_seconds",
+    "Device dispatch (H2D + launch) time per micro-batch drain",
+)
+DRAIN_COLLECT = REGISTRY.histogram(
+    "ipc_drain_collect_seconds",
+    "Result collection (device wait + D2H + host assemble) per drain",
+)
 
 
 _KNOWN_CLASSES: set[str] = set()
