@@ -164,7 +164,11 @@ class V1Service:
             on_evict=_evict_artifacts,
         )
         self.loaded_model_names: set[str] = set()
-        self.executor = ThreadPoolExecutor(max_workers=2)
+        # 4 > cores on this rig, deliberately: decode (zlib), PLY/PNG
+        # writes and disk I/O all release the GIL, so extra threads
+        # overlap I/O waits; pure-Python stages still serialize on the
+        # GIL either way. The reference uses 2 (spar3d_processor.py:40).
+        self.executor = ThreadPoolExecutor(max_workers=4)
         self.batch_window_ms = batch_window_ms
         self.max_batch = max_batch
         self._batchers: dict[str, object] = {}
