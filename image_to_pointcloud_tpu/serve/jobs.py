@@ -179,9 +179,9 @@ class JobRegistry:
             if job.status in (JobStatus.PENDING, JobStatus.PROCESSING):
                 job.status = JobStatus.ERROR
                 job.message = "Error: job interrupted by server restart"
+                job.progress = 0
             if job.status in (JobStatus.COMPLETED, JobStatus.ERROR):
                 job.extra.setdefault("finished_at", 0.0)
-                job.progress = 0
         if self._jobs:
             logger.info("jobs journal: restored %d job(s)", len(self._jobs))
 

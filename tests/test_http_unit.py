@@ -432,6 +432,9 @@ class TestJobJournal:
         # payloads are slimmed (frontend regenerates them client-side).
         job = reg2.get(done_id)
         assert job is not None and job.status == JobStatus.COMPLETED
+        # Completed jobs keep progress 100 across restarts (regression:
+        # a refactor reset terminal progress to 0 on restore).
+        assert job.progress == 100
         assert job.results["pointCloud"]["points"] == 9
         assert "preview" not in job.results and "depthMap" not in job.results
         # Mid-flight job fails explicitly instead of polling forever.
