@@ -98,6 +98,40 @@ class TestTPForwardParity:
         np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+class TestInt8TPForwardParity:
+    def test_int8_sharded_forward_matches_single_device(self, rng):
+        """Int8 W8A8 encoder with TP=2 equals the unsharded int8 forward
+        — executable proof that kernel_q/kernel_scale shard consistently
+        (the rules-only test can't catch a bad placement interaction)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.models import build_model
+        from image_to_pointcloud_tpu.models.quantize import (
+            quantize_encoder_params,
+        )
+
+        _, model, variables = _build_pair(
+            hidden=32, layers=4, heads=2, image_size=56
+        )
+        qcfg = model.cfg.with_quantized(True)
+        qmodel = build_model(qcfg)
+        qparams = quantize_encoder_params(
+            variables["params"], qcfg.backbone.num_layers
+        )
+        x = rng.normal(0, 1, (4, 56, 56, 3)).astype(np.float32)
+        ref = np.asarray(qmodel.apply({"params": qparams}, jnp.asarray(x)))
+
+        mesh = make_mesh(model=2)
+        sharded = shard_params(qparams, mesh)
+        xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh, 4))
+        fn = jax.jit(lambda p, xx: qmodel.apply({"params": p}, xx))
+        out = np.asarray(fn(sharded, xs))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 class TestZoeDepthTPForwardParity:
     def test_sharded_zoedepth_matches_single_device(self, rng):
         """ZoeDepth (BEiT backbone) with TP=2, DP=4 equals unsharded —
