@@ -111,17 +111,31 @@ class BatchingQueue:
                 batch = []
                 first = await self._queue.get()
                 batch = [first]
-                # Adaptive coalescing: the previous dispatch's in-flight
-                # time is the real batching window — requests that
-                # arrived while the device was busy are already queued,
-                # so drain them immediately with no sleep. Only when the
-                # queue is empty (idle arrival) wait out window_ms for
-                # near-simultaneous company; a fixed pre-dispatch sleep
-                # would idle the TPU once per batch under load.
-                if self.window_ms > 0 and self._queue.empty():
-                    await asyncio.sleep(self.window_ms / 1000.0)
-                while len(batch) < self.max_batch and not self._queue.empty():
-                    batch.append(self._queue.get_nowait())
+                # Coalesce until FULL or the window expires — checking
+                # in small slices so a filling burst dispatches the
+                # moment it reaches max_batch. A fixed pre-dispatch
+                # sleep idled the TPU once per batch under load; the
+                # earlier no-sleep-when-queue-nonempty variant split
+                # each burst across two pipelined drains (e.g. 3+5
+                # instead of one batch-8: per-image cost nearly doubles
+                # when per-dispatch overhead dominates, as on
+                # relay-tunneled rigs).
+                deadline = (
+                    asyncio.get_running_loop().time()
+                    + self.window_ms / 1000.0
+                )
+                while True:
+                    while (
+                        len(batch) < self.max_batch
+                        and not self._queue.empty()
+                    ):
+                        batch.append(self._queue.get_nowait())
+                    if len(batch) >= self.max_batch or self.window_ms <= 0:
+                        break
+                    wait = deadline - asyncio.get_running_loop().time()
+                    if wait <= 0:
+                        break
+                    await asyncio.sleep(min(0.005, wait))
                 await sem.acquire()
                 task = loop.create_task(self._drain(batch, loop, sem))
                 pending.add(task)
