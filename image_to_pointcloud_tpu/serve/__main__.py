@@ -10,6 +10,8 @@ from __future__ import annotations
 import argparse
 import asyncio
 import logging
+import os
+import time as _time
 
 
 def main() -> None:
@@ -144,6 +146,26 @@ def main() -> None:
         logging.info(
             "Serving %s API on %s:%d", args.generation, args.host, server.bound_port
         )
+        # Optional device keepalive (IPC_TPU_KEEPALIVE_S=N, off by
+        # default): dispatch a trivial op every N seconds. On
+        # relay-tunneled rigs the first dispatch after an idle gap
+        # stalls seconds (connection/driver warm-up); a ~1 ms heartbeat
+        # keeps the path hot so request latency doesn't pay it.
+        ka = float(os.environ.get("IPC_TPU_KEEPALIVE_S", "0") or 0)
+        if ka > 0:
+            import threading as _threading
+
+            def _keepalive() -> None:
+                import jax.numpy as _jnp
+
+                while True:
+                    try:
+                        (_jnp.zeros((8,)) + 1.0).block_until_ready()
+                    except Exception:  # noqa: BLE001
+                        pass  # device briefly unavailable; keep trying
+                    _time.sleep(ka)
+
+            _threading.Thread(target=_keepalive, daemon=True).start()
         # Graceful shutdown: stop accepting, flush the job journal, run
         # app shutdown hooks (the reference relies on process kill and
         # loses all state — SURVEY.md §5).
