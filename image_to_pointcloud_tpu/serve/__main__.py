@@ -151,16 +151,32 @@ def main() -> None:
         # relay-tunneled rigs the first dispatch after an idle gap
         # stalls seconds (connection/driver warm-up); a ~1 ms heartbeat
         # keeps the path hot so request latency doesn't pay it.
-        ka = float(os.environ.get("IPC_TPU_KEEPALIVE_S", "0") or 0)
+        try:
+            ka = float(os.environ.get("IPC_TPU_KEEPALIVE_S", "0") or 0)
+        except ValueError:
+            logging.warning(
+                "IPC_TPU_KEEPALIVE_S=%r is not a number; keepalive off",
+                os.environ.get("IPC_TPU_KEEPALIVE_S"),
+            )
+            ka = 0.0
         if ka > 0:
             import threading as _threading
 
             def _keepalive() -> None:
                 import jax.numpy as _jnp
 
+                first = True
                 while True:
                     try:
                         (_jnp.zeros((8,)) + 1.0).block_until_ready()
+                        if first:
+                            # The first beat compiles; if the remote
+                            # compile helper is down it HANGS here (no
+                            # exception) — this log line is how an
+                            # operator sees whether the heartbeat is
+                            # actually running.
+                            logging.info("device keepalive active (%.1fs)", ka)
+                            first = False
                     except Exception:  # noqa: BLE001
                         pass  # device briefly unavailable; keep trying
                     _time.sleep(ka)

@@ -460,6 +460,14 @@ class V1Service:
                 points, colors, method=self.mesh_method, depth=8
             )
             if out is None:
+                from image_to_pointcloud_tpu import native
+
+                if not native.available():
+                    raise ValueError(
+                        f"mesh_method={self.mesh_method} requires the "
+                        "native reconstruction library (native/ build "
+                        "failed or g++ unavailable)"
+                    )
                 raise ValueError("Not enough points for meshing")
             verts, vcols, faces = out
             norms = vertex_normals(verts, faces)
@@ -498,7 +506,11 @@ class V1Service:
         return {
             "vertices": _triplets_json(dv),
             "normals": _triplets_json(dn),
-            "colors": _triplets_json(dc / 255.0),
+            # Divide in f64: with f32 colors `dc / 255.0` stays f32
+            # (NumPy doesn't promote on a Python scalar), quantizing
+            # e.g. 1/255 to 0.0039215688… vs the reference's f64
+            # 0.00392156862745098.
+            "colors": _triplets_json(dc.astype(np.float64) / 255.0),
             "faces": _ints_json(df.reshape(-1)),
         }
 

@@ -4,9 +4,12 @@ The reference runs one BackgroundTask per image, serially on the event
 loop's thread pool (backend/app.py:662). Here concurrent jobs with the
 same graph signature (image size × options) are coalesced into one
 batched device dispatch — the DP axis of serving. A tiny window (a few
-ms) bounds added latency; a single worker task drains the queue so
-device dispatch stays single-threaded while the event loop keeps
-serving requests.
+ms) bounds added latency. One worker task coalesces batches, then hands
+each to a drain task; up to ``IPC_TPU_DRAIN_DEPTH`` (default 2) drains
+run concurrently — their submit_batch/collect calls execute on
+different executor threads, pipelining host collect of batch N against
+device dispatch of batch N+1. Per-signature jit builds are serialized
+by DepthPipeline's build lock.
 """
 
 from __future__ import annotations
@@ -28,8 +31,28 @@ from image_to_pointcloud_tpu.pipeline.graph import (
 )
 
 logger = logging.getLogger(__name__)
+
+
+def _env_flag(name: str) -> bool:
+    return os.environ.get(name, "").lower() in ("1", "true", "yes", "on")
+
+
+def _env_int(name: str, default: int, lo: int = 1) -> int:
+    """Malformed values fall back to the default with a warning — a
+    typo'd knob must not kill the drain worker (queued submitters would
+    hang at progress 60 forever, not error)."""
+    raw = os.environ.get(name)
+    if raw is None or not raw.strip():
+        return default
+    try:
+        return max(lo, int(raw))
+    except ValueError:
+        logger.warning("%s=%r is not an int; using %d", name, raw, default)
+        return default
+
+
 # IPC_TPU_BATCH_DEBUG=1: log per-drain submit/collect timings.
-_DEBUG = bool(os.environ.get("IPC_TPU_BATCH_DEBUG"))
+_DEBUG = _env_flag("IPC_TPU_BATCH_DEBUG")
 
 __all__ = ["BatchingQueue"]
 
@@ -102,9 +125,7 @@ class BatchingQueue:
         # suffices for a locally-attached chip; on relay-tunneled rigs
         # where the execute+fetch round trip dwarfs device time a
         # deeper queue can hide more latency (IPC_TPU_DRAIN_DEPTH).
-        sem = asyncio.Semaphore(
-            max(1, int(os.environ.get("IPC_TPU_DRAIN_DEPTH", "2")))
-        )
+        sem = asyncio.Semaphore(_env_int("IPC_TPU_DRAIN_DEPTH", 2))
         pending: set[asyncio.Task] = set()
         try:
             while True:
@@ -137,6 +158,15 @@ class BatchingQueue:
                         break
                     await asyncio.sleep(min(0.005, wait))
                 await sem.acquire()
+                # Top up after the (possibly long) wait for a drain
+                # slot: requests that queued while both slots were busy
+                # — e.g. a multi-second relay stall — belong in THIS
+                # dispatch, not a stale sub-max bucket.
+                while (
+                    len(batch) < self.max_batch
+                    and not self._queue.empty()
+                ):
+                    batch.append(self._queue.get_nowait())
                 task = loop.create_task(self._drain(batch, loop, sem))
                 pending.add(task)
                 task.add_done_callback(pending.discard)

@@ -833,3 +833,22 @@ class TestWarmupResilience:
         svc.warmup()  # must not raise
         # buckets 1,4,8 warmed once; bucket 2 tried twice.
         assert sorted(calls) == [1, 2, 2, 4, 8]
+
+
+class TestMeshPreviewColorPrecision:
+    def test_colors_divide_in_f64(self):
+        """f32 color 1 must serialize as float64(1)/255 (reference
+        .tolist() doubles), not float64(np.float32(1/255))."""
+        import json
+
+        from image_to_pointcloud_tpu.serve.app_v1 import V1Service
+        from image_to_pointcloud_tpu.serve.rawjson import dumps_raw
+
+        dv = np.zeros((3, 3), np.float32)
+        dc = np.array([[1, 2, 255]] * 3, np.float32)
+        df = np.array([[0, 1, 2]], np.int32)
+        prev = V1Service._mesh_preview(dv, dc, df)
+        cols = json.loads(dumps_raw({"c": prev["colors"]}))["c"]
+        assert cols[0][0] == 1 / 255
+        assert cols[0][1] == 2 / 255
+        assert cols[0][2] == 1.0
