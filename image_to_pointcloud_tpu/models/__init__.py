@@ -5,10 +5,16 @@ from image_to_pointcloud_tpu.models.attention import flash_attention, multi_head
 from image_to_pointcloud_tpu.models.beit import BeitBackbone, BeitConfig
 from image_to_pointcloud_tpu.models.convert import (
     convert_depth_anything,
+    convert_dpt_classic,
     convert_segformer,
     convert_zoedepth,
     load_safetensors,
 )
+from image_to_pointcloud_tpu.models.dpt_classic import (
+    DPTClassic,
+    DPTClassicConfig,
+)
+from image_to_pointcloud_tpu.models.vit import ViTBackbone, ViTConfig
 from image_to_pointcloud_tpu.models.segformer import (
     SegformerConfig,
     SegformerMatte,
@@ -52,6 +58,11 @@ __all__ = [
     "SegformerMatte",
     "segformer_b0",
     "convert_segformer",
+    "DPTClassic",
+    "DPTClassicConfig",
+    "convert_dpt_classic",
+    "ViTBackbone",
+    "ViTConfig",
     "build_model",
 ]
 
@@ -60,6 +71,8 @@ def build_model(cfg):
     """Model module for a preset config (family dispatch by config type)."""
     if isinstance(cfg, ZoeDepthConfig):
         return ZoeDepth(cfg)
+    if isinstance(cfg, DPTClassicConfig):
+        return DPTClassic(cfg)
     return DepthAnything(cfg)
 
 
@@ -67,6 +80,10 @@ def convert_checkpoint(cfg, state_dict):
     """Torch/HF state dict → Flax params for the family ``cfg`` selects."""
     if isinstance(cfg, ZoeDepthConfig):
         return convert_zoedepth(state_dict, num_layers=cfg.backbone.num_layers)
+    if isinstance(cfg, DPTClassicConfig):
+        return convert_dpt_classic(
+            state_dict, num_layers=cfg.backbone.num_layers
+        )
     return convert_depth_anything(
         state_dict, num_layers=cfg.backbone.num_layers
     )

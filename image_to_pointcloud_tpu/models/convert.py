@@ -24,6 +24,7 @@ import numpy as np
 
 __all__ = [
     "convert_depth_anything",
+    "convert_dpt_classic",
     "convert_zoedepth",
     "convert_segformer",
     "load_safetensors",
@@ -125,6 +126,78 @@ def convert_depth_anything(
     neck["head_conv1"] = _conv(sd, "head.conv1")
     neck["head_conv2"] = _conv(sd, "head.conv2")
     neck["head_conv3"] = _conv(sd, "head.conv3")
+
+    return {"backbone": backbone, "neck": neck}
+
+
+def convert_dpt_classic(
+    state_dict: Mapping[str, object], num_layers: int
+) -> dict:
+    """Flax ``params`` tree for models.dpt_classic.DPTClassic from an HF
+    ``DPTForDepthEstimation`` state dict (non-hybrid; e.g. the released
+    ``Intel/dpt-large`` = MiDaS 3.0 checkpoint, modeling_dpt.py)."""
+    sd = state_dict
+    patch_w = _np(sd["dpt.embeddings.patch_embeddings.projection.weight"])
+    p = patch_w.shape[-1]
+    d = patch_w.shape[0]
+
+    backbone: dict = {
+        "cls_token": _np(sd["dpt.embeddings.cls_token"]),
+        "pos_embed": _np(sd["dpt.embeddings.position_embeddings"]),
+        "patch_embed": patch_w.transpose(2, 3, 1, 0).reshape(p * p * 3, d),
+        "patch_bias": _np(sd["dpt.embeddings.patch_embeddings.projection.bias"]),
+    }
+    for i in range(num_layers):
+        pre = f"dpt.encoder.layer.{i}"
+        backbone[f"block{i}"] = {
+            "norm1": _ln(sd, f"{pre}.layernorm_before"),
+            "q": _dense(sd, f"{pre}.attention.attention.query"),
+            "k": _dense(sd, f"{pre}.attention.attention.key"),
+            "v": _dense(sd, f"{pre}.attention.attention.value"),
+            "proj": _dense(sd, f"{pre}.attention.output.dense"),
+            "norm2": _ln(sd, f"{pre}.layernorm_after"),
+            "mlp": {
+                "fc1": _dense(sd, f"{pre}.intermediate.dense"),
+                "fc2": _dense(sd, f"{pre}.output.dense"),
+            },
+        }
+
+    neck: dict = {}
+    for i in range(4):
+        neck[f"readout{i}"] = _dense(
+            sd, f"neck.reassemble_stage.readout_projects.{i}.0"
+        )
+        pre = f"neck.reassemble_stage.layers.{i}"
+        neck[f"proj{i}"] = _conv(sd, f"{pre}.projection")
+        if i == 0:
+            neck["up0"] = _convtrans(sd, f"{pre}.resize")
+        elif i == 1:
+            neck["up1"] = _convtrans(sd, f"{pre}.resize")
+        elif i == 3:
+            neck["down3"] = _conv(sd, f"{pre}.resize")
+        neck[f"conv{i}"] = _conv(sd, f"neck.convs.{i}", bias=False)
+
+    for j in range(4):
+        pre = f"neck.fusion_stage.layers.{j}"
+        neck[f"fusion{j}"] = {
+            "projection": _conv(sd, f"{pre}.projection"),
+            "res2": {
+                "conv1": _conv(sd, f"{pre}.residual_layer2.convolution1"),
+                "conv2": _conv(sd, f"{pre}.residual_layer2.convolution2"),
+            },
+        }
+        if j > 0:
+            # layers.0's residual_layer1 is checkpoint dead weight (no
+            # residual input at the deepest fusion stage) — as in the DA
+            # and ZoeDepth converters above.
+            neck[f"fusion{j}"]["res1"] = {
+                "conv1": _conv(sd, f"{pre}.residual_layer1.convolution1"),
+                "conv2": _conv(sd, f"{pre}.residual_layer1.convolution2"),
+            }
+
+    neck["head_conv1"] = _conv(sd, "head.head.0")
+    neck["head_conv2"] = _conv(sd, "head.head.2")
+    neck["head_conv3"] = _conv(sd, "head.head.4")
 
     return {"backbone": backbone, "neck": neck}
 

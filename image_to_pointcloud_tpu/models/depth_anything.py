@@ -97,12 +97,41 @@ PRESETS: dict[str, DepthAnythingConfig] = {
 # Canonical alias used by the reference API (`model=depth-anything-v2`,
 # backend/app.py:613).
 PRESETS["depth-anything-v2"] = PRESETS["depth-anything-v2-small"]
-# Honest-label aliases for the north-star config names (BASELINE.json):
-# MiDaS-small (EfficientNet-lite encoder) and DPT-Large (ViT-L DPT) are
-# *stand-ins* — the DA-class architecture of matching size serves those
-# slots; benchmark output labels say so (benchmarks/configs.py).
+# Honest-label alias for one north-star config name (BASELINE.json):
+# MiDaS-*small* (v2.1, EfficientNet-lite encoder) is a *stand-in* — the
+# DA-class architecture of matching size serves that slot; benchmark
+# output labels say so (benchmarks/configs.py). MiDaS 3.0 (= DPT-Large)
+# is the real architecture, registered below.
 PRESETS["midas-small"] = PRESETS["depth-anything-v2-small"]
-PRESETS["dpt-large"] = PRESETS["depth-anything-v2-large"]
+
+
+def _dpt_classic_presets() -> dict:
+    """Real classic DPT (= MiDaS 3.0; models/dpt_classic.py).
+
+    'dpt-large' matches the released ``Intel/dpt-large`` layout (ViT-L/16
+    at 384²) so its weights drop in via convert_dpt_classic; 'dpt-base'
+    is the same architecture at ViT-B scale (the paper's DPT-Base)."""
+    from image_to_pointcloud_tpu.models.dpt_classic import DPTClassicConfig
+    from image_to_pointcloud_tpu.models.vit import ViTConfig
+
+    return {
+        "dpt-large": DPTClassicConfig(),
+        "dpt-base": DPTClassicConfig(
+            backbone=ViTConfig(
+                hidden_size=768,
+                num_layers=12,
+                num_heads=12,
+                out_layers=(2, 5, 8, 11),
+            ),
+            neck_hidden_sizes=(96, 192, 384, 768),
+        ),
+    }
+
+
+PRESETS.update(_dpt_classic_presets())
+# MiDaS 3.0 *is* DPT-Large (Ranftl et al. 2021; the isl-org/MiDaS repo's
+# `dpt_large_384` model type).
+PRESETS["midas"] = PRESETS["dpt-large"]
 
 
 def _zoedepth_presets() -> dict:

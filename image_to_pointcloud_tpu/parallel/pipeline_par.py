@@ -43,6 +43,7 @@ __all__ = [
     "make_tapped_stage_fn",
     "gpipe_apply",
     "pipelined_depth_apply",
+    "pipelined_dpt_classic_apply",
     "pipelined_zoedepth_apply",
     "build_beit_stage_params",
     "stage_tap_indices",
@@ -363,6 +364,44 @@ def pipelined_depth_apply(
     )
     depth = DPTNeckHead(cfg.neck).apply({"params": params["neck"]}, feats)
     return depth.astype(jnp.float32)
+
+
+# ---------- classic DPT (plain ViT) pipelined forward ----------
+
+
+def pipelined_dpt_classic_apply(
+    cfg,
+    params,
+    stage_params,
+    pixels: jax.Array,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+) -> jax.Array:
+    """Classic-DPT (= MiDaS 3.0) forward with the ViT encoder
+    GPipe-pipelined over the mesh's ``pipe`` axis: patch embed and the
+    readout-project neck/head run data-parallel; the S=len(out_layers)
+    encoder stages stream microbatches over ICI, each emitting its tap
+    (CLS included — the readout projection needs it).
+
+    Args mirror :func:`pipelined_depth_apply`; ``stage_params`` comes
+    from the same :func:`build_stage_params` (ViT taps are 0-indexed
+    block outputs exactly like DINOv2's)."""
+    from image_to_pointcloud_tpu.models.dpt_classic import DPTClassic
+    from image_to_pointcloud_tpu.models.vit import ViTBackbone, ViTBlock
+
+    backbone = ViTBackbone(cfg.backbone)
+    tokens = backbone.apply(
+        {"params": params["backbone"]}, pixels, method="embed"
+    )
+    _, taps = gpipe_apply(
+        mesh,
+        make_tapped_stage_fn(ViTBlock(cfg.backbone)),
+        stage_params,
+        tokens,
+        num_microbatches=num_microbatches,
+    )
+    return DPTClassic(cfg).apply({"params": params}, pixels, taps=list(taps))
 
 
 # ---------- ZoeDepth (BEiT) pipelined forward ----------

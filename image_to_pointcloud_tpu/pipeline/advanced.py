@@ -101,6 +101,7 @@ class MetricPipeline:
             self.pixel_mean,
             self.pixel_std,
             self.resize_method,
+            self.keep_aspect,
         ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             quantized_transfer = default_quantized_transfer()
@@ -118,7 +119,8 @@ class MetricPipeline:
         pad_h, pad_w = reflect_pad_margins(self.cfg, h, w)
         hp, wp = h + 2 * pad_h, w + 2 * pad_w
         mh, mw = processor_output_size(
-            hp, wp, self.model_target, multiple=self.size_multiple
+            hp, wp, self.model_target, multiple=self.size_multiple,
+            keep_aspect_ratio=self.keep_aspect,
         )
 
         @jax.jit
@@ -269,6 +271,7 @@ class HighResPipeline:
             self.pixel_mean,
             self.pixel_std,
             self.resize_method,
+            self.keep_aspect,
         ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             from image_to_pointcloud_tpu.pipeline.graph import (
@@ -290,10 +293,12 @@ class HighResPipeline:
         overlap = max(0, min(self.overlap, tile - 1))
         corners = plan_tiles(h, w, tile, overlap)
         mh, mw = processor_output_size(
-            tile, tile, self.model_target, multiple=self.size_multiple
+            tile, tile, self.model_target, multiple=self.size_multiple,
+            keep_aspect_ratio=self.keep_aspect,
         )
         ah, aw = processor_output_size(
-            h, w, self.model_target, multiple=self.size_multiple
+            h, w, self.model_target, multiple=self.size_multiple,
+            keep_aspect_ratio=self.keep_aspect,
         )
 
         @jax.jit
@@ -423,6 +428,7 @@ class VideoPipeline:
             self.pixel_mean,
             self.pixel_std,
             self.resize_method,
+            self.keep_aspect,
         ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             from image_to_pointcloud_tpu.pipeline.graph import (
@@ -438,7 +444,8 @@ class VideoPipeline:
         if key in self._compiled:
             return self._compiled[key]
         mh, mw = processor_output_size(
-            h, w, self.model_target, multiple=self.size_multiple
+            h, w, self.model_target, multiple=self.size_multiple,
+            keep_aspect_ratio=self.keep_aspect,
         )
 
         @jax.jit

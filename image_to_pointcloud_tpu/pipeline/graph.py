@@ -231,6 +231,7 @@ class DepthPipeline:
             self.pixel_mean,
             self.pixel_std,
             self.resize_method,
+            self.keep_aspect,
         ) = model_preprocess_spec(cfg, model_target)
         if quantized_transfer is None:
             quantized_transfer = default_quantized_transfer()
@@ -332,7 +333,8 @@ class DepthPipeline:
         pad_h, pad_w = reflect_pad_margins(self.cfg, h, w)
         hp, wp = h + 2 * pad_h, w + 2 * pad_w
         mh, mw = processor_output_size(
-            hp, wp, self.model_target, multiple=self.size_multiple
+            hp, wp, self.model_target, multiple=self.size_multiple,
+            keep_aspect_ratio=self.keep_aspect,
         )
         # Depth-grid dims seen by everything after the model: the model
         # resolution, or the unpadded image size once the pad is cropped.
@@ -388,11 +390,19 @@ class DepthPipeline:
                 m = max(1, min(self.pipe_microbatches, batch))
                 while m > 1 and (batch % m or (batch // m) % dp):
                     m -= 1
-                pp_apply = (
-                    pipelined_zoedepth_apply
-                    if isinstance(self.cfg, ZoeDepthConfig)
-                    else pipelined_depth_apply
+                from image_to_pointcloud_tpu.models.dpt_classic import (
+                    DPTClassicConfig,
                 )
+                from image_to_pointcloud_tpu.parallel.pipeline_par import (
+                    pipelined_dpt_classic_apply,
+                )
+
+                if isinstance(self.cfg, ZoeDepthConfig):
+                    pp_apply = pipelined_zoedepth_apply
+                elif isinstance(self.cfg, DPTClassicConfig):
+                    pp_apply = pipelined_dpt_classic_apply
+                else:
+                    pp_apply = pipelined_depth_apply
                 depth = pp_apply(
                     self.cfg,
                     params["tree"],

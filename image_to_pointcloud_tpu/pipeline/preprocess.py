@@ -43,12 +43,15 @@ def reflect_pad_margins(cfg, h: int, w: int) -> tuple[int, int]:
 
 
 def model_preprocess_spec(cfg, model_target=None):
-    """Per-family (target, multiple, mean, std) preprocess parameters.
+    """Per-family (target, multiple, mean, std, method, keep_aspect)
+    preprocess parameters.
 
     DA-family configs use the HF DPT processor defaults (518,
     multiple-of-14, ImageNet stats, PIL-bicubic resize); ZoeDepthConfig
     carries overrides ((384,512), multiple-of-32, 0.5/0.5 stats,
-    bilinear-align-corners resize + reflect pad)."""
+    bilinear-align-corners resize + reflect pad); DPTClassicConfig a
+    fixed square 384 (keep_aspect_ratio=False, the Intel/dpt-large
+    processor's setting) with 0.5/0.5 stats."""
     return (
         model_target
         if model_target is not None
@@ -57,6 +60,7 @@ def model_preprocess_spec(cfg, model_target=None):
         tuple(getattr(cfg, "pixel_mean", IMAGENET_MEAN)),
         tuple(getattr(cfg, "pixel_std", IMAGENET_STD)),
         getattr(cfg, "resize_method", "bicubic_pil"),
+        getattr(cfg, "keep_aspect_ratio", True),
     )
 
 

@@ -716,3 +716,68 @@ class TestZoeDepthPipelineParallel:
         ref = ref_pipe.run_batch(imgs, options=opts)
         for a, b in zip(res, ref):
             np.testing.assert_allclose(a.points, b.points, atol=1e-3)
+
+class TestDPTClassicPipelineParallel:
+    def test_pipelined_dpt_classic_matches_sequential(self, rng):
+        """Full classic-DPT forward with the ViT encoder GPipe-pipelined
+        over pipe=4 equals the sequential apply (CLS-bearing taps survive
+        the stage ring; readout projection gets the right tokens)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_dpt_classic_parity import _build_pair
+
+        from image_to_pointcloud_tpu.parallel.pipeline_par import (
+            build_stage_params,
+            make_pipe_mesh,
+            pipelined_dpt_classic_apply,
+        )
+
+        _, model, variables = _build_pair(image_size=64)
+        cfg = model.cfg
+        pmesh = make_pipe_mesh(pipe=4, data=2)
+        pixels = jnp.asarray(
+            np.random.default_rng(3)
+            .normal(0, 1, (4, 64, 64, 3))
+            .astype(np.float32)
+        )
+        ref = np.asarray(jax.jit(model.apply)(variables, pixels))
+        stages = build_stage_params(cfg, variables["params"])
+        with pmesh:
+            out = jax.jit(
+                lambda p, sp, px: pipelined_dpt_classic_apply(
+                    cfg, p, sp, px, pmesh, num_microbatches=2
+                )
+            )(variables["params"], stages, pixels)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    def test_dpt_classic_pipe_mesh_serving(self, rng):
+        """DepthPipeline with a pipe mesh serves classic DPT end-to-end
+        (family dispatch in the pipelined branch + block pruning)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_dpt_classic_parity import _build_pair
+
+        from image_to_pointcloud_tpu.parallel.pipeline_par import (
+            make_pipe_mesh,
+        )
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            PipelineOptions,
+        )
+
+        _, model, variables = _build_pair(image_size=64)
+        pmesh = make_pipe_mesh(pipe=4, data=2)
+        pipe = DepthPipeline(
+            model.cfg, variables["params"], mesh=pmesh, model_target=64
+        )
+        ref_pipe = DepthPipeline(
+            model.cfg, variables["params"], model_target=64
+        )
+        imgs = rng.integers(0, 255, (2, 70, 90, 3)).astype(np.uint8)
+        opts = PipelineOptions(density="low", refine=False)
+        res = pipe.run_batch(imgs, options=opts)
+        ref = ref_pipe.run_batch(imgs, options=opts)
+        for a, b in zip(res, ref):
+            np.testing.assert_allclose(a.points, b.points, atol=1e-3)

@@ -256,7 +256,11 @@ class TestPresets:
         from image_to_pointcloud_tpu.models import preset
 
         assert preset("midas-small") == preset("depth-anything-v2-small")
-        assert preset("dpt-large") == preset("depth-anything-v2-large")
+        # dpt-large is the REAL classic DPT (= MiDaS 3.0), not a DA alias.
+        from image_to_pointcloud_tpu.models import DPTClassicConfig
+
+        assert isinstance(preset("dpt-large"), DPTClassicConfig)
+        assert preset("midas") == preset("dpt-large")
         assert preset("zoedepth").neck.metric_depth is True
         with pytest.raises(ValueError):
             preset("nonexistent-model")
