@@ -147,3 +147,91 @@ def test_pipeline_fixed_square_preprocess(rng):
     assert processor_output_size(
         480, 640, target, multiple=mult, keep_aspect_ratio=keep
     ) == (384, 384)
+
+
+def test_dpt_classic_trainer_step(rng):
+    """Tiny classic DPT fine-tunes through the sharded Trainer (DP+TP
+    mesh; plain-ViT blocks hit the same megatron rules as DINOv2's)."""
+    import jax
+
+    from image_to_pointcloud_tpu.parallel.sharding import make_mesh
+    from image_to_pointcloud_tpu.train.trainer import TrainConfig, Trainer
+
+    _, model, variables = _build_pair(image_size=64)
+    mesh = make_mesh(data=2, model=2)
+    trainer = Trainer(
+        model.cfg, jax.device_get(variables["params"]), mesh,
+        TrainConfig(loss="silog", remat=True),
+    )
+    x = jnp.asarray(rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random((4, 64, 64)).astype(np.float32) + 0.5)
+    l1 = float(trainer.train_step(x, y))
+    l2 = float(trainer.train_step(x, y))
+    assert np.isfinite(l1) and np.isfinite(l2)
+
+
+def test_dpt_classic_int8_quantized_close_to_f32(rng):
+    """W8A8 ViT encoder (neck/head stay float): depth within ~5% of the
+    f32 forward — QUANT_TARGETS covers the plain-ViT block names."""
+    from image_to_pointcloud_tpu.models import DPTClassic
+    from image_to_pointcloud_tpu.models.quantize import (
+        quantize_encoder_params,
+    )
+
+    _, model, variables = _build_pair(image_size=64)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    qcfg = model.cfg.with_quantized(True)
+    qparams = quantize_encoder_params(
+        variables["params"], qcfg.backbone.num_layers
+    )
+    out = np.asarray(
+        DPTClassic(qcfg).apply({"params": qparams}, jnp.asarray(x))
+    )
+    rel = np.abs(out - ref) / max(np.abs(ref).max(), 1e-6)
+    assert rel.max() < 0.05, rel.max()
+
+
+def test_dpt_classic_cli_convert_ckpt(tmp_path):
+    """DPT-classic safetensors → convert-ckpt CLI → Orbax →
+    ModelManager: the exact ingestion loop a real Intel/dpt-large
+    download would take (reference analog: backend/app.py:80-81)."""
+    from safetensors.torch import save_file
+
+    from image_to_pointcloud_tpu.cli import main as cli_main
+    from image_to_pointcloud_tpu.serve.models import ModelManager
+
+    hf, model, variables = _build_pair(image_size=64)
+    src = tmp_path / "hf"
+    src.mkdir()
+    save_file(
+        {k: v.contiguous() for k, v in hf.state_dict().items()},
+        str(src / "model.safetensors"),
+    )
+
+    from image_to_pointcloud_tpu.models.depth_anything import PRESETS
+
+    PRESETS["dpt-tiny-test"] = model.cfg
+    try:
+        out_root = tmp_path / "converted"
+        rc = cli_main(
+            [
+                "convert-ckpt", str(src),
+                "--model", "dpt-tiny-test",
+                "-o", str(out_root),
+            ]
+        )
+        assert rc == 0
+        mm = ModelManager(
+            checkpoint_dir=str(out_root), use_bf16=False,
+            use_flash_attention=False,
+        )
+        params = mm._load_params("dpt-tiny-test", model.cfg)
+        assert mm.random_weights["dpt-tiny-test"] is False
+        x = np.zeros((1, 64, 64, 3), np.float32)
+        a = np.asarray(model.apply({"params": params}, x))
+        b = np.asarray(model.apply(variables, x))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    finally:
+        PRESETS.pop("dpt-tiny-test", None)
