@@ -258,10 +258,16 @@ class DepthPipeline:
 
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from image_to_pointcloud_tpu.models.dpt_classic import (
+                DPTClassicConfig,
+            )
             from image_to_pointcloud_tpu.models.zoedepth import ZoeDepthConfig
             from image_to_pointcloud_tpu.parallel.pipeline_par import (
                 build_beit_stage_params,
                 build_stage_params,
+                pipelined_depth_apply,
+                pipelined_dpt_classic_apply,
+                pipelined_zoedepth_apply,
             )
 
             n_stages = len(cfg.backbone.out_layers)
@@ -273,10 +279,17 @@ class DepthPipeline:
             # Stage params go straight from host to their pipe slice
             # (mesh=...) — never materializing the whole stacked encoder
             # on one chip, which is the residency PP exists to avoid.
+            # One family dispatch covers both the stage-param layout and
+            # the pipelined apply (_build closes over self._pp_apply).
             if isinstance(cfg, ZoeDepthConfig):
                 stages = build_beit_stage_params(cfg, params, mesh=mesh)
+                self._pp_apply = pipelined_zoedepth_apply
+            elif isinstance(cfg, DPTClassicConfig):
+                stages = build_stage_params(cfg, params, mesh=mesh)
+                self._pp_apply = pipelined_dpt_classic_apply
             else:
                 stages = build_stage_params(cfg, params, mesh=mesh)
+                self._pp_apply = pipelined_depth_apply
             # Blocks live only in the stacked stage params; prune them
             # from the replicated tree so Large's encoder isn't resident
             # twice per device.
@@ -371,14 +384,6 @@ class DepthPipeline:
                 method=self.resize_method,
             )
             if self._pipelined:
-                from image_to_pointcloud_tpu.models.zoedepth import (
-                    ZoeDepthConfig,
-                )
-                from image_to_pointcloud_tpu.parallel.pipeline_par import (
-                    pipelined_depth_apply,
-                    pipelined_zoedepth_apply,
-                )
-
                 # Microbatches must divide the batch, and each
                 # microbatch's rows must still shard over the data axis.
                 dp = self.mesh.shape.get("data", 1)
@@ -390,20 +395,7 @@ class DepthPipeline:
                 m = max(1, min(self.pipe_microbatches, batch))
                 while m > 1 and (batch % m or (batch // m) % dp):
                     m -= 1
-                from image_to_pointcloud_tpu.models.dpt_classic import (
-                    DPTClassicConfig,
-                )
-                from image_to_pointcloud_tpu.parallel.pipeline_par import (
-                    pipelined_dpt_classic_apply,
-                )
-
-                if isinstance(self.cfg, ZoeDepthConfig):
-                    pp_apply = pipelined_zoedepth_apply
-                elif isinstance(self.cfg, DPTClassicConfig):
-                    pp_apply = pipelined_dpt_classic_apply
-                else:
-                    pp_apply = pipelined_depth_apply
-                depth = pp_apply(
+                depth = self._pp_apply(
                     self.cfg,
                     params["tree"],
                     params["stages"],

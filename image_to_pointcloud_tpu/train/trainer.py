@@ -68,19 +68,20 @@ class Trainer:
     ):
         self.mesh = mesh
         self.cfg = cfg
-        if cfg.remat and isinstance(model_cfg, DepthAnythingConfig):
-            # Per-block remat (nn.remat on each encoder Block): live
+        if cfg.remat and hasattr(model_cfg.backbone, "remat_blocks"):
+            # Per-block remat (nn.remat on each encoder block): live
             # activations bound to one block, and only that block is
             # recomputed — not a jax.checkpoint around the whole apply,
             # which would recompute the full encoder+neck as one segment
-            # for the worst FLOPs/memory trade. (ZoeDepth's BEiT blocks
-            # train un-rematerialized for now — fine at its 577-token
-            # sequences.)
-            model_cfg = DepthAnythingConfig(
+            # for the worst FLOPs/memory trade. Applies to every family
+            # whose backbone config carries the knob (DINOv2 and plain
+            # ViT; ZoeDepth's BEiT blocks train un-rematerialized for
+            # now — fine at its 577-token sequences).
+            model_cfg = dataclasses.replace(
+                model_cfg,
                 backbone=dataclasses.replace(
                     model_cfg.backbone, remat_blocks=True
                 ),
-                neck=model_cfg.neck,
             )
         from image_to_pointcloud_tpu.models import build_model
 

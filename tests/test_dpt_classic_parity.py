@@ -163,6 +163,9 @@ def test_dpt_classic_trainer_step(rng):
         model.cfg, jax.device_get(variables["params"]), mesh,
         TrainConfig(loss="silog", remat=True),
     )
+    # remat must actually engage for this family (per-block nn.remat),
+    # not silently no-op like it would behind a DA-only isinstance gate.
+    assert trainer.model.cfg.backbone.remat_blocks is True
     x = jnp.asarray(rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32))
     y = jnp.asarray(rng.random((4, 64, 64)).astype(np.float32) + 0.5)
     l1 = float(trainer.train_step(x, y))
