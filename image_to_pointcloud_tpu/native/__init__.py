@@ -14,6 +14,7 @@ from __future__ import annotations
 import ctypes
 import logging
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -23,6 +24,10 @@ logger = logging.getLogger(__name__)
 _SRC = Path(__file__).parent / "src"
 _BUILD = Path(__file__).parent / "build"
 _LIB: ctypes.CDLL | None | bool = None  # None = untried, False = unavailable
+# First call may compile: serialize it. Serving runs 4 executor threads
+# (serve/app_v1.py) — two unsynchronized check-then-build races would run
+# two g++ processes writing the same .so and load a truncated library.
+_LOAD_LOCK = threading.Lock()
 
 
 def _load() -> ctypes.CDLL | None:
@@ -31,10 +36,23 @@ def _load() -> ctypes.CDLL | None:
         return None
     if _LIB is not None:
         return _LIB
+    with _LOAD_LOCK:
+        if _LIB is not None:  # lost the race; winner already resolved it
+            return None if _LIB is False else _LIB
+        return _load_locked()
+
+
+def _load_locked() -> ctypes.CDLL | None:
+    global _LIB
     so = _BUILD / "libipc_native.so"
     srcs = sorted(_SRC.glob("*.cpp"))
     try:
-        newest_src = max((s.stat().st_mtime for s in srcs), default=0.0)
+        # Staleness includes headers: geom.h carries most of the
+        # reconstruction logic; an edit there must trigger a rebuild.
+        newest_src = max(
+            (s.stat().st_mtime for s in [*srcs, *_SRC.glob("*.h")]),
+            default=0.0,
+        )
         if not so.exists() or so.stat().st_mtime < newest_src:
             try:
                 _BUILD.mkdir(exist_ok=True)
@@ -145,13 +163,25 @@ def decimate_mesh(
     faces: np.ndarray,
     target_faces: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
-    """Quadric edge-collapse decimation; None if native lib unavailable."""
+    """Quadric edge-collapse decimation; None if native lib unavailable.
+
+    Raises on colors/verts length mismatch or out-of-range face indices
+    — the C kernel has no bounds checks (by design, it's the hot path),
+    so bad indices from e.g. an externally loaded mesh must fail here as
+    a Python exception, not heap corruption in-process."""
     lib = _load()
     if lib is None:
         return None
     v = np.ascontiguousarray(verts, np.float64).copy()
     c = np.ascontiguousarray(colors, np.float64).copy()
-    f = np.ascontiguousarray(faces, np.int32).copy()
+    f = np.ascontiguousarray(faces, np.int32).copy().reshape(-1, 3)
+    if len(c) != len(v):
+        raise ValueError(f"colors length {len(c)} != verts length {len(v)}")
+    if len(f) and (f.min() < 0 or f.max() >= len(v)):
+        raise ValueError(
+            f"face indices [{f.min()}, {f.max()}] out of range for "
+            f"{len(v)} vertices"
+        )
     new_nv = ctypes.c_int32(0)
     nf = lib.ipc_decimate(
         v.ctypes.data, c.ctypes.data, len(v),
@@ -203,6 +233,11 @@ def reconstruct_points(
         hh, ww, step, float(depth_scale), float(f), float(cx), float(cy),
         out_xyz.ctypes.data, out_rgb.ctypes.data,
     )
+    if 2 * m <= hh * ww:
+        # Results are retained by the job registry; when the keep mask
+        # dropped most of the grid, don't let slim views pin the full
+        # 24-bytes/pixel base buffers for the job's retention window.
+        return out_xyz[:m].copy(), out_rgb[:m].copy()
     return out_xyz[:m], out_rgb[:m]
 
 
@@ -286,13 +321,18 @@ def json_i32_list(values: np.ndarray) -> bytes | None:
 
 
 def ply_pack(points: np.ndarray, colors: np.ndarray | None) -> bytes | None:
-    """Binary PLY vertex records (f64 xyz + u8 rgb); None if unavailable.
+    """Binary PLY vertex records (f64 xyz + u8 rgb); None if unavailable
+    OR if points aren't float32 — the header advertises doubles, and the
+    C path promotes f32→f64 exactly; a float64 input would be silently
+    rounded through f32, so it routes to the exact Python writer instead.
 
     Raises on a colors/points length mismatch — silently emitting
     colorless 24-byte records under a header advertising RGB would be a
     corrupt file (callers decide the has-colors question explicitly)."""
     lib = _load()
     if lib is None:
+        return None
+    if np.asarray(points).dtype != np.float32:
         return None
     p = np.ascontiguousarray(points, np.float32)
     n = len(p)
@@ -324,6 +364,24 @@ def format_xyz(points: np.ndarray, colors: np.ndarray) -> bytes | None:
     if written < 0:
         return None
     return buf.raw[:written]
+
+
+def _unpack_mesh(lib, vp, cp, fp, nv, nf):
+    """Copy C-allocated (verts, colors, faces) buffers out and release
+    them — shared by surface_reconstruct and poisson_reconstruct."""
+    try:
+        verts = np.ctypeslib.as_array(
+            ctypes.cast(vp, ctypes.POINTER(ctypes.c_float)), (nv.value, 3)
+        ).copy()
+        vcols = np.ctypeslib.as_array(
+            ctypes.cast(cp, ctypes.POINTER(ctypes.c_uint8)), (nv.value, 3)
+        ).copy()
+        faces = np.ctypeslib.as_array(
+            ctypes.cast(fp, ctypes.POINTER(ctypes.c_int32)), (nf.value, 3)
+        ).copy()
+    finally:
+        lib.ipc_surface_release(vp, cp, fp)
+    return verts, vcols, faces
 
 
 def surface_reconstruct(
@@ -371,19 +429,7 @@ def surface_reconstruct(
     )
     if status != 0:
         return None
-    try:
-        verts = np.ctypeslib.as_array(
-            ctypes.cast(vp, ctypes.POINTER(ctypes.c_float)), (nv.value, 3)
-        ).copy()
-        vcols = np.ctypeslib.as_array(
-            ctypes.cast(cp, ctypes.POINTER(ctypes.c_uint8)), (nv.value, 3)
-        ).copy()
-        faces = np.ctypeslib.as_array(
-            ctypes.cast(fp, ctypes.POINTER(ctypes.c_int32)), (nf.value, 3)
-        ).copy()
-    finally:
-        lib.ipc_surface_release(vp, cp, fp)
-    return verts, vcols, faces
+    return _unpack_mesh(lib, vp, cp, fp, nv, nf)
 
 
 def poisson_reconstruct(
@@ -429,19 +475,7 @@ def poisson_reconstruct(
     )
     if status != 0:
         return None
-    try:
-        verts = np.ctypeslib.as_array(
-            ctypes.cast(vp, ctypes.POINTER(ctypes.c_float)), (nv.value, 3)
-        ).copy()
-        vcols = np.ctypeslib.as_array(
-            ctypes.cast(cp, ctypes.POINTER(ctypes.c_uint8)), (nv.value, 3)
-        ).copy()
-        faces = np.ctypeslib.as_array(
-            ctypes.cast(fp, ctypes.POINTER(ctypes.c_int32)), (nf.value, 3)
-        ).copy()
-    finally:
-        lib.ipc_surface_release(vp, cp, fp)
-    return verts, vcols, faces
+    return _unpack_mesh(lib, vp, cp, fp, nv, nf)
 
 
 def mean_nn_distance(points: np.ndarray) -> float | None:

@@ -190,6 +190,16 @@ struct BPA {
       for (size_t a = 0; a < lim; a++) {
         for (size_t b = a + 1; b < lim; b++) {
           int32_t q = cand[a].second, t = cand[b].second;
+          // A seed may touch used points (revive after a radius bump),
+          // but never an edge that's already interior: attaching a
+          // third triangle to (q,t) breaks the manifold invariant
+          // pivot() enforces (edges carry at most 2 triangles).
+          auto qt = edge_tris.find(ekey(q, t));
+          if (qt != edge_tris.end() && qt->second >= 2) continue;
+          auto sq = edge_tris.find(ekey((int32_t)s, q));
+          if (sq != edge_tris.end() && sq->second >= 2) continue;
+          auto st = edge_tris.find(ekey((int32_t)s, t));
+          if (st != edge_tris.end() && st->second >= 2) continue;
           V3 side = ipc::normalized(ipc::add(
               ipc::add(normals[s], normals[q]), normals[t]));
           V3 c;

@@ -202,8 +202,12 @@ int64_t ipc_reconstruct(const uint16_t* d16, const uint8_t* keep,
                         int32_t hh, int32_t ww, int32_t step, float depth_scale,
                         float f, float cx, float cy, float* out_xyz,
                         float* out_rgb) {
-  const float inv = depth_scale / 65535.0f;
-  const float invf = 1.0f / f;
+  // Operation order matches pipeline/graph.py depth16_to_xyz EXACTLY —
+  // (d16 * (1/65535)) * scale and (u*zs) / f, each rounded in float32 —
+  // so a host with the native kernel and one on the numpy fallback
+  // produce bit-identical PLY/JSON bytes (the documented contract of
+  // the ONE host implementation).
+  const float q = 1.0f / 65535.0f;
   int64_t m = 0;
   for (int32_t r = 0; r < hh; r++) {
     const float y0 = (float)(r * step) - cy;
@@ -212,11 +216,11 @@ int64_t ipc_reconstruct(const uint16_t* d16, const uint8_t* keep,
     const uint8_t* crow = rgb + (int64_t)r * rgb_rs;
     for (int32_t c = 0; c < ww; c++) {
       if (!krow[c]) continue;
-      float z = (float)drow[c] * inv;
+      float z = ((float)drow[c] * q) * depth_scale;
       float zs = (z != 0.0f) ? z : 1e-6f;
       float x0 = (float)(c * step) - cx;
-      out_xyz[3 * m] = x0 * zs * invf;
-      out_xyz[3 * m + 1] = y0 * zs * invf;
+      out_xyz[3 * m] = (x0 * zs) / f;
+      out_xyz[3 * m + 1] = (y0 * zs) / f;
       out_xyz[3 * m + 2] = z;
       const uint8_t* px = crow + (int64_t)c * rgb_cs;
       out_rgb[3 * m] = (float)px[0];

@@ -82,14 +82,34 @@ class TestReconstruct:
         assert out is not None
         pts, cols = out
 
-        dn = d16.astype(np.float32) / 65535.0
-        z = dn * 10.0
-        zs = np.where(z != 0, z, 1e-6)
-        u = (np.arange(ww, dtype=np.float32) * step - w / 2)[None, :]
-        v = (np.arange(hh, dtype=np.float32) * step - h / 2)[:, None]
-        ref = np.stack([(u * zs / f)[keep], (v * zs / f)[keep], z[keep]], 1)
-        np.testing.assert_allclose(pts, ref, rtol=1e-6, atol=1e-7)
+        # BIT-identical to the canonical host implementation: a box with
+        # g++ and one on the numpy fallback must export the same bytes
+        # (depth16_to_xyz's documented contract).
+        from image_to_pointcloud_tpu.pipeline.graph import depth16_to_xyz
+
+        xyz = depth16_to_xyz(
+            d16[None], np.asarray([10.0], np.float32),
+            step=step, f=f, cx=w / 2, cy=h / 2,
+        )[0].reshape(3, hh, ww)
+        ref = np.stack([xyz[0][keep], xyz[1][keep], xyz[2][keep]], 1)
+        np.testing.assert_array_equal(pts, ref)
         np.testing.assert_array_equal(cols, rgb[keep].astype(np.float32))
+
+    def test_low_keep_rate_returns_compact_copies(self, rng):
+        """Sparse keeps must not pin the full-grid base buffers (results
+        are retained by the job registry)."""
+        hh, ww = 64, 64
+        d16 = rng.integers(0, 65536, (hh, ww)).astype(np.uint16)
+        keep = np.zeros((hh, ww), bool)
+        keep[::16, ::16] = True
+        rgb = rng.integers(0, 256, (hh, ww, 3)).astype(np.uint8)
+        out = native.reconstruct_points(
+            d16, keep, rgb, step=1, depth_scale=10.0, f=80.0,
+            cx=32.0, cy=32.0,
+        )
+        assert out is not None
+        pts, cols = out
+        assert pts.base is None and cols.base is None  # owned, not views
 
 
 class TestSurfaceReconstruct:
