@@ -103,8 +103,14 @@ def cmd_convert(args) -> int:
 
     writers = {"ply": write_ply_points, "las": write_las, "laz": write_las,
                "xyz": write_xyz, "pcd": write_pcd, "glb": write_glb_points}
-    writer = writers[args.format]
-    ext = ".las" if args.format == "laz" else f".{args.format}"
+    fmt = args.format
+    if fmt is None:
+        # Infer from the -o extension: `-o cloud.xyz` must not silently
+        # write PLY bytes into a .xyz file. Explicit --format still wins.
+        suffix = Path(args.output).suffix.lower().lstrip(".") if args.output else ""
+        fmt = suffix if suffix in writers else "ply"
+    writer = writers[fmt]
+    ext = ".las" if fmt == "laz" else f".{fmt}"
 
     pipe = _load_pipeline(args)
     opts = PipelineOptions(
@@ -468,8 +474,10 @@ def main(argv=None) -> int:
 
     pc = sub.add_parser("convert", help="image(s) → point cloud file(s)")
     _add_common(pc)
-    pc.add_argument("--format", default="ply",
-                    choices=["ply", "las", "laz", "xyz", "pcd", "glb"])
+    pc.add_argument("--format", default=None,
+                    choices=["ply", "las", "laz", "xyz", "pcd", "glb"],
+                    help="output format (default: inferred from the -o "
+                    "file extension, else ply)")
     pc.set_defaults(fn=cmd_convert)
 
     pm = sub.add_parser("mesh", help="image(s) → surface mesh PLY")

@@ -1,7 +1,12 @@
 """First-party exporters and host-side image codecs."""
 
 from image_to_pointcloud_tpu.io.glb import glb_bytes, write_glb
-from image_to_pointcloud_tpu.io.image import decode_image_rgb, encode_png, png_data_url
+from image_to_pointcloud_tpu.io.image import (
+    decode_image_rgb,
+    encode_png,
+    png_data_url,
+    png_data_url_palette,
+)
 from image_to_pointcloud_tpu.io.las import las_bytes, read_las, write_las
 from image_to_pointcloud_tpu.io.metadata import generate_gis_metadata
 from image_to_pointcloud_tpu.io.obj import obj_bytes, write_obj
@@ -20,6 +25,7 @@ __all__ = [
     "decode_image_rgb",
     "encode_png",
     "png_data_url",
+    "png_data_url_palette",
     "las_bytes",
     "read_las",
     "write_las",

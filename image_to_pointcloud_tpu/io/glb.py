@@ -36,6 +36,10 @@ def glb_bytes(
     name: str = "mesh",
 ) -> bytes:
     v = np.ascontiguousarray(vertices, np.float32)
+    if len(v) == 0:
+        # A 0-count POSITION accessor is invalid glTF, and arr.min(axis=0)
+        # below would raise a cryptic numpy reduction error; fail clearly.
+        raise ValueError("Cannot export GLB with no vertices")
     buffers: list[bytes] = []
     buffer_views: list[dict] = []
     accessors: list[dict] = []

@@ -14,7 +14,12 @@ import io as _io
 
 import numpy as np
 
-__all__ = ["decode_image_rgb", "encode_png", "png_data_url"]
+__all__ = [
+    "decode_image_rgb",
+    "encode_png",
+    "png_data_url",
+    "png_data_url_palette",
+]
 
 
 def decode_image_rgb(data: bytes) -> np.ndarray:

@@ -46,7 +46,12 @@ def las_bytes(
         raise ValueError("Coordinates overflow LAS int32 at scale %g" % scale)
     ixyz = ixyz.astype("<i4")
 
-    if colors is not None and len(colors) == n:
+    if colors is not None and len(colors) != n:
+        # The gray fallback is for "no colors supplied" — silently
+        # graying a MIS-MATCHED colors array would mask a caller bug
+        # (ply raises on the same condition; exporters must agree).
+        raise ValueError(f"colors length {len(colors)} != points length {n}")
+    if colors is not None:
         c = np.clip(np.asarray(colors), 0, 255).astype(np.uint16) * 256
     else:
         c = np.full((n, 3), 32768, np.uint16)

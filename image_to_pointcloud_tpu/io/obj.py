@@ -23,6 +23,12 @@ def obj_bytes(
     v = np.asarray(vertices, np.float64)
     out = ["# image_to_pointcloud_tpu OBJ export"]
     if colors is not None and len(v):
+        if len(colors) != len(v):
+            # zip() would silently truncate the vertex list while faces
+            # still reference the dropped indices — a corrupt OBJ.
+            raise ValueError(
+                f"colors length {len(colors)} != vertices length {len(v)}"
+            )
         c = np.clip(np.asarray(colors, np.float64), 0, 255) / 255.0
         for (x, y, z), (r, g, b) in zip(v, c):
             out.append(f"v {x:.6f} {y:.6f} {z:.6f} {r:.4f} {g:.4f} {b:.4f}")

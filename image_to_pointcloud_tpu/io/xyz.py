@@ -17,6 +17,12 @@ def xyz_bytes(points: np.ndarray, colors: np.ndarray | None) -> bytes:
     n = len(points)
     p = np.asarray(points, np.float64)
     if colors is not None and len(colors) > 0:
+        if len(colors) != n:
+            # The native formatter indexes colors per point with no
+            # bounds check — a short array would read past the buffer.
+            raise ValueError(
+                f"colors length {len(colors)} != points length {n}"
+            )
         c = np.asarray(colors, np.float64).astype(np.int64)  # trunc, like int()
     else:
         c = np.full((n, 3), 128, np.int64)

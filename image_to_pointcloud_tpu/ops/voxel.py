@@ -53,20 +53,20 @@ def voxel_downsample(
     minb = jnp.min(jnp.where(valid[:, None], p, jnp.inf), axis=0)
     # Open3D's grid origin sits half a voxel below the min bound.
     idx3 = jnp.floor((p - (minb - 0.5 * vsize)) / vsize).astype(jnp.int32)
-    # Collision-free linear key within the occupied bounding grid (int32:
-    # requires total occupied-grid cells < 2^31, ample for point clouds).
-    dims = jnp.max(jnp.where(valid[:, None], idx3, 0), axis=0) + 1
-    key = (idx3[:, 2] * dims[1] + idx3[:, 1]) * dims[0] + idx3[:, 0]
-    key = jnp.where(valid, key, jnp.int32(2**31 - 1))  # invalid → sorted last
-
-    order = jnp.argsort(key)
-    skey = key[order]
+    # Group by the (x, y, z) voxel index LEXICOGRAPHICALLY rather than a
+    # combined linear key: a tiny voxel_size over a wide cloud gives
+    # per-axis dims ~1e6 whose product silently wraps int32 (jnp has no
+    # overflow trap and x64 is off), merging unrelated voxels. Three
+    # stable sorts cost ~3x one argsort and can never collide.
+    iv = jnp.where(valid[:, None], idx3, jnp.int32(2**31 - 1))  # invalid last
+    order = jnp.lexsort((iv[:, 0], iv[:, 1], iv[:, 2]))
+    sidx = iv[order]
     sp = p[order]
     sc = c[order]
     svalid = valid[order]
 
     is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+        [jnp.ones((1,), bool), jnp.any(sidx[1:] != sidx[:-1], axis=1)]
     ) & svalid
     rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # dense voxel id
     rank = jnp.where(svalid, rank, n - 1)  # park invalid in last slot

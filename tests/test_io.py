@@ -220,3 +220,35 @@ class TestOBJ:
         text = obj_bytes(np.zeros((2, 3))).decode()
         assert text.count("\nv ") + text.startswith("v ") >= 1
         assert "f " not in text
+
+
+class TestExporterLengthGuards:
+    """All exporters must agree: a colors/points length mismatch is a
+    caller bug that raises — never silent truncation (obj), heap
+    over-read (native xyz), or silent gray output (las)."""
+
+    def test_xyz_mismatch_raises(self):
+        from image_to_pointcloud_tpu.io.xyz import xyz_bytes
+
+        with pytest.raises(ValueError, match="colors length"):
+            xyz_bytes(np.zeros((5, 3), np.float32), np.zeros((3, 3)))
+
+    def test_obj_mismatch_raises(self):
+        from image_to_pointcloud_tpu.io.obj import obj_bytes
+
+        with pytest.raises(ValueError, match="colors length"):
+            obj_bytes(
+                np.zeros((5, 3)), faces=[[0, 1, 4]], colors=np.zeros((3, 3))
+            )
+
+    def test_las_mismatch_raises(self):
+        from image_to_pointcloud_tpu.io.las import las_bytes
+
+        with pytest.raises(ValueError, match="colors length"):
+            las_bytes(np.zeros((5, 3)), np.zeros((3, 3)))
+
+    def test_glb_empty_raises_clearly(self):
+        from image_to_pointcloud_tpu.io.glb import glb_bytes
+
+        with pytest.raises(ValueError, match="no vertices"):
+            glb_bytes(np.zeros((0, 3), np.float32))

@@ -308,3 +308,28 @@ class TestOrderStatistics:
             return 0.5 * (s[0] + s[1])
 
         assert abs(float(med(x)) - float(np.median(np.asarray(x)))) < 1e-7
+
+
+class TestVoxelKeyOverflow:
+    def test_tiny_voxels_on_wide_cloud(self, rng):
+        """Per-axis grid dims whose product overflows int32 must still
+        group correctly (lexicographic 3-key grouping, not a combined
+        linear key). 8 distant clusters -> 8 voxels, never merged."""
+        from image_to_pointcloud_tpu.ops.voxel import voxel_downsample
+
+        centers = np.array(
+            [[x, y, z] for x in (0, 2000.0) for y in (0, 2000.0)
+             for z in (0, 2000.0)], np.float32)
+        pts = np.repeat(centers, 4, axis=0)
+        pts += rng.normal(0, 1e-5, pts.shape).astype(np.float32)
+        cols = np.tile(np.arange(8, dtype=np.float32)[:, None], (1, 3))
+        cols = np.repeat(cols, 4, axis=0)
+        # voxel 1e-3 over extent 2000 -> dims ~2e6 per axis; 8e18 cells.
+        import jax.numpy as jnp
+
+        op, oc, ovalid, count = voxel_downsample(
+            jnp.asarray(pts), jnp.asarray(cols), 1e-3
+        )
+        assert int(count) == 8
+        got = np.sort(np.asarray(oc)[np.asarray(ovalid)][:, 0])
+        np.testing.assert_allclose(got, np.arange(8), atol=1e-5)
