@@ -6,9 +6,28 @@
 
 // Same-origin by default when served from the backend's /ui mount;
 // override with ?api=http://host:8000 or window.API_BASE.
+// ?api= is restricted to same-origin/localhost/private hosts: an
+// arbitrary URL would let a crafted LINK point the app at an attacker's
+// server, whose /models responses then render in this origin.
+function safeApiOverride(raw) {
+  if (!raw) return null;
+  try {
+    const u = new URL(raw, window.location.href);
+    if (!/^https?:$/.test(u.protocol)) return null;
+    const h = u.hostname;
+    const ok =
+      h === window.location.hostname ||
+      h === "localhost" || h === "127.0.0.1" || h === "[::1]" ||
+      /^10\./.test(h) || /^192\.168\./.test(h) ||
+      /^172\.(1[6-9]|2\d|3[01])\./.test(h);
+    return ok ? u.origin : null;
+  } catch {
+    return null;
+  }
+}
 const qs = new URLSearchParams(window.location.search);
 export const API_BASE =
-  qs.get("api") ||
+  safeApiOverride(qs.get("api")) ||
   window.API_BASE ||
   (window.location.pathname.startsWith("/ui")
     ? ""                      // mounted on the backend itself
@@ -103,5 +122,7 @@ export function downloadGisJson(results) {
   a.href = URL.createObjectURL(blob);
   a.download = "gis_metadata.json";
   a.click();
-  URL.revokeObjectURL(a.href);
+  // Safari resolves the synthetic-click download asynchronously; a
+  // synchronous revoke can cancel it.
+  setTimeout(() => URL.revokeObjectURL(a.href), 10000);
 }

@@ -41,9 +41,27 @@ const state = {
 };
 
 // ---------- viewer ----------
-const viewer = new Viewer($("gl-canvas"), {
-  onDebug: (txt) => { $("viewer-debug").textContent = txt; },
-});
+// WebGL2 may be unavailable (policy-disabled, old Safari); the 3D pane
+// degrades to a placeholder while upload/depth-map/downloads keep
+// working — a throw here would kill every event binding below.
+function makeViewer() {
+  try {
+    return new Viewer($("gl-canvas"), {
+      onDebug: (txt) => { $("viewer-debug").textContent = txt; },
+    });
+  } catch (e) {
+    console.warn("3D viewer unavailable:", e);
+    $("viewer-debug").textContent = "3D viewer unavailable (WebGL2 required)";
+    const noop = () => {};
+    return {
+      options: { autoRotate: false, showGrid: true, showAxes: true,
+                 wireframe: false, pointSize: 2 },
+      setMesh: noop, setPointCloud: noop, clearScene: noop,
+      resetCamera: noop, zoomToExtent: noop,
+    };
+  }
+}
+const viewer = makeViewer();
 
 const depthView = new DepthView($("depth-view"), $("depth-img"), $("depth-pos"));
 const depthViewFull = new DepthView(
@@ -52,10 +70,14 @@ const depthViewFull = new DepthView(
 
 // ---------- helpers ----------
 
-function setStep(which, cls) {
+function clearSteps() {
   for (const li of $("pipeline-steps").children) {
     li.classList.remove("active", "done");
   }
+}
+
+function setStep(which, cls) {
+  clearSteps();
   const order = ["upload", "ai", "cloud"];
   const idx = order.indexOf(which);
   order.forEach((name, i) => {
@@ -69,11 +91,13 @@ function setProgress(pct, msg) {
   $("progress-bar").style.width = `${pct}%`;
   $("progress-msg").textContent = msg || "";
   // progress→step mapping (App.jsx:987-989): 1–40 upload, 40–80 AI,
-  // 80–100 cloud.
+  // 80–100 cloud. pct 0 (reset / error) clears the highlights — stale
+  // "done" classes from the previous run must not survive a new upload.
   if (pct >= 100) setStep("cloud", "done");
   else if (pct >= 80) setStep("cloud");
   else if (pct >= 40) setStep("ai");
   else if (pct > 0) setStep("upload");
+  else clearSteps();
 }
 
 function flatten(nested) {
@@ -82,14 +106,18 @@ function flatten(nested) {
   return out;
 }
 
-function normColors(nested) {
-  // Backend preview colors are 0–255; viewer wants 0–1.
+function normColors(nested, scale) {
+  // Viewer wants 0–1; the backend shape is known per endpoint (preview
+  // colors are 0–255 ints, meshPreview colors are 0–1 doubles —
+  // serve/app_v1.py results assembly), so callers pass the scale
+  // explicitly. A max-based guess would render an all-dark photo's
+  // near-black 0–255 colors at full brightness.
   const out = new Float32Array(nested.length * 3);
-  let maxv = 0;
-  for (const c of nested) maxv = Math.max(maxv, c[0], c[1], c[2]);
-  const s = maxv > 1.001 ? 1 / 255 : 1;
   for (let i = 0; i < nested.length; i++) {
-    out.set([nested[i][0] * s, nested[i][1] * s, nested[i][2] * s], i * 3);
+    out.set(
+      [nested[i][0] * scale, nested[i][1] * scale, nested[i][2] * scale],
+      i * 3,
+    );
   }
   return out;
 }
@@ -119,13 +147,16 @@ async function display3DData() {
     viewer.setMesh({
       positions: flatten(mp.vertices),
       normals: flatten(mp.normals),
-      colors: normColors(mp.colors),
+      colors: normColors(mp.colors, 1),  // meshPreview: 0–1 doubles
       indices: new Uint32Array(mp.faces),
     });
     return;
   }
   if (r?.preview?.points?.length) {
-    viewer.setPointCloud(flatten(r.preview.points), normColors(r.preview.colors));
+    viewer.setPointCloud(
+      flatten(r.preview.points),
+      normColors(r.preview.colors, 1 / 255),  // preview: 0–255 ints
+    );
     return;
   }
   // P2: regenerate client-side from the colorized depth PNG.
@@ -150,7 +181,7 @@ async function display3DData() {
         state.results = job.results;
         viewer.setPointCloud(
           flatten(job.results.preview.points),
-          normColors(job.results.preview.colors),
+          normColors(job.results.preview.colors, 1 / 255),
         );
         return;
       }
@@ -169,6 +200,15 @@ const MAX_FILE_MB = 50;
 
 function handleFile(file) {
   $("upload-error").hidden = true;
+  if (state.busy) {
+    // A poll for image A is in flight; accepting B now would let A's
+    // completion overwrite B's freshly reset UI (mismatched depth map
+    // vs upload preview).
+    $("upload-error").textContent =
+      "A job is still processing — wait for it to finish";
+    $("upload-error").hidden = false;
+    return;
+  }
   if (!file.type.startsWith("image/")) {
     $("upload-error").textContent = "File must be an image";
     $("upload-error").hidden = false;
@@ -214,10 +254,13 @@ $("dropzone").addEventListener("drop", (e) => {
 
 // ---------- model cards (App.jsx:92-121) ----------
 
+let modelCardsLive = false; // real /models loaded (vs offline placeholder)
+
 async function loadModelCards() {
   let models = [];
   try {
     models = (await fetchModels()).models || [];
+    modelCardsLive = true;
   } catch {
     models = [{
       id: "depth-anything-v2", name: "Depth Anything V2",
@@ -227,12 +270,20 @@ async function loadModelCards() {
   const holder = $("model-cards");
   holder.innerHTML = "";
   for (const m of models) {
+    // textContent, never innerHTML: model fields come from the API
+    // origin, which ?api= lets the URL choose — markup here would be
+    // reflected XSS.
     const div = document.createElement("div");
     div.className = "model-card" + (m.id === state.settings.model ? " sel" : "");
-    div.innerHTML =
-      `<div class="mc-name">${m.name || m.id}</div>` +
-      `<div class="mc-meta">${m.description || ""}</div>` +
-      `<div class="mc-meta">speed: ${m.speed || "?"} · quality: ${m.quality || "?"}</div>`;
+    const mk = (cls, txt) => {
+      const d = document.createElement("div");
+      d.className = cls;
+      d.textContent = txt;
+      div.appendChild(d);
+    };
+    mk("mc-name", m.name || m.id);
+    mk("mc-meta", m.description || "");
+    mk("mc-meta", `speed: ${m.speed || "?"} · quality: ${m.quality || "?"}`);
     div.addEventListener("click", () => {
       state.settings.model = m.id;
       for (const el of holder.children) el.classList.remove("sel");
@@ -370,6 +421,9 @@ async function refreshHealth() {
     $("health-text").textContent =
       `backend ok · ${h.models_loaded?.length ?? 0} model(s)` +
       (API_BASE ? ` · ${API_BASE}` : "");
+    // The backend may have come up after the initial page load; swap
+    // the offline placeholder for the real model list.
+    if (!modelCardsLive) loadModelCards();
   } catch {
     $("health-dot").className = "dot dot-bad";
     $("health-text").textContent = "backend unreachable — demo mode available";

@@ -33,16 +33,45 @@ export function plasmaLUT() {
   return _lut; // 256*3 RGB
 }
 
+// O(1) inverse: exact LUT colors resolve through a hash map (the
+// "exact inverse" property the backend preview round-trip relies on);
+// blended pixels (canvas rescaling) fall back to a 32x32x32 quantized
+// nearest-cell table built once (~8M one-time ops). The previous
+// per-pixel 256-entry scan ran ~23M comparisons per 300x300 decode on
+// the UI thread.
+let _inv = null, _exact = null;
+function buildInverse() {
+  if (_inv) return;
+  const lut = plasmaLUT();
+  _exact = new Map();
+  for (let i = 0; i < 256; i++) {
+    const key = (lut[i * 3] << 16) | (lut[i * 3 + 1] << 8) | lut[i * 3 + 2];
+    if (!_exact.has(key)) _exact.set(key, i); // first wins, like the scan
+  }
+  _inv = new Uint8Array(32 * 32 * 32);
+  for (let cr = 0; cr < 32; cr++) {
+    for (let cg = 0; cg < 32; cg++) {
+      for (let cb = 0; cb < 32; cb++) {
+        const r = cr * 8 + 4, g = cg * 8 + 4, b = cb * 8 + 4; // cell center
+        let best = 0, bestD = Infinity;
+        for (let i = 0; i < 256; i++) {
+          const dr = r - lut[i * 3], dg = g - lut[i * 3 + 1],
+                db = b - lut[i * 3 + 2];
+          const d = dr * dr + dg * dg + db * db;
+          if (d < bestD) { bestD = d; best = i; }
+        }
+        _inv[(cr << 10) | (cg << 5) | cb] = best;
+      }
+    }
+  }
+}
+
 function inversePlasma(r, g, b) {
   // Nearest LUT entry → normalized depth in [0, 1].
-  const lut = plasmaLUT();
-  let best = 0, bestD = Infinity;
-  for (let i = 0; i < 256; i++) {
-    const dr = r - lut[i * 3], dg = g - lut[i * 3 + 1], db = b - lut[i * 3 + 2];
-    const d = dr * dr + dg * dg + db * db;
-    if (d < bestD) { bestD = d; best = i; }
-  }
-  return best / 255;
+  buildInverse();
+  const exact = _exact.get((r << 16) | (g << 8) | b);
+  if (exact !== undefined) return exact / 255;
+  return _inv[((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)] / 255;
 }
 
 const MAX_WORK_DIM = 300; // client-side working resolution (App.jsx:153)

@@ -144,6 +144,14 @@ export class Viewer {
         if (obj[k]) gl.deleteBuffer(obj[k]);
       }
     }
+    // Deleting a buffer nulls its binding in the default VAO but leaves
+    // the attrib LOCATIONS enabled; a later program that binds fewer
+    // attribs (mesh→points switch) would then draw with an enabled
+    // null-buffer array — INVALID_OPERATION on every draw (blank
+    // viewer). Disable everything; _attrib re-enables what each draw
+    // needs.
+    const maxAttribs = gl.getParameter(gl.MAX_VERTEX_ATTRIBS);
+    for (let i = 0; i < maxAttribs; i++) gl.disableVertexAttribArray(i);
     this.points = null;
     this.mesh = null;
   }
