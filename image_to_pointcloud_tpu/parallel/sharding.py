@@ -33,6 +33,7 @@ __all__ = [
     "shard_params",
     "replicated",
     "batch_sharding",
+    "broadcast_json_from_host0",
 ]
 
 DATA_AXIS = "data"
@@ -59,6 +60,16 @@ def make_mesh(
         assert n % (model * seq) == 0, (n, model, seq)
         data = n // (model * seq)
     used = data * model * seq
+    if used != n:
+        # Explicit axis sizes that underuse the rig are almost always a
+        # misconfiguration (--mesh data=2 on an 8-chip host quietly
+        # idles 6 chips and reads as "the TPU is slow").
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh (data=%d, model=%d, seq=%d) uses %d of %d devices; "
+            "%d idle", data, model, seq, used, n, n - used,
+        )
     arr = np.array(devs[:used]).reshape(data, model, seq)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 

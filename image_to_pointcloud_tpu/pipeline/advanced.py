@@ -381,9 +381,13 @@ class HighResPipeline:
             vp, vc, valid, cnt = voxel_downsample(pts, cols, voxel)
             cnt = int(cnt)
             if self.quantized_transfer:
+                # Slice on DEVICE before the transfer: cnt is already
+                # host-synced, so [:cnt] is a static slice — pulling the
+                # full N-slot capacity buffer first would ship ~16x the
+                # bytes over the serialized relay link for a 1M budget.
                 buf = np.asarray(
-                    self._quantize_voxels(vp, vc, bbox[0], bbox[1])
-                )[:cnt]
+                    self._quantize_voxels(vp, vc, bbox[0], bbox[1])[:cnt]
+                )
                 xyz16 = (
                     np.ascontiguousarray(buf[:, :6])
                     .view(np.uint16)
@@ -394,7 +398,7 @@ class HighResPipeline:
                     np.float32
                 )
                 return points, buf[:, 6:9].astype(np.float32)
-            return np.asarray(vp)[:cnt], np.asarray(vc)[:cnt]
+            return np.asarray(vp[:cnt]), np.asarray(vc[:cnt])
         return np.asarray(pts), np.asarray(cols)
 
 
@@ -492,7 +496,13 @@ class VideoPipeline:
             )  # (T, hh, ww) u16 — the only device→host transfer
             tt, hh, ww = d16.shape
             n = hh * ww
-            f = np.float32(max(h, w) * 1.2)
+            from image_to_pointcloud_tpu.ops.unproject import focal_length
+
+            # ONE intrinsics rule (ops.unproject.focal_length), same as
+            # the device path and DepthPipeline.collect — re-hardcoding
+            # max(h,w)*1.2 here would silently diverge if FOV support
+            # or the heuristic ever changes.
+            f = np.float32(focal_length(h, w, None))
             cx, cy = np.float32(w / 2.0), np.float32(h / 2.0)
             from image_to_pointcloud_tpu import native
 
@@ -548,5 +558,5 @@ class VideoPipeline:
         if fuse_voxel is not None:
             vp, vc, valid, cnt = voxel_downsample(pts, cols, fuse_voxel)
             cnt = int(cnt)
-            return np.asarray(vp)[:cnt], np.asarray(vc)[:cnt]
+            return np.asarray(vp[:cnt]), np.asarray(vc[:cnt])
         return np.asarray(pts), np.asarray(cols)

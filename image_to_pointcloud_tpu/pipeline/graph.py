@@ -153,6 +153,12 @@ def _proc_hw(h: int, w: int) -> tuple[int, int]:
     return int(round(h * s)), int(round(w * s))
 
 
+def _smooth_ksize(ksize: int) -> int:
+    """Reference odd-kernel clamp (backend/app.py:210-212) — ONE place;
+    both depth_to_packed_points and the batched serving graph use it."""
+    return max(3, int(ksize) // 2 * 2 + 1)
+
+
 def _outlier_mask_from_means(means: jax.Array) -> jax.Array:
     """Batched Open3D threshold rule on (B, N) mean kNN distances."""
     from image_to_pointcloud_tpu.ops.outlier import outlier_keep_from_means
@@ -181,8 +187,7 @@ def depth_to_packed_points(
         d_img = depth
     dn = normalize_depth(d_img, opts.invert_depth)
     if opts.smooth_depth:
-        k = max(3, int(opts.smooth_ksize) // 2 * 2 + 1)
-        dn = gaussian_blur(dn, k)
+        dn = gaussian_blur(dn, _smooth_ksize(opts.smooth_ksize))
     packed = unproject(
         dn,
         image_rgb,
@@ -426,8 +431,7 @@ class DepthPipeline:
                     ]
                 dn = normalize_depth(d, opts.invert_depth)
                 if opts.smooth_depth:
-                    kk = max(3, int(opts.smooth_ksize) // 2 * 2 + 1)
-                    dn = gaussian_blur(dn, kk)
+                    dn = gaussian_blur(dn, _smooth_ksize(opts.smooth_ksize))
                 return dn
 
             dn_all = jax.vmap(normalize_one)(depth)  # (B, h, w)
@@ -601,8 +605,10 @@ class DepthPipeline:
         double-buffers compute against the device→host transfer."""
         imgs = np.stack(images_rgb_u8)
         b, h0, w0 = imgs.shape[:3]
-        if np.isscalar(depth_scales):
-            depth_scales = np.full((b,), depth_scales, np.float32)
+        if np.ndim(depth_scales) == 0:
+            # np.ndim, not np.isscalar: a 0-d ndarray must broadcast
+            # too, or pack_payload's per-row f32 view fails for b>1.
+            depth_scales = np.full((b,), float(depth_scales), np.float32)
         depth_scales = np.asarray(depth_scales, np.float32)
         pad = self._data_pad(b)
         if pad:
@@ -618,7 +624,10 @@ class DepthPipeline:
 
         step = DENSITY_STRIDES[options.density]
         grid_hw = (-(-h // step), -(-w // step))
-        return (out, prev, b, grid_hw, imgs, np.asarray(depth_scales), options, (h, w), step)
+        return (
+            out, prev, b, grid_hw, imgs, np.asarray(depth_scales),
+            options, (h, w), step, want_preview,
+        )
 
     def collect(
         self,
@@ -635,7 +644,13 @@ class DepthPipeline:
         callers that consume the gray channel directly — the serving
         path renders paletted PNGs from gray (app_v1.py), so the RGB
         materialization there is pure waste."""
-        out, prev, b, grid_hw, imgs, depth_scales, options, (h, w), step = handle
+        (out, prev, b, grid_hw, imgs, depth_scales, options, (h, w), step,
+         had_preview) = handle
+        # The graph only computed a preview if submit_batch asked for
+        # one; a collect-side want_preview=True against a previewless
+        # handle would misread the (1,) placeholder (IndexError for
+        # b>1). The handle is authoritative.
+        want_preview = want_preview and had_preview
         # Drop mesh data-axis padding rows everywhere (submit_batch may
         # have padded imgs/depth_scales/device outputs to b+pad).
         imgs = imgs[:b]

@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["grid_mesh_from_packed", "vertex_normals", "decimate_grid_mesh"]
+__all__ = [
+    "grid_mesh_from_packed",
+    "vertex_normals",
+    "decimate_grid_mesh",
+    "reconstruct_cloud",
+]
 
 
 def grid_mesh_from_packed(

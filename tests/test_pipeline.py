@@ -308,3 +308,48 @@ class TestCLI:
         outs = sorted(p.name for p in (tmp_path / "out").iterdir())
         assert outs == ["a.xyz", "b.xyz", "c.xyz"]
         assert (tmp_path / "out" / "a.xyz").stat().st_size > 0
+
+
+class TestSubmitCollectContracts:
+    def _pipe(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        return DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        )
+
+    def test_scalar_like_depth_scales(self, rng):
+        """Plain floats, 0-d arrays, and numpy scalars all broadcast to
+        the batch (np.isscalar would reject the 0-d forms)."""
+        pipe = self._pipe()
+        imgs = [rng.integers(0, 256, (40, 44, 3), dtype=np.uint8)] * 2
+        opts = PipelineOptions(density="low")
+        base = None
+        for scales in (10.0, np.float32(10.0), np.asarray(10.0)):
+            h = pipe.submit_batch(imgs, depth_scales=scales, options=opts)
+            res = pipe.collect(h, want_packed=False, want_preview_rgb=False)
+            assert len(res) == 2
+            if base is None:
+                base = res[0].points
+            else:
+                np.testing.assert_array_equal(res[0].points, base)
+
+    def test_collect_derives_preview_from_handle(self, rng):
+        """collect(want_preview=True) on a previewless handle must not
+        misread the (1,) placeholder — the handle is authoritative."""
+        pipe = self._pipe()
+        imgs = [rng.integers(0, 256, (40, 44, 3), dtype=np.uint8)] * 2
+        opts = PipelineOptions(density="low")
+        h = pipe.submit_batch(imgs, options=opts, want_preview=False)
+        res = pipe.collect(h, want_preview=True, want_packed=False)
+        assert len(res) == 2
+        assert all(r.depth_preview_rgb is None for r in res)
+        assert all(r.depth_preview_gray is None for r in res)
+        assert all(r.kept_point_count > 0 for r in res)
