@@ -82,69 +82,85 @@ class ServiceConfig:
     log_json: bool = False  # JSON-lines structured logging
     cors_origin_v1: str = "*"  # backend/app.py:32
     cors_origin_v2: str = "http://localhost:3000"  # backend/main.py:33
-    polling_hint_s: float = 1.5  # frontend/src/App.jsx:1014
     defaults: ProcessingDefaults = ProcessingDefaults()
     v2: V2Defaults = V2Defaults()
 
 
-def _coerce(value: str, target: Any) -> Any:
-    t = type(target)
-    if t is bool:
+def _coerce(value: str, field_type: str) -> Any:
+    """Parse a string per the DECLARED field type (the annotation text;
+    ``from __future__ import annotations`` keeps them strings).
+
+    Typing by the default value's runtime type would mis-coerce every
+    ``str | None`` field whose value happens to look numeric —
+    IPC_TPU_WARMUP=518 must stay the string "518", not become int 518
+    and crash at ``.split`` in serve/__main__.py."""
+    if "bool" in field_type:
         return value.lower() in ("1", "true", "yes", "on")
-    if t is int:
+    if "int" in field_type:
         return int(value)
-    if t is float:
+    if "float" in field_type:
         return float(value)
-    if target is None:
-        # Optional fields (max_jobs, mesh, warmup, …): numbers become
-        # numbers, everything else stays a string.
-        try:
-            return int(value)
-        except ValueError:
-            return value
     return value
+
+
+def _coerce_nested(cls, values: dict) -> dict:
+    """Apply the same string coercion to a nested subtree's values that
+    top-level values get (a JSON {"defaults": {"depth_scale": "12"}}
+    must not smuggle a str)."""
+    types = {f.name: str(f.type) for f in dataclasses.fields(cls)}
+    out = {}
+    for k, v in values.items():
+        if k not in types:
+            raise ValueError(
+                f"Unknown {cls.__name__} config key: {k!r} "
+                f"(known: {sorted(types)})"
+            )
+        if isinstance(v, list):
+            v = tuple(v)
+        out[k] = _coerce(v, types[k]) if isinstance(v, str) else v
+    return out
 
 
 def load_config(
     path: str | None = None, env: dict[str, str] | None = None
 ) -> ServiceConfig:
-    """Build a ServiceConfig from defaults ← JSON file ← IPC_TPU_* env."""
+    """Build a ServiceConfig from defaults ← JSON file ← IPC_TPU_* env.
+
+    Fail-fast: an explicitly-given but missing config file, unknown
+    keys (top-level or nested), and unparsable values all raise here —
+    not as a 500 deep inside job creation or a silently-default server.
+    """
     env = dict(os.environ if env is None else env)
     data: dict[str, Any] = {}
-    if path and os.path.exists(path):
+    if path:
+        # The operator named this file; a typo'd path must not silently
+        # start the server on defaults.
         data.update(json.loads(open(path).read()))
 
     cfg = ServiceConfig()
+    known = {f.name for f in dataclasses.fields(ServiceConfig)}
+    unknown = set(data) - known
+    if unknown:
+        raise ValueError(
+            f"Unknown config key(s): {sorted(unknown)} (known: {sorted(known)})"
+        )
     top: dict[str, Any] = {}
     for f in dataclasses.fields(ServiceConfig):
         if f.name in ("defaults", "v2"):
             continue
+        ftype = str(f.type)
         if f.name in data:
             v = data[f.name]
             # JSON values get the same coercion as env strings: a config
             # file {"port": "8000"} must not smuggle a str port that
             # crashes at socket bind instead of here.
-            top[f.name] = (
-                _coerce(v, getattr(cfg, f.name)) if isinstance(v, str) else v
-            )
+            top[f.name] = _coerce(v, ftype) if isinstance(v, str) else v
         env_key = "IPC_TPU_" + f.name.upper()
         if env_key in env:
-            top[f.name] = _coerce(env[env_key], getattr(cfg, f.name))
+            top[f.name] = _coerce(env[env_key], ftype)
 
-    # Fail fast on misconfigured optional-int fields (a string max_jobs
-    # would otherwise surface as a 500 deep inside job creation).
-    if "max_jobs" in top and top["max_jobs"] is not None:
-        if not isinstance(top["max_jobs"], int):
-            raise ValueError(
-                f"max_jobs must be an integer, got {top['max_jobs']!r} "
-                "(check IPC_TPU_MAX_JOBS / the config file)"
-            )
-
-    defaults = ProcessingDefaults(**data.get("defaults", {}))
-    v2 = V2Defaults(
-        **{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in data.get("v2", {}).items()
-        }
+    defaults = ProcessingDefaults(
+        **_coerce_nested(ProcessingDefaults, data.get("defaults", {}))
     )
+    v2 = V2Defaults(**_coerce_nested(V2Defaults, data.get("v2", {})))
     return dataclasses.replace(cfg, defaults=defaults, v2=v2, **top)

@@ -64,6 +64,7 @@ __all__ = [
     "ViTBackbone",
     "ViTConfig",
     "build_model",
+    "convert_checkpoint",
 ]
 
 

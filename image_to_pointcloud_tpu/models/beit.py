@@ -101,12 +101,12 @@ def _interp_bias_table(
 
 
 def _dense(cfg: "BeitConfig", features: int, name: str, use_bias: bool = True):
-    """Block matmul: f32/bf16 Dense, or int8 QuantDense when quantized."""
-    if cfg.quantized:
-        from image_to_pointcloud_tpu.models.quantize import QuantDense
+    """Block matmul dispatch — models/quantize.block_dense."""
+    from image_to_pointcloud_tpu.models.quantize import block_dense
 
-        return QuantDense(features, dtype=cfg.dtype, use_bias=use_bias, name=name)
-    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+    return block_dense(
+        cfg.quantized, features, dtype=cfg.dtype, name=name, use_bias=use_bias
+    )
 
 
 class _BeitAttention(nn.Module):

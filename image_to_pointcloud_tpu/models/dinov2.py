@@ -55,12 +55,10 @@ class DinoV2Config:
 
 
 def _dense(cfg: "DinoV2Config", features: int, name: str):
-    """Block matmul: f32/bf16 Dense, or int8 QuantDense when quantized."""
-    if cfg.quantized:
-        from image_to_pointcloud_tpu.models.quantize import QuantDense
+    """Block matmul dispatch — models/quantize.block_dense."""
+    from image_to_pointcloud_tpu.models.quantize import block_dense
 
-        return QuantDense(features, dtype=cfg.dtype, name=name)
-    return nn.Dense(features, dtype=cfg.dtype, name=name)
+    return block_dense(cfg.quantized, features, dtype=cfg.dtype, name=name)
 
 
 class Mlp(nn.Module):

@@ -41,6 +41,18 @@ QUANT_TARGETS = (
 )
 
 
+def block_dense(
+    quantized: bool, features: int, *, dtype, name: str, use_bias: bool = True
+):
+    """Encoder-block matmul factory: f32/bf16 ``nn.Dense``, or int8
+    :class:`QuantDense` when quantized — ONE dispatch shared by every
+    backbone (dinov2/vit/beit) so quantization wiring changes land in
+    one place. Param names/layouts are unchanged either way."""
+    if quantized:
+        return QuantDense(features, dtype=dtype, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class QuantDense(nn.Module):
     """Drop-in Dense with int8 weights and dynamic int8 activations.
 

@@ -61,11 +61,10 @@ class ViTConfig:
 
 
 def _dense(cfg: "ViTConfig", features: int, name: str):
-    if cfg.quantized:
-        from image_to_pointcloud_tpu.models.quantize import QuantDense
+    """Block matmul dispatch — models/quantize.block_dense."""
+    from image_to_pointcloud_tpu.models.quantize import block_dense
 
-        return QuantDense(features, dtype=cfg.dtype, name=name)
-    return nn.Dense(features, dtype=cfg.dtype, name=name)
+    return block_dense(cfg.quantized, features, dtype=cfg.dtype, name=name)
 
 
 class _Mlp(nn.Module):

@@ -34,6 +34,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from image_to_pointcloud_tpu.models.beit import BeitBackbone, BeitConfig
+# Shared MXU building blocks (param layouts identical; duck-typed on
+# cfg.fusion_hidden_size/cfg.dtype) — ONE implementation, models/dpt.py.
+from image_to_pointcloud_tpu.models.dpt import (
+    _PreActResidual,
+    _UpsampleMatmul,
+)
 from image_to_pointcloud_tpu.ops.resize import resize_batched
 
 __all__ = ["ZoeDepthConfig", "ZoeDepth"]
@@ -112,30 +118,6 @@ def _conv(c, k, name, *, dtype, stride=1, bias=True):
     )
 
 
-class _UpsampleMatmul(nn.Module):
-    """ConvTranspose(k=s) as matmul + depth-to-space (exact; MXU-native)."""
-
-    channels: int
-    factor: int
-    dtype: jnp.dtype
-
-    @nn.compact
-    def __call__(self, x):
-        b, h, w, c = x.shape
-        f = self.factor
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (f, f, c, self.channels)
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        y = jnp.einsum(
-            "bhwc,ijco->bhwijo", x.astype(self.dtype),
-            kernel.astype(self.dtype), preferred_element_type=jnp.float32,
-        )
-        y = y + bias
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * f, w * f, self.channels)
-        return y.astype(self.dtype)
-
-
 class _Reassemble(nn.Module):
     """Tokens (B, N+1, D) → 4 feature maps at [4x, 2x, 1x, 0.5x] of the
     patch grid (ZoeDepthReassembleStage, readout_type='project')."""
@@ -170,19 +152,6 @@ class _Reassemble(nn.Module):
                 x = _conv(c, 3, f"down{i}", dtype=cfg.dtype, stride=2)(x)
             out.append(x)
         return out
-
-
-class _PreActResidual(nn.Module):
-    cfg: ZoeDepthConfig
-
-    @nn.compact
-    def __call__(self, x):
-        c = self.cfg.fusion_hidden_size
-        h = nn.relu(x)
-        h = _conv(c, 3, "conv1", dtype=self.cfg.dtype)(h)
-        h = nn.relu(h)
-        h = _conv(c, 3, "conv2", dtype=self.cfg.dtype)(h)
-        return x + h
 
 
 class _FusionLayer(nn.Module):

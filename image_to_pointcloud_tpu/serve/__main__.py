@@ -78,6 +78,14 @@ def main() -> None:
 
     enable_persistent_cache()
 
+    # The pipeline's size caps are module-level parity constants
+    # (backend/app.py:43-44); apply config overrides before any graph
+    # builds so every compiled signature sees the configured values.
+    from image_to_pointcloud_tpu.pipeline import graph as _graph
+
+    _graph.MAX_IMAGE_DIM = cfg.max_image_dim
+    _graph.DEPTH_PREVIEW_MAX = cfg.depth_preview_max
+
     mesh = None
     if args.mesh == "auto":
         mesh = "auto"
@@ -117,8 +125,15 @@ def main() -> None:
                 max_batch=cfg.max_batch,
                 durable_jobs=cfg.durable_jobs,
                 max_jobs=cfg.max_jobs,
+                defaults=cfg.defaults,
+                max_file_size=cfg.max_file_size,
+                max_preview_points=cfg.max_preview_points,
+                mesh_preview_tris=cfg.mesh_preview_tris,
             )
-            server = HttpServer(app.router, args.host, args.port)
+            server = HttpServer(
+                app.router, args.host, args.port,
+                cors_origin=cfg.cors_origin_v1,
+            )
             if warmup_sizes:
                 import threading
 
@@ -131,10 +146,11 @@ def main() -> None:
                 models=models,
                 durable_jobs=cfg.durable_jobs,
                 max_jobs=cfg.max_jobs,
+                v2_defaults=cfg.v2,
             )
             server = HttpServer(
                 app.router, args.host, args.port,
-                cors_origin="http://localhost:3000",
+                cors_origin=cfg.cors_origin_v2,
             )
             await app.startup()
         if args.ui:

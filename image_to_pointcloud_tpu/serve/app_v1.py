@@ -142,11 +142,24 @@ class V1Service:
         warmup_sizes: "list[tuple[int, int]] | None" = None,
         durable_jobs: bool = True,
         max_jobs: int | None = None,
+        defaults=None,
+        max_file_size: int = MAX_FILE_SIZE,
+        max_preview_points: int = MAX_PREVIEW_POINTS,
+        mesh_preview_tris: int = 20000,
     ):
+        from image_to_pointcloud_tpu.core.config import ProcessingDefaults
+
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(exist_ok=True, parents=True)
         self.models = models or ModelManager()
         self.honor_fov = honor_fov
+        # The config tree's knobs actually apply here (core/config.py is
+        # the single knob surface, not decoration): request defaults,
+        # upload cap, preview/mesh decimation targets.
+        self.defaults = defaults or ProcessingDefaults()
+        self.max_file_size = int(max_file_size)
+        self.max_preview_points = int(max_preview_points)
+        self.mesh_preview_tris = int(mesh_preview_tris)
         # "grid" (default; exact depth-grid triangulation, PARITY.md
         # deviation 2) | "poisson" | "bpa" (the reference's actual
         # Open3D algorithms, backend/app.py:283-305, via native/).
@@ -362,8 +375,8 @@ class V1Service:
             )
 
             # Preview decimation (reference backend/app.py:496-506).
-            if len(points) > MAX_PREVIEW_POINTS:
-                stride = max(1, len(points) // MAX_PREVIEW_POINTS)
+            if len(points) > self.max_preview_points:
+                stride = max(1, len(points) // self.max_preview_points)
                 pprev, cprev = points[::stride], colors[::stride]
             else:
                 pprev, cprev = points, colors
@@ -478,10 +491,12 @@ class V1Service:
             # simplify_quadric_decimation(20000)) — quadric-decimate
             # the full mesh rather than reconstructing twice.
             dv, dc, df = verts, vcols, faces
-            if len(faces) > 20000:
+            if len(faces) > self.mesh_preview_tris:
                 from image_to_pointcloud_tpu import native
 
-                dec = native.decimate_mesh(verts, vcols, faces, 20000)
+                dec = native.decimate_mesh(
+                    verts, vcols, faces, self.mesh_preview_tris
+                )
                 if dec is not None:
                     dv, dc, df = dec
             return filepath, self._mesh_preview(dv, dc, df)
@@ -495,7 +510,9 @@ class V1Service:
         )
 
         # Decimated preview ≤ 20k triangles (reference app.py:515-535).
-        dv, dc, df, _ = decimate_grid_mesh(res.packed, res.grid_hw, 20000)
+        dv, dc, df, _ = decimate_grid_mesh(
+            res.packed, res.grid_hw, self.mesh_preview_tris
+        )
         return filepath, self._mesh_preview(dv, dc, df)
 
     @staticmethod
@@ -531,23 +548,30 @@ class V1Service:
             if not f.content_type.startswith("image/"):
                 raise HTTPError(400, "File must be an image")
             data = f.data
-            if len(data) > MAX_FILE_SIZE:
+            if len(data) > svc.max_file_size:
                 raise HTTPError(
                     413,
                     f"File size ({len(data)/1024/1024:.1f}MB) exceeds maximum "
-                    f"allowed size ({MAX_FILE_SIZE/1024/1024:.0f}MB)",
+                    f"allowed size ({svc.max_file_size/1024/1024:.0f}MB)",
                 )
             q = {**req.query, **req.form}
+            d = svc.defaults  # core/config.py ProcessingDefaults
             try:
                 request = {
-                    "model": q.get("model", "depth-anything-v2"),
-                    "output_format": q.get("output_format", "las"),
-                    "point_density": q.get("point_density", "medium"),
-                    "coordinate_system": q.get("coordinate_system", "WGS84"),
-                    "invert_depth": _parse_bool(q.get("invert_depth"), True),
-                    "depth_scale": float(q.get("depth_scale", 10.0)),
-                    "smooth_depth": _parse_bool(q.get("smooth_depth"), False),
-                    "fov": float(q.get("fov", 60.0)),
+                    "model": q.get("model", d.model),
+                    "output_format": q.get("output_format", d.output_format),
+                    "point_density": q.get("point_density", d.point_density),
+                    "coordinate_system": q.get(
+                        "coordinate_system", d.coordinate_system
+                    ),
+                    "invert_depth": _parse_bool(
+                        q.get("invert_depth"), d.invert_depth
+                    ),
+                    "depth_scale": float(q.get("depth_scale", d.depth_scale)),
+                    "smooth_depth": _parse_bool(
+                        q.get("smooth_depth"), d.smooth_depth
+                    ),
+                    "fov": float(q.get("fov", d.fov)),
                 }
             except ValueError as e:
                 # FastAPI answers malformed numeric params with 422
@@ -596,7 +620,7 @@ class V1Service:
                     "status": "healthy",
                     "models_loaded": sorted(svc.loaded_model_names),
                     "active_jobs": len(svc.jobs),
-                    "max_file_size_mb": MAX_FILE_SIZE / (1024 * 1024),
+                    "max_file_size_mb": svc.max_file_size / (1024 * 1024),
                 }
             )
 

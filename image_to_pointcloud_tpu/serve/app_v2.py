@@ -63,11 +63,17 @@ class V2Service:
         model_name: str = "depth-anything-v2",
         durable_jobs: bool = True,
         max_jobs: int | None = None,
+        v2_defaults=None,
     ):
+        from image_to_pointcloud_tpu.core.config import V2Defaults
+
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(exist_ok=True, parents=True)
         self.models = models or ModelManager()
         self.model_name = model_name
+        # Form defaults + clamp ranges from the config tree
+        # (core/config.py V2Defaults mirrors backend/main.py:206-267).
+        self.v2cfg = v2_defaults or V2Defaults()
         self.processor: Depth3DProcessor | None = None
         # Durable registry (reference loses all jobs on restart —
         # SURVEY.md §5); per-job artifact dirs under outputs/ stay valid.
@@ -282,16 +288,42 @@ class V2Service:
                 )
             except ValueError:
                 raise HTTPError(422, f"Invalid seed: {seed_raw!r}") from None
+            c = svc.v2cfg  # core/config.py V2Defaults
             settings = {  # clamped like backend/main.py:258-267
                 "output_format": form.get("output_format", "glb"),
-                "texture_resolution": min(max(_int("texture_resolution", 1024), 512), 2048),
-                "guidance_scale": max(1.0, min(_float("guidance_scale", 3.0), 10.0)),
+                "texture_resolution": min(
+                    max(
+                        _int("texture_resolution", c.texture_resolution),
+                        c.texture_resolution_range[0],
+                    ),
+                    c.texture_resolution_range[1],
+                ),
+                "guidance_scale": max(
+                    c.guidance_scale_range[0],
+                    min(
+                        _float("guidance_scale", c.guidance_scale),
+                        c.guidance_scale_range[1],
+                    ),
+                ),
                 "seed": seed,
-                "remove_background": form.get("remove_background", "true").lower()
-                in ("1", "true", "yes", "on"),
-                "foreground_ratio": max(1.0, min(_float("foreground_ratio", 1.3), 2.0)),
-                "remesh_option": form.get("remesh_option", "none"),
-                "target_count": max(100, min(_int("target_count", 2000), 20000)),
+                "remove_background": form.get(
+                    "remove_background", str(c.remove_background)
+                ).lower() in ("1", "true", "yes", "on"),
+                "foreground_ratio": max(
+                    c.foreground_ratio_range[0],
+                    min(
+                        _float("foreground_ratio", c.foreground_ratio),
+                        c.foreground_ratio_range[1],
+                    ),
+                ),
+                "remesh_option": form.get("remesh_option", c.remesh_option),
+                "target_count": max(
+                    c.target_count_range[0],
+                    min(
+                        _int("target_count", c.target_count),
+                        c.target_count_range[1],
+                    ),
+                ),
             }
 
             job = await svc.jobs.create(
@@ -304,7 +336,7 @@ class V2Service:
                 image = await asyncio.get_running_loop().run_in_executor(
                     svc.executor, decode_image_rgb, f.data
                 )
-                if image.shape[0] * image.shape[1] > 4096 * 4096:
+                if image.shape[0] * image.shape[1] > svc.v2cfg.max_pixels:
                     raise ValueError(
                         "Image too large. Maximum resolution: 4096x4096"
                     )

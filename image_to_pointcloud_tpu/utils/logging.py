@@ -19,7 +19,11 @@ __all__ = ["JsonFormatter", "configure_logging"]
 class JsonFormatter(logging.Formatter):
     def format(self, record: logging.LogRecord) -> str:
         out = {
-            "ts": datetime.datetime.fromtimestamp(record.created).isoformat(),
+            # Timezone-aware UTC: aggregators correlating hosts across
+            # timezones (or a DST change) need the offset explicit.
+            "ts": datetime.datetime.fromtimestamp(
+                record.created, tz=datetime.timezone.utc
+            ).isoformat(),
             "level": record.levelname,
             "logger": record.name,
             "message": record.getMessage(),

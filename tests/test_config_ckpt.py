@@ -35,6 +35,91 @@ class TestConfig:
         assert cfg.honor_fov is True
 
 
+class TestConfigFailFast:
+    """Misconfiguration must raise at load, not surface as a 500 or a
+    silently-default server (review round 2)."""
+
+    def test_str_or_none_fields_stay_strings(self):
+        from image_to_pointcloud_tpu.core.config import load_config
+
+        cfg = load_config(env={
+            "IPC_TPU_WARMUP": "518x518",
+            "IPC_TPU_MESH": "2",
+            "IPC_TPU_CHECKPOINT_DIR": "123",
+        })
+        # Numeric-looking values of str|None fields must NOT become ints
+        # (serve/__main__.py calls .split on warmup/mesh).
+        assert cfg.warmup == "518x518"
+        assert cfg.mesh == "2"
+        assert cfg.checkpoint_dir == "123"
+
+    def test_max_jobs_still_int(self):
+        import pytest
+
+        from image_to_pointcloud_tpu.core.config import load_config
+
+        assert load_config(env={"IPC_TPU_MAX_JOBS": "50"}).max_jobs == 50
+        with pytest.raises(ValueError):
+            load_config(env={"IPC_TPU_MAX_JOBS": "fifty"})
+
+    def test_unknown_top_level_key_raises(self, tmp_path):
+        import pytest
+
+        from image_to_pointcloud_tpu.core.config import load_config
+
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({"max_bath": 32}))  # typo of max_batch
+        with pytest.raises(ValueError, match="max_bath"):
+            load_config(str(p))
+
+    def test_missing_explicit_file_raises(self, tmp_path):
+        import pytest
+
+        from image_to_pointcloud_tpu.core.config import load_config
+
+        with pytest.raises(FileNotFoundError):
+            load_config(str(tmp_path / "nope.json"))
+
+    def test_nested_string_values_coerced(self, tmp_path):
+        from image_to_pointcloud_tpu.core.config import load_config
+
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({"defaults": {"depth_scale": "12"}}))
+        cfg = load_config(str(p))
+        assert cfg.defaults.depth_scale == 12.0
+        assert isinstance(cfg.defaults.depth_scale, float)
+
+
+class TestConfigWiring:
+    def test_v1_service_honors_defaults(self, tmp_path):
+        """ProcessingDefaults/knobs reach the serving layer (they were
+        load-only no-ops before)."""
+        from image_to_pointcloud_tpu.core.config import ProcessingDefaults
+        from image_to_pointcloud_tpu.serve.app_v1 import V1Service
+
+        d = ProcessingDefaults(depth_scale=15.0, output_format="ply")
+        svc = V1Service(
+            output_dir=str(tmp_path), defaults=d,
+            max_file_size=1024, max_preview_points=5,
+            mesh_preview_tris=7, durable_jobs=False,
+        )
+        assert svc.defaults.depth_scale == 15.0
+        assert svc.max_file_size == 1024
+        assert svc.max_preview_points == 5
+        assert svc.mesh_preview_tris == 7
+
+    def test_v2_service_honors_clamps(self, tmp_path):
+        from image_to_pointcloud_tpu.core.config import V2Defaults
+        from image_to_pointcloud_tpu.serve.app_v2 import V2Service
+
+        v2 = V2Defaults(target_count=500, target_count_range=(50, 900))
+        svc = V2Service(
+            output_dir=str(tmp_path), v2_defaults=v2, durable_jobs=False
+        )
+        assert svc.v2cfg.target_count == 500
+        assert svc.v2cfg.target_count_range == (50, 900)
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, rng):
         import jax.numpy as jnp
