@@ -141,6 +141,12 @@ def cmd_convert(args) -> int:
     for i, src in enumerate(paths):
         r = results[i]
         out = _out_path(args, src, ext, multi)
+        if fmt == "laz" and out.suffix.lower() == ".laz":
+            # The LAZ slot writes uncompressed LAS bytes (bug-compatible
+            # with the reference, PARITY.md deviation 3); a .laz name
+            # would make PDAL/QGIS pick the LAZ decompressor and fail.
+            out = out.with_suffix(".las")
+            print(f"note: laz writes uncompressed LAS; output is {out}")
         writer(str(out), r.points, r.colors)
         total_pts += len(r.points)
         print(f"{src} -> {out}  ({len(r.points)} points)")
@@ -340,15 +346,23 @@ def cmd_train(args) -> int:
         imgs_all = np.asarray(blob["images"], np.float32)
         deps_all = np.asarray(blob["depths"], np.float32)
 
+        # Hold out the FIRST batch_size rows for eval; training samples
+        # from the remainder only (eval on trained rows would report
+        # memorization as generalization).
+        n_eval = min(args.batch_size, max(0, len(imgs_all) - args.batch_size))
+        ev_imgs, ev_deps = imgs_all[:n_eval], deps_all[:n_eval]
+
         def batches():
             n = len(imgs_all)
             rng = np.random.default_rng(0)
+            lo = n_eval if n_eval < n else 0
             for _ in range(args.steps):
-                idx = rng.integers(0, n, args.batch_size)
+                idx = rng.integers(lo, n, args.batch_size)
                 yield imgs_all[idx], deps_all[idx]
 
         stream = batches()
-        ev_imgs, ev_deps = imgs_all[: args.batch_size], deps_all[: args.batch_size]
+        if n_eval == 0:  # dataset too small to split; eval on all rows
+            ev_imgs, ev_deps = imgs_all, deps_all
     else:
         stream = synthetic_depth_batches(
             batch_size=args.batch_size, image_hw=hw, steps=args.steps,

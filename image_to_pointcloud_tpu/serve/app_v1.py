@@ -603,7 +603,7 @@ class V1Service:
             filepath = job.results["pointCloud"]["filepath"]
             if not Path(filepath).exists():
                 raise HTTPError(404, "File not found")
-            return file_response(
+            return await file_response(
                 filepath,
                 media_type="application/octet-stream",
                 filename=Path(filepath).name,

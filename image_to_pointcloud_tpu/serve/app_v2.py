@@ -378,7 +378,7 @@ class V2Service:
             if not path.exists():
                 raise HTTPError(404, "File not found")
             media = _MEDIA_TYPES.get(path.suffix, "application/octet-stream")
-            return file_response(path, media_type=media, filename=filename)
+            return await file_response(path, media_type=media, filename=filename)
 
         @r.get("/jobs")
         async def list_jobs(req: Request):

@@ -140,7 +140,9 @@ class Response:
         reason = {
             200: "OK", 204: "No Content", 308: "Permanent Redirect",
             400: "Bad Request", 404: "Not Found",
-            405: "Method Not Allowed", 413: "Payload Too Large",
+            405: "Method Not Allowed", 411: "Length Required",
+            413: "Payload Too Large",
+            431: "Request Header Fields Too Large",
             422: "Unprocessable Entity",
             500: "Internal Server Error", 503: "Service Unavailable",
         }.get(self.status, "OK")
@@ -156,6 +158,13 @@ class Response:
         head += [f"{k}: {v}" for k, v in base.items()]
         return ("\r\n".join(head) + "\r\n\r\n").encode() + self.body
 
+    def encode_head(self, cors_origin: str = "*") -> bytes:
+        """Status line + headers only — the transport writes the body
+        buffer separately, avoiding a second full copy of large
+        artifact responses."""
+        full = self.encode(cors_origin)
+        return full[: len(full) - len(self.body)] if self.body else full
+
 
 def json_response(obj: Any, status: int = 200) -> Response:
     from image_to_pointcloud_tpu.serve.rawjson import dumps_raw
@@ -167,7 +176,7 @@ def json_response(obj: Any, status: int = 200) -> Response:
     )
 
 
-def file_response(
+async def file_response(
     path: str | Path,
     media_type: str | None = None,
     filename: str | None = None,
@@ -182,7 +191,10 @@ def file_response(
     if not inline:
         name = filename or p.name
         headers["content-disposition"] = f'attachment; filename="{name}"'
-    return Response(headers=headers, body=p.read_bytes())
+    # Executor read: a multi-hundred-MB artifact read on the event loop
+    # would head-of-line block every connection on the 1-core host.
+    body = await asyncio.get_running_loop().run_in_executor(None, p.read_bytes)
+    return Response(headers=headers, body=body)
 
 
 # Compress large text bodies when the client allows it: the v1 /status
@@ -194,7 +206,10 @@ _GZIP_TYPES = ("application/json", "text/")
 
 
 def _accepts_gzip(accept_encoding: str) -> bool:
-    """RFC 9110 semantics: ``gzip;q=0`` is an explicit refusal."""
+    """RFC 9110 semantics: ``gzip;q=0`` is an explicit refusal, and an
+    exact ``gzip`` member takes precedence over ``*`` regardless of
+    order (e.g. ``*;q=0, gzip`` accepts gzip)."""
+    gzip_q = star_q = None
     for token in accept_encoding.split(","):
         parts = [p.strip() for p in token.split(";")]
         if parts[0] not in ("gzip", "*"):
@@ -206,8 +221,12 @@ def _accepts_gzip(accept_encoding: str) -> bool:
                     q = float(p[2:])
                 except ValueError:
                     q = 0.0
-        return q > 0.0
-    return False
+        if parts[0] == "gzip":
+            gzip_q = q
+        else:
+            star_q = q
+    q = gzip_q if gzip_q is not None else star_q
+    return q is not None and q > 0.0
 
 
 async def _maybe_gzip(req: Request, resp: Response) -> None:
@@ -282,7 +301,10 @@ class Router:
                 if any(part.startswith(".") for part in rel.split("/") if part):
                     raise HTTPError(404, "Not found")
                 target = (directory / rel).resolve()
-                if not str(target).startswith(str(directory.resolve())):
+                # Path.is_relative_to, not str.startswith: a sibling dir
+                # sharing the mount dir's name prefix (outputs vs
+                # outputs-archive) must not pass containment.
+                if not target.is_relative_to(directory.resolve()):
                     raise HTTPError(404, "Not found")
                 if rel == "" or target.is_dir():
                     target = target / "index.html"
@@ -292,7 +314,7 @@ class Router:
                     ".html", ".js", ".css", ".png", ".jpg", ".svg", ".ico",
                     ".json", ".map",
                 }
-                return file_response(target, inline=inline)
+                return await file_response(target, inline=inline)
         allowed_other_method = False
         for method, pattern, fn in self._routes:
             m = pattern.match(req.path)
@@ -323,7 +345,9 @@ class HttpServer:
         self.cors_origin = cors_origin
         self._server: asyncio.AbstractServer | None = None
 
-    async def _read_request(self, reader: asyncio.StreamReader) -> Request | None:
+    async def _read_request(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> Request | None:
         try:
             # The idle timeout covers waiting for the next request's
             # headers only; a slow body upload that is actively sending
@@ -333,6 +357,10 @@ class HttpServer:
             )
         except (asyncio.IncompleteReadError, ConnectionError):
             return None
+        except asyncio.LimitOverrunError:
+            # Headers exceed the StreamReader limit (~64 KiB): answer
+            # properly instead of a bare reset.
+            raise HTTPError(431, "Request header fields too large") from None
         lines = head.decode("latin-1").split("\r\n")
         try:
             method, target, _ = lines[0].split(" ", 2)
@@ -343,12 +371,26 @@ class HttpServer:
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
+        if "chunked" in headers.get("transfer-encoding", "").lower():
+            # Treating a chunked body as zero-length would leave the
+            # chunk stream in the buffer to be misparsed as pipelined
+            # requests (desync/smuggling primitive). Refuse and close.
+            raise HTTPError(
+                411, "Chunked transfer encoding not supported; "
+                "send Content-Length"
+            )
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
             raise HTTPError(400, "Invalid Content-Length") from None
         if length > MAX_BODY:
             raise HTTPError(413, "Body too large")
+        if length and headers.get("expect", "").lower() == "100-continue":
+            # Standards-following upload clients (curl -F with any body
+            # >1 KB) wait for the interim response before sending the
+            # body — not answering adds a flat ~1 s to every upload.
+            writer.write(b"HTTP/1.1 100 Continue\r\n\r\n")
+            await writer.drain()
         body = await reader.readexactly(length) if length else b""
         parsed = urllib.parse.urlsplit(target)
         query = {
@@ -371,7 +413,7 @@ class HttpServer:
         try:
             while True:
                 try:
-                    req = await self._read_request(reader)
+                    req = await self._read_request(reader, writer)
                 except asyncio.TimeoutError:
                     break
                 except HTTPError as e:
@@ -399,10 +441,22 @@ class HttpServer:
                 )
                 metrics.HTTP_LATENCY.observe(time.perf_counter() - t0, path=pc)
                 await _maybe_gzip(req, resp)
-                writer.write(resp.encode(self.cors_origin))
+                # Head and body written separately: one less full copy of
+                # large artifact bodies than head+body concatenation.
+                writer.write(resp.encode_head(self.cors_origin))
+                if resp.body:
+                    writer.write(resp.body)
                 await writer.drain()
                 if req.headers.get("connection", "").lower() == "close":
                     break
+        except ConnectionError:
+            # Client went away mid-write (browsers abort /status polls
+            # constantly) — routine, not a task-level traceback.
+            pass
+        except Exception:  # noqa: BLE001
+            import logging
+
+            logging.getLogger(__name__).exception("connection handler failed")
         finally:
             writer.close()
             try:

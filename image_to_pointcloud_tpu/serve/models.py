@@ -48,10 +48,12 @@ class ModelManager:
         model_target: int | None = None,
     ):
         self._cache: dict[str, DepthPipeline] = {}
-        # One build at a time: a warmup thread and the first HTTP request
-        # racing the same cache miss would otherwise both pay the
-        # (remote, minutes-long) XLA compile for one model.
-        self._lock = threading.Lock()
+        # Per-NAME build locks: a warmup thread and the first HTTP
+        # request racing the same cache miss must not both pay the
+        # (remote, minutes-long) XLA compile — but model B's first
+        # request must not wait behind model A's build either.
+        self._locks: dict[str, threading.Lock] = {}
+        self._locks_guard = threading.Lock()
         self.checkpoint_dir = checkpoint_dir or os.environ.get(CHECKPOINT_ENV)
         platform = jax.default_backend()
         on_tpu = platform not in ("cpu",)
@@ -125,7 +127,9 @@ class ModelManager:
         """Load and cache a depth pipeline (raises ValueError on unknown)."""
         if name in self._cache:
             return self._cache[name]
-        with self._lock:
+        with self._locks_guard:
+            lock = self._locks.setdefault(name, threading.Lock())
+        with lock:
             return self._get_locked(name)
 
     def _get_locked(self, name: str) -> DepthPipeline:
