@@ -139,7 +139,9 @@ def load_config(
 
     cfg = ServiceConfig()
     known = {f.name for f in dataclasses.fields(ServiceConfig)}
-    unknown = set(data) - known
+    # "_"-prefixed keys are comments (docs/config.example.json).
+    unknown = {k for k in data if k not in known and not k.startswith("_")}
+    data = {k: v for k, v in data.items() if not k.startswith("_")}
     if unknown:
         raise ValueError(
             f"Unknown config key(s): {sorted(unknown)} (known: {sorted(known)})"

@@ -80,6 +80,18 @@ class TestConfigFailFast:
         with pytest.raises(FileNotFoundError):
             load_config(str(tmp_path / "nope.json"))
 
+    def test_comment_keys_allowed_and_example_loads(self):
+        """docs/config.example.json (with its _comment key) must always
+        load — it is the documented operator template."""
+        from pathlib import Path
+
+        from image_to_pointcloud_tpu.core.config import load_config
+
+        example = Path(__file__).parent.parent / "docs" / "config.example.json"
+        cfg = load_config(str(example))
+        assert cfg.port == 8000
+        assert cfg.defaults.depth_scale == 10.0
+
     def test_nested_string_values_coerced(self, tmp_path):
         from image_to_pointcloud_tpu.core.config import load_config
 
