@@ -353,3 +353,56 @@ class TestSubmitCollectContracts:
         assert all(r.depth_preview_rgb is None for r in res)
         assert all(r.depth_preview_gray is None for r in res)
         assert all(r.kept_point_count > 0 for r in res)
+
+
+class TestGraphHelperEquivalence:
+    def test_compiled_graph_matches_depth_to_packed_points(self, rng):
+        """The batched serving graph's normalize→blur→unproject→refine
+        chain must stay equivalent to the standalone helper (they share
+        the ops but compose independently; this pins them together so a
+        fix to one can't silently miss the other)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.ops.resize import resize_batched
+        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            depth_to_packed_points,
+        )
+        from image_to_pointcloud_tpu.pipeline.preprocess import (
+            processor_output_size,
+        )
+
+        _, model, variables = _build_pair(image_size=56)
+        opts = PipelineOptions(density="medium", smooth_depth=True)
+        img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
+        pipe = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=False,
+        )
+        res = pipe.run(img, depth_scale=10.0, options=opts)
+
+        # Manual chain: the same preprocess the graph applies, then the
+        # helper for everything after the model.
+        h, w = img.shape[:2]
+        mh, mw = processor_output_size(h, w, 56, multiple=14)
+        x = resize_batched(
+            jnp.asarray(img, jnp.float32)[None], (mh, mw), "bicubic_pil"
+        ) / 255.0
+        x = (x - jnp.asarray([0.485, 0.456, 0.406])) / jnp.asarray(
+            [0.229, 0.224, 0.225]
+        )
+        depth = model.apply(variables, x)[0]
+        packed = np.asarray(
+            depth_to_packed_points(
+                depth, jnp.asarray(img, jnp.float32), 10.0,
+                opts=opts, h=h, w=w, step=DENSITY_STRIDES["medium"],
+            )
+        )
+        keep = packed[6] > 0.5
+        np.testing.assert_allclose(
+            res.points, packed[:3].T[keep], atol=2e-4
+        )
