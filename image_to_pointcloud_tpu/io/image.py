@@ -16,6 +16,7 @@ import numpy as np
 
 __all__ = [
     "decode_image_rgb",
+    "probe_image_size",
     "encode_png",
     "png_data_url",
     "png_data_url_palette",
@@ -29,6 +30,17 @@ def decode_image_rgb(data: bytes) -> np.ndarray:
     img = Image.open(_io.BytesIO(data))
     img = img.convert("RGB")
     return np.asarray(img)
+
+
+def probe_image_size(data: bytes) -> tuple[int, int]:
+    """(height, width) from the image header WITHOUT decoding pixels —
+    lets size limits reject a small crafted file before the full decode
+    allocates hundreds of MB (PIL parses headers lazily on open)."""
+    from PIL import Image
+
+    with Image.open(_io.BytesIO(data)) as img:
+        w, h = img.size
+    return h, w
 
 
 def encode_png(rgb: np.ndarray) -> bytes:

@@ -152,7 +152,6 @@ def main() -> None:
                 app.router, args.host, args.port,
                 cors_origin=cfg.cors_origin_v2,
             )
-            await app.startup()
         if args.ui:
             from pathlib import Path
 
@@ -162,6 +161,12 @@ def main() -> None:
         logging.info(
             "Serving %s API on %s:%d", args.generation, args.host, server.bound_port
         )
+        if args.generation == "v2":
+            # Bind BEFORE loading the model: the remote compile helper
+            # can hang outright (CLAUDE.md), and a hung load must leave
+            # /health answering (and /process 503ing) rather than a
+            # silent unbound port. Requests are served while this awaits.
+            await app.startup()
         # Optional device keepalive (IPC_TPU_KEEPALIVE_S=N, off by
         # default): dispatch a trivial op every N seconds. On
         # relay-tunneled rigs the first dispatch after an idle gap

@@ -26,7 +26,10 @@ from pathlib import Path
 
 import numpy as np
 
-from image_to_pointcloud_tpu.io.image import decode_image_rgb
+from image_to_pointcloud_tpu.io.image import (
+    decode_image_rgb,
+    probe_image_size,
+)
 from image_to_pointcloud_tpu.serve import metrics as m
 from image_to_pointcloud_tpu.serve.http import (
     HTTPError,
@@ -83,7 +86,11 @@ class V2Service:
                 shutil.rmtree(out, ignore_errors=True)
 
         self.jobs = JobRegistry(
-            journal_path=self.output_dir / ".jobs.jsonl" if durable_jobs else None,
+            # Distinct from v1's .jobs.jsonl: both generations started
+            # from one output dir must not share (and clobber) a journal.
+            journal_path=(
+                self.output_dir / ".jobs.v2.jsonl" if durable_jobs else None
+            ),
             max_jobs=max_jobs,
             on_evict=_evict_artifacts,
         )
@@ -152,15 +159,31 @@ class V2Service:
             await jobs.update(
                 job_id, progress=70, message="Saving 3D assets...",
             )
+            if jobs.get(job_id) is None:
+                # DELETE /jobs/{id} raced the generation: writing the
+                # artifacts now would recreate a dir no registry entry
+                # references — undeletable, yet downloadable via the
+                # /outputs static mount.
+                logger.info("job %s deleted mid-generation; discarding", job_id)
+                return
             out = self.output_dir / job_id
-            out.mkdir(exist_ok=True)
-            (out / "mesh.glb").write_bytes(result["mesh_data"])
-            ply_path = None
-            if result.get("point_cloud_data"):
-                ply_path = out / "pointcloud.ply"
-                ply_path.write_bytes(result["point_cloud_data"])
-            (out / "metadata.json").write_text(
-                json.dumps(result["metadata"], indent=2)
+
+            def _write_artifacts():
+                out.mkdir(exist_ok=True)
+                (out / "mesh.glb").write_bytes(result["mesh_data"])
+                p = None
+                if result.get("point_cloud_data"):
+                    p = out / "pointcloud.ply"
+                    p.write_bytes(result["point_cloud_data"])
+                (out / "metadata.json").write_text(
+                    json.dumps(result["metadata"], indent=2)
+                )
+                return p
+
+            # Multi-MB GLB/PLY writes off the event loop — same rule as
+            # the upload decode below (1-core host, 1.5 s status polls).
+            ply_path = await asyncio.get_running_loop().run_in_executor(
+                self.executor, _write_artifacts
             )
 
             md = result["metadata"]
@@ -268,13 +291,21 @@ class V2Service:
                 try:
                     return int(float(form.get(name, default)))
                 except ValueError:
-                    return default
+                    # FastAPI Form(int) 422s on unparsable values
+                    # (backend/main.py:206-215) — silently substituting
+                    # the default would run the job with settings the
+                    # client never asked for.
+                    raise HTTPError(
+                        422, f"Invalid {name}: {form.get(name)!r}"
+                    ) from None
 
             def _float(name, default):
                 try:
                     return float(form.get(name, default))
                 except ValueError:
-                    return default
+                    raise HTTPError(
+                        422, f"Invalid {name}: {form.get(name)!r}"
+                    ) from None
 
             # Settings (incl. seed) validate BEFORE any job exists —
             # FastAPI's Form parsing 422s first (backend/main.py:206-215),
@@ -330,16 +361,20 @@ class V2Service:
                 message="Starting 3D generation...", model=model
             )
             try:
+                # Size check from the HEADER first: a few-MB crafted
+                # 13000x13000 PNG would otherwise allocate ~500 MB in
+                # the decode before being rejected (1-core host, OOM).
+                ph, pw = probe_image_size(f.data)
+                if ph * pw > svc.v2cfg.max_pixels:
+                    raise ValueError(
+                        "Image too large. Maximum resolution: 4096x4096"
+                    )
                 # PIL decode of a multi-MB upload takes real time on a
                 # 1-core host; keep it off the event loop (v1 already
                 # does, app_v1._process_job).
                 image = await asyncio.get_running_loop().run_in_executor(
                     svc.executor, decode_image_rgb, f.data
                 )
-                if image.shape[0] * image.shape[1] > svc.v2cfg.max_pixels:
-                    raise ValueError(
-                        "Image too large. Maximum resolution: 4096x4096"
-                    )
             except Exception as e:  # noqa: BLE001
                 await svc.jobs.update(
                     job.job_id, status=JobStatus.ERROR,
@@ -407,7 +442,10 @@ class V2Service:
                 raise HTTPError(404, "Job not found")
             out = svc.output_dir / job_id
             if out.exists():
-                shutil.rmtree(out)
+                # ignore_errors like the eviction path: the registry
+                # delete is already journaled; a half-failed rmtree must
+                # not turn a committed deletion into a 500 + 404-on-retry.
+                shutil.rmtree(out, ignore_errors=True)
             return json_response(
                 {"message": f"Job {job_id} deleted successfully"}
             )

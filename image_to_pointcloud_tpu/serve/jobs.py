@@ -131,12 +131,37 @@ class JobRegistry:
         self._max_jobs = max_jobs
         self._on_evict = on_evict
         self._journal: Any = None
+        self._journal_path: Path | None = None
+        self._records = 0  # appends since last compaction
         if journal_path is not None:
             path = Path(journal_path)
             path.parent.mkdir(parents=True, exist_ok=True)
+            self._journal_path = path
             self._replay(path)
-            self._journal = open(path, "a", encoding="utf-8")
+            self._journal = self._open_journal(path)
             self._compact(path)
+
+    @staticmethod
+    def _open_journal(path: Path):
+        """Open for append with an exclusive lock: two processes sharing
+        one journal (e.g. v1 and v2 started from the same output dir)
+        would silently disconnect each other on compaction's
+        os.replace — fail loudly instead."""
+        f = open(path, "a", encoding="utf-8")
+        try:
+            import fcntl
+
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            f.close()
+            raise RuntimeError(
+                f"jobs journal {path} is owned by another process; "
+                "run each service with its own --output-dir (or disable "
+                "durable_jobs)"
+            ) from None
+        except ImportError:  # non-unix: no flock; best effort
+            pass
+        return f
 
     # ---------- persistence ----------
 
@@ -193,7 +218,20 @@ class JobRegistry:
                 f.write(self._record(job))
         self._journal.close()
         os.replace(tmp, path)
-        self._journal = open(path, "a", encoding="utf-8")
+        self._journal = self._open_journal(path)
+        self._records = len(self._jobs)
+
+    def _maybe_compact(self) -> None:
+        """Bound journal growth on long-lived servers: with max_jobs
+        eviction the registry stays bounded but the append-only file
+        would otherwise accumulate dead put/delete records forever."""
+        if self._journal is None or self._journal_path is None:
+            return
+        if self._records > max(1000, 4 * len(self._jobs)):
+            try:
+                self._compact(self._journal_path)
+            except OSError as e:
+                logger.warning("jobs journal compaction failed: %s", e)
 
     def _record(self, job: Job) -> str:
         return (
@@ -220,6 +258,8 @@ class JobRegistry:
         try:
             self._journal.write(self._record(job))
             self._journal.flush()
+            self._records += 1
+            self._maybe_compact()
         # ValueError: write on a file closed by shutdown while a job task
         # finishes; neither failure may kill serving.
         except (OSError, ValueError) as e:
@@ -248,6 +288,8 @@ class JobRegistry:
                 json.dumps({"op": "delete", "job_id": job_id}) + "\n"
             )
             self._journal.flush()
+            self._records += 1
+            self._maybe_compact()
         except (OSError, ValueError) as e:
             logger.warning("jobs journal write failed: %s", e)
 

@@ -67,7 +67,7 @@ class TestApiContract:
             Path(__file__).resolve().parent.parent
             / "image_to_pointcloud_tpu/serve/app_v1.py"
         ).read_text(encoding="utf-8")
-        accepted = set(re.findall(r'q\.get\("([^"]+)"', server))
+        accepted = set(re.findall(r'q\.get\(\s*"([^"]+)"', server))
         unknown = sent - accepted
         assert not unknown, (
             f"api.js sends fields the server ignores: {unknown} "
