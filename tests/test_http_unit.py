@@ -496,6 +496,40 @@ class TestJobJournal:
 
         asyncio.run(second_life())
 
+    def test_second_process_cannot_share_journal(self, tmp_path):
+        """Two registries on one journal file would clobber each other
+        on compaction (v1+v2 from one output dir); the flock refuses."""
+        path = tmp_path / "jobs.jsonl"
+        reg = JobRegistry(journal_path=path)
+        with pytest.raises(RuntimeError, match="owned by another process"):
+            JobRegistry(journal_path=path)
+        reg.close()
+        # Released on close: a restart can reopen it.
+        reg2 = JobRegistry(journal_path=path)
+        reg2.close()
+
+    def test_journal_compacts_under_churn(self, tmp_path):
+        """With max_jobs eviction the registry is bounded; the journal
+        file must be too (periodic compaction, not only at startup)."""
+        path = tmp_path / "jobs.jsonl"
+
+        async def churn():
+            reg = JobRegistry(journal_path=path, max_jobs=5)
+            reg.EVICT_GRACE_S = 0.0  # immediate eviction for the test
+            for _ in range(700):
+                j = await reg.create(model="m")
+                await reg.update(
+                    j.job_id, status=JobStatus.COMPLETED, progress=100,
+                    results={"pointCloud": {"filepath": "x", "points": 1}},
+                )
+            reg.close()
+
+        asyncio.run(churn())
+        # 700 jobs x (2 puts + ~1 delete) would be ~2000+ lines unbounded;
+        # compaction keeps it near the live-set size.
+        lines = [l for l in path.read_text().splitlines() if l.strip()]
+        assert len(lines) <= 400, len(lines)
+
     def test_no_journal_is_pure_memory(self, tmp_path):
         async def run():
             reg = JobRegistry()
