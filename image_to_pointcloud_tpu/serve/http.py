@@ -383,6 +383,8 @@ class HttpServer:
             length = int(headers.get("content-length", "0"))
         except ValueError:
             raise HTTPError(400, "Invalid Content-Length") from None
+        if length < 0:
+            raise HTTPError(400, "Invalid Content-Length")
         if length > MAX_BODY:
             raise HTTPError(413, "Body too large")
         if length and headers.get("expect", "").lower() == "100-continue":

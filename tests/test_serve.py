@@ -522,3 +522,109 @@ class TestV2:
         assert data["status"] == "healthy"
         assert data["services"]["depth3d"] is True
         assert "accelerator" in data and "device_count" in data["accelerator"]
+
+
+class TestHttpProtocolEdges:
+    """Raw-socket protocol hardening (first-party server, no client lib
+    shields these paths): every malformed frame must get a clean error
+    response, never a hang, reset, or misparsed pipeline."""
+
+    @pytest.fixture()
+    def raw_server(self):
+        def make_app():
+            from image_to_pointcloud_tpu.serve.http import (
+                Router,
+                json_response,
+            )
+
+            class App:
+                def __init__(self):
+                    self.router = Router()
+
+                    @self.router.get("/ok")
+                    async def ok(req):
+                        return json_response({"ok": True})
+
+                    @self.router.post("/ok")
+                    async def ok_post(req):
+                        return json_response({"got": len(req.body)})
+
+            return App(), "*"
+
+        srv = _ServerThread(make_app)
+        yield srv
+        srv.stop()
+
+    def _send(self, port, payload: bytes) -> bytes:
+        import socket
+
+        with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+            s.sendall(payload)
+            s.settimeout(5)
+            out = b""
+            try:
+                while True:
+                    chunk = s.recv(4096)
+                    if not chunk:
+                        break
+                    out += chunk
+            except TimeoutError:
+                pass
+            return out
+
+    def test_negative_content_length_400(self, raw_server):
+        r = self._send(
+            raw_server.port,
+            b"GET /ok HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
+        )
+        assert r.startswith(b"HTTP/1.1 400")
+
+    def test_huge_content_length_413(self, raw_server):
+        r = self._send(
+            raw_server.port,
+            b"GET /ok HTTP/1.1\r\nContent-Length: 99999999999999999\r\n\r\n",
+        )
+        assert r.startswith(b"HTTP/1.1 413")
+
+    def test_chunked_te_411_and_no_desync(self, raw_server):
+        r = self._send(
+            raw_server.port,
+            b"POST /ok HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5\r\nhello\r\n0\r\n\r\n",
+        )
+        assert r.startswith(b"HTTP/1.1 411")
+        # Exactly one response: the chunk stream must NOT be parsed as
+        # pipelined follow-up requests.
+        assert r.count(b"HTTP/1.1 ") == 1
+
+    def test_oversized_headers_431(self, raw_server):
+        r = self._send(
+            raw_server.port,
+            b"GET /ok HTTP/1.1\r\nX-A: " + b"b" * 70000 + b"\r\n\r\n",
+        )
+        assert r.startswith(b"HTTP/1.1 431")
+
+    def test_expect_100_continue(self, raw_server):
+        import socket
+
+        with socket.create_connection(
+            ("127.0.0.1", raw_server.port), timeout=5
+        ) as s:
+            s.sendall(
+                b"POST /ok HTTP/1.1\r\nContent-Length: 5\r\n"
+                b"Expect: 100-continue\r\n\r\n"
+            )
+            s.settimeout(5)
+            interim = s.recv(64)
+            assert interim.startswith(b"HTTP/1.1 100 Continue")
+            s.sendall(b"hello")
+            final = s.recv(4096)
+            assert b"HTTP/1.1 200" in final
+
+    def test_gzip_star_refusal_with_explicit_gzip(self):
+        from image_to_pointcloud_tpu.serve.http import _accepts_gzip
+
+        assert _accepts_gzip("*;q=0, gzip") is True
+        assert _accepts_gzip("gzip;q=0, *") is False
+        assert _accepts_gzip("*") is True
+        assert _accepts_gzip("identity") is False
