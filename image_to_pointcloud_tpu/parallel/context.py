@@ -18,7 +18,6 @@ Both are drop-in replacements for the attention inner call under
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

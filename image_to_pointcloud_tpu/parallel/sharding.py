@@ -20,7 +20,7 @@ Collectives ride ICI within a slice; ``jax.distributed.initialize`` (see
 from __future__ import annotations
 
 import re
-from typing import Any, Mapping, Sequence
+from typing import Any, Sequence
 
 import jax
 import numpy as np

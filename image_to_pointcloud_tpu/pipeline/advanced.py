@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_to_pointcloud_tpu.models.depth_anything import (
-    DepthAnything,
     DepthAnythingConfig,
 )
 from image_to_pointcloud_tpu.ops import (

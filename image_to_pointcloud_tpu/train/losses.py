@@ -11,7 +11,6 @@ fine-tuning of the depth family. Standard monocular-depth objectives:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["silog_loss", "affine_invariant_loss", "gradient_matching_loss"]

@@ -9,7 +9,6 @@ training at all — this is net-new framework surface.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -18,7 +17,6 @@ import optax
 from jax.sharding import Mesh
 
 from image_to_pointcloud_tpu.models.depth_anything import (
-    DepthAnything,
     DepthAnythingConfig,
 )
 from image_to_pointcloud_tpu.parallel.sharding import (
