@@ -624,6 +624,15 @@ class V1Service:
                 }
             )
 
+        @r.get("/openapi.json")
+        async def openapi_doc(req: Request):
+            """FastAPI auto-serves this on the reference app; clients
+            written against it can introspect here too
+            (serve/openapi.py mirrors backend/app.py:609-747)."""
+            from image_to_pointcloud_tpu.serve.openapi import v1_openapi
+
+            return json_response(v1_openapi())
+
         @r.get("/timings/{job_id}")
         async def job_timings(req: Request):
             """Per-stage wall-clock of a completed job (additive endpoint —

@@ -458,6 +458,14 @@ class V2Service:
                 body=m.REGISTRY.render().encode(),
             )
 
+        @r.get("/openapi.json")
+        async def openapi_doc(req: Request):
+            """FastAPI auto-serves this on the reference app
+            (serve/openapi.py mirrors backend/main.py:202-431)."""
+            from image_to_pointcloud_tpu.serve.openapi import v2_openapi
+
+            return json_response(v2_openapi())
+
         @r.get("/health")
         async def health(req: Request):
             import jax

@@ -628,3 +628,57 @@ class TestHttpProtocolEdges:
         assert _accepts_gzip("gzip;q=0, *") is False
         assert _accepts_gzip("*") is True
         assert _accepts_gzip("identity") is False
+
+
+class TestOpenApi:
+    """The reference's FastAPI apps auto-serve /openapi.json; ours is
+    authored (serve/openapi.py) and must stay in sync with the routers."""
+
+    def _router_paths(self, app) -> set:
+        import re as _re
+
+        paths = set()
+        for method, pattern, _fn in app.router._routes:
+            # Recover the template from the compiled pattern.
+            t = pattern.pattern.strip("^$")
+            t = _re.sub(r"\(\?P<(\w+)>\[\^/\]\+\)", r"{\1}", t)
+            paths.add(t)
+        return paths
+
+    def test_v1_document_matches_router(self, tmp_path):
+        from image_to_pointcloud_tpu.serve.app_v1 import V1Service
+        from image_to_pointcloud_tpu.serve.openapi import v1_openapi
+
+        svc = V1Service(output_dir=str(tmp_path), durable_jobs=False)
+        doc = v1_openapi()
+        assert doc["openapi"].startswith("3.")
+        routed = self._router_paths(svc)
+        for path in doc["paths"]:
+            assert path in routed, f"{path} documented but not routed"
+        # The reference's five core endpoints are all documented.
+        for p in ("/process", "/status/{job_id}", "/download/{job_id}",
+                  "/models", "/health"):
+            assert p in doc["paths"]
+        # The 8 reference query params (backend/app.py:611-620) + file.
+        params = {
+            q["name"] for q in doc["paths"]["/process"]["post"]["parameters"]
+        }
+        assert params >= {
+            "model", "output_format", "point_density", "coordinate_system",
+            "invert_depth", "depth_scale", "smooth_depth", "fov",
+        }
+
+    def test_v2_document_matches_router(self, tmp_path):
+        from image_to_pointcloud_tpu.serve.app_v2 import V2Service
+        from image_to_pointcloud_tpu.serve.openapi import v2_openapi
+
+        svc = V2Service(output_dir=str(tmp_path), durable_jobs=False)
+        doc = v2_openapi()
+        routed = self._router_paths(svc)
+        for path in doc["paths"]:
+            assert path in routed, f"{path} documented but not routed"
+        form = doc["paths"]["/process"]["post"]["requestBody"][
+            "content"]["multipart/form-data"]["schema"]["properties"]
+        # Clamp ranges mirror backend/main.py:258-267.
+        assert form["texture_resolution"]["minimum"] == 512
+        assert form["target_count"]["maximum"] == 20000
