@@ -633,6 +633,20 @@ class V1Service:
 
             return json_response(v1_openapi())
 
+        @r.get("/docs")
+        async def docs_page(req: Request):
+            """Self-contained HTML API docs (the reference's FastAPI
+            serves Swagger UI here; ours must work air-gapped)."""
+            from image_to_pointcloud_tpu.serve.openapi import (
+                docs_html,
+                v1_openapi,
+            )
+
+            return Response(
+                headers={"content-type": "text/html; charset=utf-8"},
+                body=docs_html(v1_openapi()).encode(),
+            )
+
         @r.get("/timings/{job_id}")
         async def job_timings(req: Request):
             """Per-stage wall-clock of a completed job (additive endpoint —

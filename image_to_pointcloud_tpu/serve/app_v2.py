@@ -466,6 +466,20 @@ class V2Service:
 
             return json_response(v2_openapi())
 
+        @r.get("/docs")
+        async def docs_page(req: Request):
+            """Self-contained HTML API docs (the reference's FastAPI
+            serves Swagger UI here; ours must work air-gapped)."""
+            from image_to_pointcloud_tpu.serve.openapi import (
+                docs_html,
+                v2_openapi,
+            )
+
+            return Response(
+                headers={"content-type": "text/html; charset=utf-8"},
+                body=docs_html(v2_openapi()).encode(),
+            )
+
         @r.get("/health")
         async def health(req: Request):
             import jax

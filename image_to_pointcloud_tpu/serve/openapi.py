@@ -16,7 +16,7 @@ tests/test_serve.py asserts the path sets stay in sync with the routers.
 
 from __future__ import annotations
 
-__all__ = ["v1_openapi", "v2_openapi"]
+__all__ = ["v1_openapi", "v2_openapi", "docs_html"]
 
 _STATUS_SCHEMA = {
     "type": "object",
@@ -212,3 +212,80 @@ def v2_openapi() -> dict:
                                 "responses": {"200": {"description": "Service health"}}}},
         },
     }
+
+
+_DOCS_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>{title} — docs</title>
+<style>
+ body {{ font: 14px/1.5 system-ui, sans-serif; margin: 2rem auto; max-width: 900px; color: #1a1a2e; }}
+ h1 {{ font-size: 1.4rem; }} h2 {{ font-size: 1.05rem; margin: 1.4rem 0 .3rem; }}
+ .m {{ display: inline-block; min-width: 4.5em; font-weight: 700; padding: .1em .5em;
+      border-radius: 4px; color: #fff; text-align: center; margin-right: .6em; }}
+ .GET {{ background: #2b7a4b; }} .POST {{ background: #1f5fa8; }} .DELETE {{ background: #a83232; }}
+ code {{ background: #f0f0f5; padding: .1em .35em; border-radius: 3px; }}
+ table {{ border-collapse: collapse; margin: .4rem 0 .2rem 1rem; }}
+ td, th {{ border: 1px solid #ddd; padding: .25em .6em; font-size: .85rem; text-align: left; }}
+ .desc {{ color: #555; margin: .15rem 0 .4rem 1rem; font-size: .9rem; }}
+</style></head><body>
+<h1>{title} <small>v{version}</small></h1>
+<p>Machine-readable schema: <a href="openapi.json"><code>/openapi.json</code></a>
+(the reference's FastAPI serves the same document shape).</p>
+<div id="paths">{body}</div>
+</body></html>"""
+
+
+def docs_html(doc: dict) -> str:
+    """Self-contained HTML rendering of an OpenAPI document — the
+    air-gapped stand-in for the reference's CDN-backed Swagger UI at
+    ``/docs`` (FastAPI default)."""
+    import html as _html
+
+    rows = []
+    for path, ops in doc["paths"].items():
+        for method, op in ops.items():
+            rows.append(
+                f'<h2><span class="m {method.upper()}">{method.upper()}'
+                f"</span><code>{_html.escape(path)}</code> — "
+                f"{_html.escape(op.get('summary', ''))}</h2>"
+            )
+            if op.get("description"):
+                rows.append(
+                    f'<p class="desc">{_html.escape(op["description"])}</p>'
+                )
+            params = op.get("parameters", [])
+            body = (
+                op.get("requestBody", {})
+                .get("content", {})
+                .get("multipart/form-data", {})
+                .get("schema", {})
+                .get("properties", {})
+            )
+            if params or body:
+                cells = []
+                for q in params:
+                    sch = q.get("schema", {})
+                    cells.append(
+                        f"<tr><td><code>{_html.escape(q['name'])}</code></td>"
+                        f"<td>{q['in']}</td><td>{sch.get('type', '')}</td>"
+                        f"<td>{_html.escape(str(sch.get('default', '')))}</td></tr>"
+                    )
+                for name, sch in body.items():
+                    cells.append(
+                        f"<tr><td><code>{_html.escape(name)}</code></td>"
+                        f"<td>form</td><td>{sch.get('type', '')}</td>"
+                        f"<td>{_html.escape(str(sch.get('default', '')))}</td></tr>"
+                    )
+                rows.append(
+                    "<table><tr><th>param</th><th>in</th><th>type</th>"
+                    "<th>default</th></tr>" + "".join(cells) + "</table>"
+                )
+            resp = ", ".join(
+                f"{code} ({_html.escape(r.get('description', ''))})"
+                for code, r in op.get("responses", {}).items()
+            )
+            rows.append(f'<p class="desc">responses: {resp}</p>')
+    return _DOCS_HTML.format(
+        title=doc["info"]["title"],
+        version=doc["info"]["version"],
+        body="".join(rows),
+    )
