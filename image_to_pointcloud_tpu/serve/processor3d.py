@@ -188,13 +188,21 @@ class Depth3DProcessor:
             Image.fromarray(processed).resize((tex_side, tex_side), Image.LANCZOS)
         )
         if remeshed:
-            # Retopologized vertices have no grid indices; bake colors
-            # per-vertex instead of a UV texture.
+            # Retopologized vertices have no grid indices, but the
+            # geometry is single-view pinhole — projecting each vertex
+            # back through the conditioning camera gives exact UVs, so
+            # remeshed outputs keep a baked texture like the reference's
+            # SPAR3D (model.sample textures after remeshing,
+            # spar3d_processor.py:181-189). Per-vertex colors ride along
+            # for texture-less viewers.
+            uvs = self._camera_uvs(verts, processed.shape[:2])
             mesh_data = glb_bytes(
                 verts,
                 faces,
                 normals=norms,
                 colors01=np.clip(vcols / 255.0, 0.0, 1.0),
+                uvs=uvs,
+                texture_png=encode_png(tex),
                 name="depth3d",
             )
         else:
@@ -222,7 +230,7 @@ class Depth3DProcessor:
             "seed": seed,
             "vertex_count": int(len(verts)),
             "face_count": int(len(faces)),
-            "has_textures": not remeshed,
+            "has_textures": True,
             "remesh_option": remesh_option,
         }
         return {
@@ -231,6 +239,20 @@ class Depth3DProcessor:
             "preview_data": preview,
             "metadata": metadata,
         }
+
+    def _camera_uvs(self, verts: np.ndarray, hw) -> np.ndarray:
+        """UVs by projecting vertices back through the conditioning
+        camera (inverse of ops.unproject: u = x·f/z + cx). Exact for
+        this single-view geometry regardless of topology; depth_scale
+        cancels (x, y ∝ z)."""
+        from image_to_pointcloud_tpu.ops.unproject import focal_length
+
+        h, w = int(hw[0]), int(hw[1])
+        f = focal_length(h, w, None)
+        z = np.maximum(np.asarray(verts[:, 2], np.float64), 1e-6)
+        u = (verts[:, 0] * f / z + w / 2.0) / max(w - 1, 1)
+        v = (verts[:, 1] * f / z + h / 2.0) / max(h - 1, 1)
+        return np.clip(np.stack([u, v], axis=1), 0.0, 1.0).astype(np.float32)
 
     def _grid_uvs(self, grid_hw, grid_idx) -> np.ndarray:
         """UVs from the grid coordinates of each kept vertex."""

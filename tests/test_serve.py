@@ -404,6 +404,29 @@ class TestV1:
 # ---------- v2 contract ----------
 
 
+def test_camera_uvs_roundtrip():
+    """_camera_uvs inverts ops.unproject's pinhole mapping exactly:
+    unprojecting pixel (u, v) at any depth and projecting back must
+    land on (u/(w-1), v/(h-1)) — depth_scale cancels."""
+    import numpy as np
+
+    from image_to_pointcloud_tpu.ops.unproject import focal_length
+    from image_to_pointcloud_tpu.serve.processor3d import Depth3DProcessor
+
+    h = w = 512
+    f = focal_length(h, w, None)
+    rng = np.random.default_rng(7)
+    u_pix = rng.uniform(0, w - 1, 200)
+    v_pix = rng.uniform(0, h - 1, 200)
+    z = rng.uniform(0.5, 30.0, 200)
+    verts = np.stack(
+        [(u_pix - w / 2.0) * z / f, (v_pix - h / 2.0) * z / f, z], axis=1
+    )
+    uvs = Depth3DProcessor._camera_uvs(None, verts, (h, w))
+    np.testing.assert_allclose(uvs[:, 0], u_pix / (w - 1), atol=1e-5)
+    np.testing.assert_allclose(uvs[:, 1], v_pix / (h - 1), atol=1e-5)
+
+
 class TestV2:
     def test_root_and_models(self, v2_server):
         r = httpx.get(f"{v2_server}/", timeout=30)
@@ -468,7 +491,12 @@ class TestV2:
 
     def test_remesh_retopology(self, v2_server):
         """remesh_option != none routes through the native Poisson-class
-        reconstruction (vertex-colored GLB, face budget honored)."""
+        reconstruction; the retopologized mesh keeps a baked texture via
+        camera-projected UVs (reference SPAR3D textures after remeshing,
+        spar3d_processor.py:181-189)."""
+        import json as _json
+        import struct
+
         from image_to_pointcloud_tpu import native
 
         files = {"file": ("t.png", _test_image_png(128, 128), "image/png")}
@@ -485,13 +513,20 @@ class TestV2:
         assert final["status"] == "completed", final["message"]
         meta = final["results"]["metadata"]
         assert meta["remesh_option"] == "triangle"
+        assert meta["has_textures"] is True
         if native.available():
-            assert meta["has_textures"] is False
             assert meta["face_count"] <= 3000
         glb = httpx.get(
             f"{v2_server}{final['results']['downloadUrl']}", timeout=30
         )
         assert glb.content[:4] == b"glTF"
+        json_len = struct.unpack("<I", glb.content[12:16])[0]
+        doc = _json.loads(glb.content[20 : 20 + json_len])
+        prim = doc["meshes"][0]["primitives"][0]
+        assert "TEXCOORD_0" in prim["attributes"]
+        assert doc.get("images"), "remeshed GLB must embed the baked texture"
+        uv_acc = doc["accessors"][prim["attributes"]["TEXCOORD_0"]]
+        assert uv_acc["count"] == meta["vertex_count"]
 
     def test_bad_seed_422_without_job(self, v2_server):
         """A non-numeric seed must 422 before any job exists (was: 500
