@@ -144,7 +144,12 @@ def main() -> None:
 
     on_tpu = jax.default_backend() not in ("cpu",)
     backend_up.set()  # device enumeration succeeded — relay is alive
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (16 if on_tpu else 2)
+    default_tpu_batch = 16
+    batch = (
+        int(sys.argv[1])
+        if len(sys.argv) > 1
+        else (default_tpu_batch if on_tpu else 2)
+    )
 
     # Default: the flagship config (DA-V2-Small, BASELINE config 1/2);
     # IPC_BENCH_MODEL=depth-anything-v2-base|large benches the bigger
@@ -206,6 +211,113 @@ def main() -> None:
 
     throughput = batch * iters / elapsed
     p50_ms = float(np.percentile(lat, 50) * 1000 / batch)
+    # The e2e measurement of record exists from this point: disarm the
+    # CPU re-exec watchdog NOW. A relay flap during the optional
+    # capability probe below must degrade to "no device_graph_peak in
+    # the unit string", never discard a finished TPU measurement.
+    done.set()
+
+    baseline_img_s = 0.4  # reference's claimed 2-3 s/image
+    last_path = os.path.join(os.path.dirname(__file__), ".last_tpu_bench.json")
+    emitted = threading.Event()
+
+    def emit(dev_tp) -> None:
+        """Write the best-of TPU record and print the ONE JSON line.
+        Callable from the main thread (normal path) or the probe-guard
+        thread (probe hung on a relay flap); first caller wins."""
+        if emitted.is_set():
+            return
+        emitted.set()
+        dev_part = f", device_graph_peak={dev_tp:.1f} img/s" if dev_tp else ""
+        if forced_cpu:
+            # The TPU relay was unreachable when this run started; this
+            # is the CPU fallback, not the chip's number (see
+            # benchmarks/RESULTS.md for TPU measurements).
+            dev_part += ", tpu_relay_unreachable_at_run_time"
+            # Surface the last successful TPU measurement (clearly
+            # labeled as historical) so a relay flap doesn't erase the
+            # chip's record.
+            try:
+                with open(last_path) as f:
+                    last = json.load(f)
+                peak = last.get("device_peak")
+                peak_part = f"/{peak} device-peak" if peak else ""
+                dev_part += (
+                    f", last_good_tpu={last['e2e']} img/s e2e"
+                    f"{peak_part} @{last['date']}"
+                    f" (batch={last.get('batch', '?')})"
+                )
+            except Exception:  # noqa: BLE001
+                pass
+        elif (
+            on_tpu
+            and not short_on_time
+            and batch == default_tpu_batch
+            and model_name == "depth-anything-v2-small"
+            and os.environ.get("IPC_BENCH_INT8") != "1"
+        ):
+            # Record only full-window flagship-config runs at the
+            # default batch, and keep the BEST one (CLAUDE.md: take the
+            # best of several runs) — a degraded window, a batch-1
+            # probe, or a different model/quantization must not poison
+            # the flagship record that CPU fallbacks later quote.
+            try:
+                import datetime
+
+                best = None
+                try:
+                    with open(last_path) as f:
+                        best = json.load(f)
+                except Exception:  # noqa: BLE001
+                    pass
+                if best is None or throughput > float(best.get("e2e", 0)):
+                    with open(last_path, "w") as f:
+                        json.dump(
+                            {
+                                "e2e": round(throughput, 1),
+                                "device_peak": (
+                                    round(dev_tp, 1) if dev_tp else None
+                                ),
+                                "date": datetime.date.today().isoformat(),
+                                "batch": batch,
+                            },
+                            f,
+                        )
+            except OSError:
+                pass
+        print(
+            json.dumps(
+                {
+                    "metric": "img_to_pointcloud_conversions_per_sec_518",
+                    "value": round(throughput, 2),
+                    "unit": (
+                        f"img/s/chip e2e (batch={batch}, "
+                        f"p50={p50_ms:.1f}ms/img"
+                        f"{dev_part}, backend={jax.default_backend()})"
+                    ),
+                    "vs_baseline": round(throughput / baseline_img_s, 1),
+                }
+            ),
+            flush=True,
+        )
+
+    probe_done = threading.Event()
+    if on_tpu and not no_fallback:
+
+        def probe_guard():
+            # The capability probe is optional garnish; if the relay
+            # flaps under it, emit the finished e2e number without it
+            # rather than riding to the driver's hard timeout.
+            if not probe_done.wait(max(30.0, min(120.0, remaining() - 20.0))):
+                sys.stderr.write(
+                    "bench: device_graph probe stalled — emitting the "
+                    "e2e measurement without it\n"
+                )
+                sys.stderr.flush()
+                emit(None)
+                os._exit(0)
+
+        threading.Thread(target=probe_guard, daemon=True).start()
 
     # Device-side throughput: the same compiled graph with device-resident
     # inputs and a 1-byte output probe per step (the preview placeholder
@@ -251,69 +363,8 @@ def main() -> None:
         # say why it vanished (the unit string simply omits device_graph).
         sys.stderr.write(f"bench: device_graph probe failed: {e!r}\n")
 
-    done.set()  # disarm the mid-run watchdog: measurement is complete
-    baseline_img_s = 0.4  # reference's claimed 2-3 s/image
-    dev_part = f", device_graph_peak={dev_tp:.1f} img/s" if dev_tp else ""
-    last_path = os.path.join(os.path.dirname(__file__), ".last_tpu_bench.json")
-    if forced_cpu:
-        # The TPU relay was unreachable when this run started; this is
-        # the CPU fallback, not the chip's number (see
-        # benchmarks/RESULTS.md for TPU measurements).
-        dev_part += ", tpu_relay_unreachable_at_run_time"
-        # Surface the last successful TPU measurement (clearly labeled
-        # as historical) so a relay flap doesn't erase the chip's record.
-        try:
-            with open(last_path) as f:
-                last = json.load(f)
-            peak = last.get("device_peak")
-            peak_part = f"/{peak} device-peak" if peak else ""
-            dev_part += (
-                f", last_good_tpu={last['e2e']} img/s e2e"
-                f"{peak_part} @{last['date']}"
-                f" (batch={last.get('batch', '?')})"
-            )
-        except Exception:  # noqa: BLE001
-            pass
-    elif on_tpu and not short_on_time and batch == 16:
-        # Record only full-window default-batch runs, and keep the BEST
-        # one (CLAUDE.md: take the best of several runs) — a degraded
-        # window or a batch-1 probe must not poison the chip's record
-        # that CPU fallbacks later quote.
-        try:
-            import datetime
-
-            best = None
-            try:
-                with open(last_path) as f:
-                    best = json.load(f)
-            except Exception:  # noqa: BLE001
-                pass
-            if best is None or throughput > float(best.get("e2e", 0)):
-                with open(last_path, "w") as f:
-                    json.dump(
-                        {
-                            "e2e": round(throughput, 1),
-                            "device_peak": (
-                                round(dev_tp, 1) if dev_tp else None
-                            ),
-                            "date": datetime.date.today().isoformat(),
-                            "batch": batch,
-                        },
-                        f,
-                    )
-        except OSError:
-            pass
-    print(
-        json.dumps(
-            {
-                "metric": "img_to_pointcloud_conversions_per_sec_518",
-                "value": round(throughput, 2),
-                "unit": f"img/s/chip e2e (batch={batch}, p50={p50_ms:.1f}ms/img"
-                f"{dev_part}, backend={jax.default_backend()})",
-                "vs_baseline": round(throughput / baseline_img_s, 1),
-            }
-        )
-    )
+    probe_done.set()
+    emit(dev_tp)
 
 
 if __name__ == "__main__":

@@ -193,14 +193,15 @@ class Depth3DProcessor:
             # back through the conditioning camera gives exact UVs, so
             # remeshed outputs keep a baked texture like the reference's
             # SPAR3D (model.sample textures after remeshing,
-            # spar3d_processor.py:181-189). Per-vertex colors ride along
-            # for texture-less viewers.
+            # spar3d_processor.py:181-189). No COLOR_0 alongside the
+            # texture: glTF multiplies vertex color into baseColor, which
+            # would render ~color² (same rule the non-remeshed branch
+            # follows).
             uvs = self._camera_uvs(verts, processed.shape[:2])
             mesh_data = glb_bytes(
                 verts,
                 faces,
                 normals=norms,
-                colors01=np.clip(vcols / 255.0, 0.0, 1.0),
                 uvs=uvs,
                 texture_png=encode_png(tex),
                 name="depth3d",
