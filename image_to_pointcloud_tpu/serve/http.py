@@ -393,7 +393,32 @@ class HttpServer:
             # body — not answering adds a flat ~1 s to every upload.
             writer.write(b"HTTP/1.1 100 Continue\r\n\r\n")
             await writer.drain()
-        body = await reader.readexactly(length) if length else b""
+        if length:
+            # Stall-aware body read: a slow-but-active upload may take
+            # as long as it needs (each chunk resets the clock), but a
+            # client that declared a length and then stopped sending is
+            # reaped — otherwise stalled bodies hold connections forever
+            # (slowloris via body; the header path is covered by
+            # IDLE_TIMEOUT_S).
+            chunks = []
+            got = 0
+            while got < length:
+                try:
+                    chunk = await asyncio.wait_for(
+                        reader.read(min(1 << 20, length - got)),
+                        self.BODY_STALL_TIMEOUT_S,
+                    )
+                except asyncio.TimeoutError:
+                    raise HTTPError(
+                        408, "Request body timed out"
+                    ) from None
+                if not chunk:
+                    return None  # client closed mid-body
+                chunks.append(chunk)
+                got += len(chunk)
+            body = b"".join(chunks)
+        else:
+            body = b""
         parsed = urllib.parse.urlsplit(target)
         query = {
             k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()
@@ -410,6 +435,10 @@ class HttpServer:
     # arrive for this long (slowloris guard); an in-progress body upload
     # is not subject to it.
     IDLE_TIMEOUT_S = 300.0
+    # Max seconds between body chunks before a declared-length upload is
+    # considered stalled (408). Resets on every received chunk, so
+    # arbitrarily slow uploads survive as long as bytes keep flowing.
+    BODY_STALL_TIMEOUT_S = 60.0
 
     async def _handle(self, reader, writer) -> None:
         try:

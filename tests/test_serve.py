@@ -723,6 +723,52 @@ class TestHttpProtocolEdges:
             final = s.recv(4096)
             assert b"HTTP/1.1 200" in final
 
+    def test_stalled_body_408(self, raw_server, monkeypatch):
+        """A client that declares a Content-Length and stops sending is
+        reaped with 408 after BODY_STALL_TIMEOUT_S (slowloris-via-body
+        guard); slow-but-active uploads keep the clock resetting."""
+        import socket
+
+        from image_to_pointcloud_tpu.serve.http import HttpServer
+
+        monkeypatch.setattr(HttpServer, "BODY_STALL_TIMEOUT_S", 0.5)
+        with socket.create_connection(
+            ("127.0.0.1", raw_server.port), timeout=10
+        ) as s:
+            s.sendall(
+                b"POST /ok HTTP/1.1\r\nContent-Length: 100\r\n\r\nonly-ten."
+            )
+            s.settimeout(10)
+            out = s.recv(4096)
+            assert out.startswith(b"HTTP/1.1 408")
+            # connection is closed after the error
+            assert s.recv(4096) == b""
+
+    def test_slow_active_body_completes(self, raw_server, monkeypatch):
+        """Chunks arriving within the stall window reset it — a slow
+        upload whose total time exceeds the window still succeeds."""
+        import socket
+        import time as _time
+
+        from image_to_pointcloud_tpu.serve.http import HttpServer
+
+        monkeypatch.setattr(HttpServer, "BODY_STALL_TIMEOUT_S", 0.6)
+        with socket.create_connection(
+            ("127.0.0.1", raw_server.port), timeout=10
+        ) as s:
+            s.sendall(b"POST /ok HTTP/1.1\r\nContent-Length: 12\r\n\r\n")
+            for chunk in (b"abc", b"def", b"ghi", b"jkl"):
+                _time.sleep(0.4)  # 4 x 0.4s = 1.6s total > 0.6s window
+                s.sendall(chunk)
+            s.settimeout(10)
+            out = b""
+            while b'"got"' not in out:
+                chunk = s.recv(4096)
+                assert chunk, f"connection closed early: {out!r}"
+                out += chunk
+            assert b"HTTP/1.1 200" in out
+            assert b'"got": 12' in out
+
     def test_gzip_star_refusal_with_explicit_gzip(self):
         from image_to_pointcloud_tpu.serve.http import _accepts_gzip
 
