@@ -149,3 +149,25 @@ class TestModuleGraph:
         m = re.search(r'<link[^>]*href="([^"]+\.css)"', html)
         assert m, "index.html links no stylesheet"
         assert (FRONTEND / m.group(1).lstrip("./")).exists()
+
+
+class TestCrossLanguageConstants:
+    def test_js_plasma_lut_matches_backend(self):
+        """depthdecode.js embeds the PLASMA LUT as base64; its bytes must
+        equal ops/colormap.PLASMA_RGB exactly — the client-side inverse
+        decode (reference App.jsx:200-221's faithful replacement) only
+        round-trips backend previews if the tables are identical."""
+        import base64
+
+        import numpy as np
+
+        from image_to_pointcloud_tpu.ops.colormap import PLASMA_RGB
+
+        js = (SRC / "depthdecode.js").read_text(encoding="utf-8")
+        m = re.search(
+            r"const PLASMA_B64\s*=\s*((?:\s*\"[^\"]*\"\s*\+?)+);", js
+        )
+        assert m, "PLASMA_B64 literal not found in depthdecode.js"
+        b64 = "".join(re.findall(r'"([^"]*)"', m.group(1)))
+        lut = np.frombuffer(base64.b64decode(b64), np.uint8).reshape(256, 3)
+        np.testing.assert_array_equal(lut, np.asarray(PLASMA_RGB, np.uint8))
