@@ -145,6 +145,15 @@ def _load_locked() -> ctypes.CDLL | None:
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ipc_jpeg_probe.restype = ctypes.c_int32
+        lib.ipc_jpeg_probe.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.ipc_jpeg_coeffs.restype = ctypes.c_int32
+        lib.ipc_jpeg_coeffs.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
         return lib
     except Exception as e:  # noqa: BLE001
@@ -532,3 +541,56 @@ def bpa_reconstruct(
     finally:
         lib.ipc_bpa_release(fp)
     return faces
+
+
+def jpeg_coefficients(data: bytes):
+    """Entropy-decode a baseline JPEG into quantized DCT coefficients —
+    the host half of the hybrid decode path (the dequant/IDCT/upsample/
+    color math runs on the device, ops/jpeg.py). Returns None when the
+    native module is unavailable or the stream is not a supported
+    baseline JPEG (progressive, 12-bit, CMYK, non-JPEG bytes...), in
+    which case the caller falls back to the full host decode
+    (reference's cv2.imdecode slot, backend/app.py:433).
+
+    Returns a dict:
+      width, height, ncomp
+      h, v: per-component sampling factors (len ncomp)
+      coeffs: list of (blocks_h, blocks_w, 64) int16 arrays (natural
+        order within each block; includes MCU padding blocks)
+      qtables: (ncomp, 64) uint16 dequantization tables, natural order
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    info = np.zeros(14, np.int32)
+    rc = lib.ipc_jpeg_probe(buf.ctypes.data, len(buf), info.ctypes.data)
+    if rc != 0:
+        return None
+    w, h, ncomp = int(info[0]), int(info[1]), int(info[2])
+    hs, vs = info[3 : 3 + ncomp], info[6 : 6 + ncomp]
+    hmax, vmax = int(info[12]), int(info[13])
+    if w <= 0 or h <= 0:
+        return None
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coeffs = [
+        np.zeros((mcus_y * int(vs[c]), mcus_x * int(hs[c]), 64), np.int16)
+        for c in range(ncomp)
+    ]
+    qt = np.zeros((3, 64), np.uint16)
+    ptrs = [c.ctypes.data for c in coeffs] + [0] * (3 - ncomp)
+    rc = lib.ipc_jpeg_coeffs(
+        buf.ctypes.data, len(buf), ptrs[0], ptrs[1], ptrs[2], qt.ctypes.data
+    )
+    if rc != 0:
+        return None
+    return {
+        "width": w,
+        "height": h,
+        "ncomp": ncomp,
+        "h": [int(x) for x in hs],
+        "v": [int(x) for x in vs],
+        "coeffs": coeffs,
+        "qtables": qt[:ncomp].copy(),
+    }

@@ -526,3 +526,143 @@ class TestServingMeshMethod:
         v = np.asarray(parsed["vertex"][["x", "y", "z"]].tolist(), np.float64)
         r = np.linalg.norm(v, axis=1)
         assert 0.5 < float(np.median(r)) < 1.5
+
+
+def _jpeg_bytes(img, **kw):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def _idct_plane(coeffs, qtable):
+    """NumPy oracle: dequant + float 8x8 IDCT, one component plane."""
+    bh, bw, _ = coeffs.shape
+    deq = (coeffs.astype(np.float64) * qtable.astype(np.float64)).reshape(
+        bh, bw, 8, 8
+    )
+    k = np.arange(8)
+    basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    a = np.full(8, 0.5)
+    a[0] = np.sqrt(1 / 8)
+    m = a[:, None] * basis  # m[u, x]
+    # out[v,x] = sum_u sum_w m[u,v] deq[u,w] m[w,x]
+    px = np.einsum("uv,bcuw,wx->bcvx", m, deq, m, optimize=True)
+    return px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128
+
+
+class TestJpegCoefficients:
+    """Host half of the hybrid JPEG decode (native/src/jpegdec.cpp):
+    entropy-decode to quantized DCT coefficients; device math lives in
+    ops/jpeg.py. Replaces the reference's full host decode slot
+    (backend/app.py:433 cv2.imdecode)."""
+
+    def _smooth_rgb(self, w=97, h=131):
+        x = np.linspace(0, 4 * np.pi, w)
+        y = np.linspace(0, 3 * np.pi, h)
+        return (
+            np.stack(
+                [
+                    127 + 120 * np.sin(x)[None, :] * np.cos(y)[:, None],
+                    127 + 100 * np.cos(2 * x)[None, :] + 0 * y[:, None],
+                    127 + 80 * np.sin(y)[:, None] + 0 * x[None, :],
+                ],
+                -1,
+            )
+            .clip(0, 255)
+            .astype(np.uint8)
+        )
+
+    def test_444_reconstruction_matches_pil(self):
+        """4:4:4 (no chroma upsample in the loop): our float IDCT must
+        land within libjpeg's integer-IDCT tolerance of PIL's pixels."""
+        import io
+
+        from PIL import Image
+
+        data = _jpeg_bytes(self._smooth_rgb(), quality=92, subsampling=0)
+        r = native.jpeg_coefficients(data)
+        assert r is not None and r["ncomp"] == 3
+        assert r["h"] == [1, 1, 1] and r["v"] == [1, 1, 1]
+        planes = [
+            _idct_plane(r["coeffs"][c], r["qtables"][c])[
+                : r["height"], : r["width"]
+            ]
+            for c in range(3)
+        ]
+        ycc = np.stack(planes, -1)
+        rgb = np.stack(
+            [
+                ycc[..., 0] + 1.402 * (ycc[..., 2] - 128),
+                ycc[..., 0]
+                - 0.344136 * (ycc[..., 1] - 128)
+                - 0.714136 * (ycc[..., 2] - 128),
+                ycc[..., 0] + 1.772 * (ycc[..., 1] - 128),
+            ],
+            -1,
+        ).clip(0, 255)
+        ref = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.float64
+        )
+        assert np.abs(rgb - ref).max() < 3.0  # integer-IDCT headroom
+
+    def test_420_shapes_and_sampling(self):
+        data = _jpeg_bytes(self._smooth_rgb(), quality=90)  # PIL default 4:2:0
+        r = native.jpeg_coefficients(data)
+        assert r is not None
+        assert r["h"] == [2, 1, 1] and r["v"] == [2, 1, 1]
+        by, bx, _ = r["coeffs"][0].shape
+        assert by * 8 >= r["height"] and bx * 8 >= r["width"]
+        cy, cx, _ = r["coeffs"][1].shape
+        assert (cy, cx) == (by // 2, bx // 2)
+
+    def test_restart_markers_decode_exact(self):
+        """DRI/RSTn streams: predictor reset + byte alignment."""
+        import io
+
+        from PIL import Image
+
+        x = np.linspace(0, 4 * np.pi, 80)
+        y = np.linspace(0, 3 * np.pi, 64)
+        gray = (
+            (127 + 120 * np.sin(x)[None, :] * np.cos(y)[:, None])
+            .clip(0, 255)
+            .astype(np.uint8)
+        )
+        data = _jpeg_bytes(
+            np.stack([gray] * 3, -1),
+            quality=92,
+            subsampling=0,
+            restart_marker_rows=1,
+        )
+        assert any(
+            data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+            for i in range(len(data) - 1)
+        ), "encoder produced no restart markers"
+        r = native.jpeg_coefficients(data)
+        assert r is not None
+        yplane = _idct_plane(r["coeffs"][0], r["qtables"][0])[
+            : r["height"], : r["width"]
+        ]
+        ref = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.float64
+        )[..., 0]
+        assert np.abs(yplane.clip(0, 255) - ref).max() < 3.0
+
+    def test_grayscale(self):
+        img = self._smooth_rgb()[..., 0]
+        r = native.jpeg_coefficients(_jpeg_bytes(img, quality=85))
+        assert r is not None and r["ncomp"] == 1
+        assert r["qtables"].shape == (1, 64)
+
+    def test_unsupported_and_garbage_return_none(self):
+        img = self._smooth_rgb()
+        prog = _jpeg_bytes(img, quality=85, progressive=True)
+        assert native.jpeg_coefficients(prog) is None
+        assert native.jpeg_coefficients(b"\x89PNG\r\n\x1a\n" + b"z" * 64) is None
+        full = _jpeg_bytes(img, quality=85)
+        assert native.jpeg_coefficients(full[:40]) is None  # header cut
+        assert native.jpeg_coefficients(full[: len(full) // 2]) is None  # scan cut
