@@ -1,0 +1,204 @@
+"""Hybrid JPEG decode: device half (ops/jpeg.py) against PIL/libjpeg
+oracles, host half via native.jpeg_coefficients (tests/test_native.py
+covers the entropy decoder itself).
+
+The capability under test replaces the reference's host-only decode
+slot (backend/app.py:433 cv2.imdecode) for baseline JPEGs: host does
+Huffman only, the device does dequant + scaled IDCT + chroma upsample
++ YCbCr→RGB.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from image_to_pointcloud_tpu import native
+from image_to_pointcloud_tpu.ops import jpeg as devjpeg
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_native():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+
+def _photo(w=250, h=179, noise=10.0, seed=0):
+    """Photograph-like content: smooth fields + moderate texture."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 3 * np.pi, h)
+    base = np.stack(
+        [
+            127 + 110 * np.sin(x)[None, :] * np.cos(y)[:, None],
+            127 + 90 * np.cos(2 * x)[None, :] + 0 * y[:, None],
+            127 + 70 * np.sin(y)[:, None] + 0 * x[None, :],
+        ],
+        -1,
+    )
+    return (base + rng.normal(0, noise, base.shape)).clip(0, 255).astype(
+        np.uint8
+    )
+
+
+def _encode(img, **kw):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def _device_decode(data, k=8):
+    r = native.jpeg_coefficients(data)
+    assert r is not None
+    spec = devjpeg.JpegSpec(
+        r["width"], r["height"], r["ncomp"], tuple(r["h"]), tuple(r["v"]), k
+    )
+    co = tuple(
+        devjpeg.host_truncate_coeffs(c, k) for c in r["coeffs"]
+    )
+    out = devjpeg.decode_jpeg_to_rgb(
+        co, r["qtables"].astype(np.float32), spec
+    )
+    return np.asarray(out), r, spec
+
+
+class TestIdctMatrix:
+    def test_k8_is_orthonormal_idct(self):
+        m = devjpeg.idct_matrix(8)
+        assert np.allclose(m @ m.T, np.eye(8), atol=1e-6)
+
+    def test_scaled_preserves_block_mean(self):
+        # A constant block decodes to the same constant at every scale.
+        rng = np.random.default_rng(3)
+        dc = rng.normal(0, 300)
+        coeffs = np.zeros((8, 8), np.float32)
+        coeffs[0, 0] = dc
+        for k in (1, 2, 4, 8):
+            m = devjpeg.idct_matrix(k)
+            out = m.T @ coeffs[:k, :k] @ m
+            assert np.allclose(out, dc / 8.0, atol=1e-4), k
+
+
+class TestFullScaleVsPIL:
+    """k=8 must land within libjpeg's integer-IDCT/fixed-point-color
+    tolerance of PIL's pixels (a few gray levels)."""
+
+    @pytest.mark.parametrize(
+        "subsampling,tol",
+        [(0, 3.0), (1, 4.0), (2, 4.0)],  # 4:4:4, 4:2:2, 4:2:0
+    )
+    def test_rgb(self, subsampling, tol):
+        from PIL import Image
+
+        data = _encode(_photo(), quality=90, subsampling=subsampling)
+        out, _, _ = _device_decode(data, k=8)
+        ref = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.float64
+        )
+        err = np.abs(out - ref)
+        assert err.max() <= tol, (subsampling, err.max())
+        assert err.mean() < 1.0
+
+    def test_grayscale(self):
+        from PIL import Image
+
+        data = _encode(_photo()[..., 0], quality=88)
+        out, r, _ = _device_decode(data, k=8)
+        assert r["ncomp"] == 1
+        ref = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.float64
+        )
+        assert np.abs(out - ref).max() <= 2.0
+
+    def test_odd_dimensions_exact_crop(self):
+        # Dims that are not multiples of the MCU size exercise the
+        # padding-crop path on both luma and chroma.
+        data = _encode(_photo(w=101, h=67), quality=90)
+        out, r, spec = _device_decode(data, k=8)
+        assert out.shape == (67, 101, 3)
+        assert spec.out_hw == (67, 101)
+
+
+class TestScaledDecode:
+    """k<8: DCT-domain downscaling. Two oracles — libjpeg's own scaled
+    decode (PIL draft mode; a different fixed-point approximation, loose
+    tolerance) and full decode + area resize (what the serving pipeline
+    substitutes it for; PARITY.md tolerance)."""
+
+    @pytest.mark.parametrize("k", [4, 2])
+    def test_vs_pil_draft(self, k):
+        from PIL import Image
+
+        data = _encode(_photo(w=1000, h=750), quality=90)
+        out, r, spec = _device_decode(data, k=k)
+        im = Image.open(io.BytesIO(data))
+        im.draft("RGB", (r["width"] * k // 8, r["height"] * k // 8))
+        ref = np.asarray(im.convert("RGB"), np.float64)
+        assert out.shape[:2] == ref.shape[:2] == spec.out_hw
+        err = np.abs(out - ref)
+        assert err.mean() < 5.0
+        assert np.percentile(err, 99) < 16.0
+
+    def test_vs_full_decode_area_resize(self):
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from image_to_pointcloud_tpu.ops.resize import resize_batched
+
+        data = _encode(_photo(w=1000, h=750), quality=90)
+        out, _, spec = _device_decode(data, k=2)
+        full = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.float64
+        )
+        area = np.asarray(
+            resize_batched(
+                jnp.asarray(full[None], jnp.float32), spec.out_hw, "area"
+            )
+        )[0]
+        rmse = np.sqrt(((out - area) ** 2).mean())
+        assert rmse < 4.0  # the documented deviation band
+        del jax
+
+    def test_transfer_shrink(self):
+        """The point of the exercise: k=2 coefficients are ~16x smaller
+        than the pixels they replace on the H2D link."""
+        data = _encode(_photo(w=1000, h=750), quality=90)
+        r = native.jpeg_coefficients(data)
+        k = 2
+        nbytes = sum(
+            devjpeg.host_truncate_coeffs(c, k).nbytes for c in r["coeffs"]
+        )
+        assert nbytes * 10 < r["width"] * r["height"] * 3
+
+
+class TestPlanScale:
+    def test_covers_target(self):
+        # 4000x3000 capped to 3072 → k must cover (2304, 3072).
+        k = devjpeg.plan_scale(4000, 3000, (2304, 3072))
+        assert k == 7
+        assert -(-3000 * k // 8) >= 2304 and -(-4000 * k // 8) >= 3072
+
+    def test_small_image_full_scale(self):
+        assert devjpeg.plan_scale(518, 518, (518, 518)) == 8
+
+    def test_model_sized_target(self):
+        # 4000x3000 headed straight to a 518-max model grid.
+        k = devjpeg.plan_scale(4000, 3000, (389, 518))
+        assert k == 2
+
+    def test_shape_validation(self):
+        data = _encode(_photo(), quality=90)
+        r = native.jpeg_coefficients(data)
+        spec = devjpeg.JpegSpec(
+            r["width"], r["height"], 3, tuple(r["h"]), tuple(r["v"]), 8
+        )
+        bad = tuple(
+            devjpeg.host_truncate_coeffs(c, 4) for c in r["coeffs"]
+        )
+        with pytest.raises(ValueError):
+            devjpeg.decode_jpeg_to_rgb(
+                bad, r["qtables"].astype(np.float32), spec
+            )
