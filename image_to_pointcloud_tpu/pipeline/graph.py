@@ -47,7 +47,14 @@ from image_to_pointcloud_tpu.pipeline.preprocess import (
     reflect_pad_margins,
 )
 
-__all__ = ["PipelineOptions", "PipelineResult", "DepthPipeline", "dummy_point_cloud_graph"]
+__all__ = [
+    "PipelineOptions",
+    "PipelineResult",
+    "DepthPipeline",
+    "JpegInput",
+    "plan_jpeg_input",
+    "dummy_point_cloud_graph",
+]
 
 MAX_IMAGE_DIM = 3072  # reference backend/app.py:43
 DEPTH_PREVIEW_MAX = 2048  # reference backend/app.py:44
@@ -156,6 +163,91 @@ def _smooth_ksize(ksize: int) -> int:
     """Reference odd-kernel clamp (backend/app.py:210-212) — ONE place;
     both depth_to_packed_points and the batched serving graph use it."""
     return max(3, int(ksize) // 2 * 2 + 1)
+
+
+def _unpack_jpeg_batch(payload_u8: jax.Array, spec) -> tuple[jax.Array, jax.Array]:
+    """Hybrid-ingest payload rows → ((B, oh, ow, 3) f32 RGB in [0,255],
+    (B,) f32 depth scales). Row layout (all little-endian, matching
+    ``DepthPipeline.pack_jpeg_payload``):
+    [per-component (BH·BW·k·k) int16 coeffs | (ncomp·64) f32 qtables |
+    f32 depth_scale]."""
+    from image_to_pointcloud_tpu.ops.jpeg import _decode_planes
+
+    b = payload_u8.shape[0]
+    k = spec.k
+    off = 0
+    coeffs = []
+    for c in range(spec.ncomp):
+        bh, bw = spec.block_grid(c)
+        n = bh * bw * k * k * 2
+        raw = payload_u8[:, off : off + n].reshape(b, bh, bw, k, k, 2)
+        coeffs.append(jax.lax.bitcast_convert_type(raw, jnp.int16))
+        off += n
+    nq = spec.ncomp * 64 * 4
+    qt = jax.lax.bitcast_convert_type(
+        payload_u8[:, off : off + nq].reshape(b, spec.ncomp, 64, 4),
+        jnp.float32,
+    )
+    off += nq
+    scales = jax.lax.bitcast_convert_type(
+        payload_u8[:, off : off + 4], jnp.float32
+    ).reshape(-1)
+    img = jax.vmap(
+        lambda *args: _decode_planes(args[:-1], args[-1], spec)
+    )(*coeffs, qt)
+    return img, scales
+
+
+@dataclasses.dataclass
+class JpegInput:
+    """Host-side product of :func:`plan_jpeg_input`: one baseline JPEG
+    entropy-decoded and truncated for a k/8-scale device decode. Stands
+    in for the decoded RGB array on the hybrid ingest path (serving
+    groups these by ``spec`` the way pixel items group by shape)."""
+
+    spec: Any  # ops.jpeg.JpegSpec
+    coeffs: list  # per-component (BH, BW, k, k) int16, natural order
+    qtables: np.ndarray  # (ncomp, 64) float32, natural order
+
+    @property
+    def orig_hw(self) -> tuple[int, int]:
+        return self.spec.height, self.spec.width
+
+
+def plan_jpeg_input(data: bytes) -> "JpegInput | None":
+    """Entropy-decode ``data`` for the hybrid device-decode ingest, or
+    None when the path does not apply: not a supported baseline JPEG,
+    the native module is missing, or the image is small enough that a
+    full-scale decode would ship MORE bytes than the pixels it replaces
+    (k=8 coefficients ≈ pixel bytes, plus the strided-RGB D2H
+    ride-along — the classic host decode wins there).
+
+    The k<8 cutoff means the hybrid path engages exactly for images the
+    reference would immediately area-downscale (>~3510 px max dim), so
+    the DCT-domain downscale deviation only applies where the reference
+    itself is already lossy (PARITY.md)."""
+    from image_to_pointcloud_tpu import native
+    from image_to_pointcloud_tpu.ops.jpeg import (
+        JpegSpec,
+        host_truncate_coeffs,
+        plan_scale,
+    )
+
+    r = native.jpeg_coefficients(data)
+    if r is None:
+        return None
+    h, w = _proc_hw(r["height"], r["width"])
+    k = plan_scale(r["width"], r["height"], (h, w))
+    if k >= 8:
+        return None
+    spec = JpegSpec(
+        r["width"], r["height"], r["ncomp"], tuple(r["h"]), tuple(r["v"]), k
+    )
+    return JpegInput(
+        spec=spec,
+        coeffs=[host_truncate_coeffs(c, k) for c in r["coeffs"]],
+        qtables=r["qtables"].astype(np.float32),
+    )
 
 
 def _outlier_mask_from_means(means: jax.Array) -> jax.Array:
@@ -341,10 +433,22 @@ class DepthPipeline:
         opts: PipelineOptions,
         batch: int,
         preview: bool = True,
+        jpeg_spec=None,
     ):
-        """Compile the full fused graph for one (input size, batch) signature."""
+        """Compile the full fused graph for one (input size, batch) signature.
+
+        ``jpeg_spec`` (ops.jpeg.JpegSpec) switches the graph head to the
+        hybrid JPEG ingest: the payload carries entropy-decoded DCT
+        coefficients instead of pixels and the image materializes on
+        device at ``spec.out_hw`` (k/8 scale) before the usual area
+        resize to the working size. ``in_hw`` stays the ORIGINAL image
+        dims so the working size matches the reference's downscale rule.
+        """
         h0, w0 = in_hw
         h, w = _proc_hw(h0, w0)
+        # Where the graph's pixels come from: decoded-on-device JPEG
+        # planes (at k/8 scale) or the host's raw pixel rows.
+        src_hw = jpeg_spec.out_hw if jpeg_spec is not None else (h0, w0)
         # ZoeDepth reflect-pads before resize and crops the prediction
         # back (reflect_pad_margins; (0,0) for the DA family).
         pad_h, pad_w = reflect_pad_margins(self.cfg, h, w)
@@ -366,12 +470,19 @@ class DepthPipeline:
             # depth_scale bytes] per row — the relay charges ~27 ms
             # latency per serialized transfer, so the per-image scale
             # rides inside the image upload instead of its own put.
-            images_u8 = payload_u8[:, : h0 * w0 * 3].reshape(-1, h0, w0, 3)
-            depth_scales = jax.lax.bitcast_convert_type(
-                payload_u8[:, h0 * w0 * 3 :], jnp.float32
-            ).reshape(-1)
-            img = images_u8.astype(jnp.float32)  # (B, h0, w0, 3)
-            if (h, w) != (h0, w0):
+            # (JPEG mode: [coeff int16 LE bytes per comp | qtables f32 |
+            # depth_scale f32] per row, ~k²/64·1.5·2 bytes/pixel.)
+            if jpeg_spec is not None:
+                img, depth_scales = _unpack_jpeg_batch(payload_u8, jpeg_spec)
+            else:
+                images_u8 = payload_u8[:, : h0 * w0 * 3].reshape(
+                    -1, h0, w0, 3
+                )
+                depth_scales = jax.lax.bitcast_convert_type(
+                    payload_u8[:, h0 * w0 * 3 :], jnp.float32
+                ).reshape(-1)
+                img = images_u8.astype(jnp.float32)  # (B, h0, w0, 3)
+            if (h, w) != src_hw:
                 # cv2 resizes the uint8 image (rounding); match it.
                 img = jnp.clip(
                     jnp.round(resize_batched(img, (h, w), "area")), 0, 255
@@ -535,7 +646,9 @@ class DepthPipeline:
                 jax.lax.bitcast_convert_type(d16, jnp.uint8).reshape(bq, -1),
                 keep_bits,
             ]
-            if (h, w) != (h0, w0):
+            if (h, w) != (h0, w0) or jpeg_spec is not None:
+                # The host has no pixel copy when it was downscaled on
+                # device OR never existed on the host (JPEG mode).
                 rgb_dev = img[:, ::step, ::step, :].astype(jnp.uint8)
                 payload.append(rgb_dev.reshape(bq, -1))
             return jnp.concatenate(payload, axis=1), prev_out
@@ -591,6 +704,46 @@ class DepthPipeline:
             lambda: self._build(in_hw, options, batch, preview=want_preview),
         )
 
+    def compiled_graph_jpeg(
+        self, batch: int, spec, options: PipelineOptions, want_preview: bool
+    ):
+        """Hybrid-ingest variant of :meth:`compiled_graph`; the JpegSpec
+        (frozen dataclass) is the shape part of the signature."""
+        key = ("depth-jpeg", batch, spec, options, want_preview)
+        return self._get(
+            key,
+            lambda: self._build(
+                (spec.height, spec.width),
+                options,
+                batch,
+                preview=want_preview,
+                jpeg_spec=spec,
+            ),
+        )
+
+    @staticmethod
+    def pack_jpeg_payload(
+        jpegs: "list[JpegInput]", depth_scales: np.ndarray
+    ) -> np.ndarray:
+        """Fuse entropy-decoded JPEGs + f32 scales into the single
+        (B, nbytes) u8 H2D buffer the hybrid graph consumes — same
+        one-transfer-per-batch contract as :meth:`pack_payload`."""
+        rows = []
+        scales = np.ascontiguousarray(depth_scales, np.float32)
+        for j, s in zip(jpegs, scales):
+            parts = [
+                np.ascontiguousarray(c, np.int16).view(np.uint8).ravel()
+                for c in j.coeffs
+            ]
+            parts.append(
+                np.ascontiguousarray(j.qtables, np.float32)
+                .view(np.uint8)
+                .ravel()
+            )
+            parts.append(s.reshape(1).view(np.uint8))
+            rows.append(np.concatenate(parts))
+        return np.stack(rows)
+
     def submit_batch(
         self,
         images_rgb_u8: "np.ndarray | list[np.ndarray]",
@@ -628,6 +781,47 @@ class DepthPipeline:
             options, (h, w), step, want_preview,
         )
 
+    def submit_batch_jpeg(
+        self,
+        jpegs: "list[JpegInput]",
+        *,
+        depth_scales: "np.ndarray | list[float] | float" = 10.0,
+        options: PipelineOptions = PipelineOptions(),
+        want_preview: bool = True,
+    ):
+        """Hybrid-ingest :meth:`submit_batch`: every item must share one
+        JpegSpec (serving buckets by spec exactly as pixel items bucket
+        by shape). Returns the same handle contract for :meth:`collect`;
+        colors always come back from the device (the host never had
+        pixels), so the strided-RGB ride-along is guaranteed on."""
+        b = len(jpegs)
+        if b == 0:
+            raise ValueError("empty batch")
+        spec = jpegs[0].spec
+        if any(j.spec != spec for j in jpegs):
+            raise ValueError("submit_batch_jpeg requires one shared JpegSpec")
+        if np.ndim(depth_scales) == 0:
+            depth_scales = np.full((b,), float(depth_scales), np.float32)
+        depth_scales = np.asarray(depth_scales, np.float32)
+        pad = self._data_pad(b)
+        if pad:
+            jpegs = jpegs + [jpegs[-1]] * pad
+            depth_scales = np.concatenate(
+                [depth_scales, depth_scales[-1:].repeat(pad)]
+            )
+        fn = self.compiled_graph_jpeg(b + pad, spec, options, want_preview)
+        payload = self.pack_jpeg_payload(jpegs, depth_scales)
+        out, prev = fn(self.params, self._place_batch(jnp.asarray(payload)))
+        h, w = _proc_hw(spec.height, spec.width)
+        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
+
+        step = DENSITY_STRIDES[options.density]
+        grid_hw = (-(-h // step), -(-w // step))
+        return (
+            out, prev, b, grid_hw, None, np.asarray(depth_scales),
+            options, (h, w), step, want_preview,
+        )
+
     def collect(
         self,
         handle,
@@ -652,7 +846,10 @@ class DepthPipeline:
         want_preview = want_preview and had_preview
         # Drop mesh data-axis padding rows everywhere (submit_batch may
         # have padded imgs/depth_scales/device outputs to b+pad).
-        imgs = imgs[:b]
+        # imgs is None for hybrid-JPEG handles: the host never decoded
+        # pixels, and the graph guarantees has_rgb in that mode.
+        if imgs is not None:
+            imgs = imgs[:b]
         depth_scales = depth_scales[:b]
         out = jax.tree_util.tree_map(lambda x: x[:b], out)
         prev_np = None
@@ -823,6 +1020,27 @@ class DepthPipeline:
             depth_scales=depth_scale,
             options=options,
             want_preview=want_preview,
+        )[0]
+
+    def run_jpeg(
+        self,
+        jpeg: "JpegInput",
+        *,
+        depth_scale: float = 10.0,
+        options: PipelineOptions = PipelineOptions(),
+        want_preview: bool = True,
+        want_packed: bool = True,
+    ) -> PipelineResult:
+        """Run the fused pipeline on one entropy-decoded JPEG (hybrid
+        device-decode ingest; see :func:`plan_jpeg_input`)."""
+        handle = self.submit_batch_jpeg(
+            [jpeg],
+            depth_scales=depth_scale,
+            options=options,
+            want_preview=want_preview,
+        )
+        return self.collect(
+            handle, want_preview=want_preview, want_packed=want_packed
         )[0]
 
 

@@ -202,3 +202,110 @@ class TestPlanScale:
             devjpeg.decode_jpeg_to_rgb(
                 bad, r["qtables"].astype(np.float32), spec
             )
+
+
+class TestHybridPipeline:
+    """The hybrid ingest through the FULL fused serving graph vs the
+    pixel path on the same JPEG: same geometry within the decode
+    tolerance (the two decoders differ by ≤ a few gray levels)."""
+
+    @pytest.fixture(scope="class")
+    def pipe(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        return DepthPipeline(model.cfg, variables["params"], model_target=56)
+
+    def _jpeg_input(self, data, k):
+        from image_to_pointcloud_tpu.pipeline.graph import JpegInput
+
+        r = native.jpeg_coefficients(data)
+        spec = devjpeg.JpegSpec(
+            r["width"], r["height"], r["ncomp"], tuple(r["h"]), tuple(r["v"]), k
+        )
+        return JpegInput(
+            spec=spec,
+            coeffs=[devjpeg.host_truncate_coeffs(c, k) for c in r["coeffs"]],
+            qtables=r["qtables"].astype(np.float32),
+        )
+
+    def test_matches_pixel_path(self, pipe):
+        from PIL import Image
+
+        from image_to_pointcloud_tpu.pipeline.graph import PipelineOptions
+
+        data = _encode(_photo(w=220, h=164, noise=8.0), quality=90)
+        res_j = pipe.run_jpeg(
+            self._jpeg_input(data, 8), options=PipelineOptions()
+        )
+        pix = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        res_p = pipe.run(pix, options=PipelineOptions())
+
+        assert res_j.grid_hw == res_p.grid_hw
+        # Keep masks agree except for borderline outlier-threshold points.
+        kj = res_j.packed[6] > 0.5
+        kp = res_p.packed[6] > 0.5
+        assert (kj == kp).mean() > 0.999
+        both = kj & kp
+        xyz_j = res_j.packed[:3, both]
+        xyz_p = res_p.packed[:3, both]
+        # z = normalized_depth·scale; input pixel deltas of ≤4 levels
+        # move the depth net's output a little — bound the drift.
+        assert np.sqrt(((xyz_j - xyz_p) ** 2).mean()) < 0.05
+        col_d = np.abs(res_j.packed[3:6, both] - res_p.packed[3:6, both])
+        assert col_d.max() <= 6.0
+        # Depth preview: same normalize path, near-identical gray.
+        assert (
+            np.abs(
+                res_j.depth_preview_gray.astype(int)
+                - res_p.depth_preview_gray.astype(int)
+            ).mean()
+            < 0.5
+        )
+
+    def test_batched_mixed_scales(self, pipe):
+        from image_to_pointcloud_tpu.pipeline.graph import PipelineOptions
+
+        data = _encode(_photo(w=120, h=88), quality=88)
+        ji = self._jpeg_input(data, 8)
+        handle = pipe.submit_batch_jpeg(
+            [ji, ji, ji], depth_scales=[5.0, 10.0, 20.0],
+            options=PipelineOptions(),
+        )
+        r5, r10, r20 = pipe.collect(handle)
+        # depth_scale scales z linearly (and x,y through z).
+        k = (r5.packed[6] > 0.5) & (r10.packed[6] > 0.5) & (r20.packed[6] > 0.5)
+        z5, z10, z20 = r5.packed[2, k], r10.packed[2, k], r20.packed[2, k]
+        np.testing.assert_allclose(z10, z5 * 2.0, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(z20, z5 * 4.0, rtol=1e-4, atol=1e-5)
+
+    def test_plan_gates_small_images(self):
+        from image_to_pointcloud_tpu.pipeline.graph import plan_jpeg_input
+
+        small = _encode(_photo(w=400, h=300), quality=90)
+        assert plan_jpeg_input(small) is None  # k=8 → host path wins
+        assert plan_jpeg_input(b"\x89PNG\r\n\x1a\nnope") is None
+
+    def test_plan_large_image(self):
+        """>3511 px max dim → k<8 and the decode covers the reference's
+        downscaled working size (so the in-graph resize only shrinks)."""
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            _proc_hw,
+            plan_jpeg_input,
+        )
+
+        data = _encode(_photo(w=3600, h=2700, noise=6.0), quality=85)
+        ji = plan_jpeg_input(data)
+        assert ji is not None
+        assert ji.spec.k == 7
+        h, w = _proc_hw(2700, 3600)
+        oh, ow = ji.spec.out_hw
+        assert oh >= h and ow >= w
+        # Coefficient payload is smaller than the pixels it replaces.
+        nbytes = sum(c.nbytes for c in ji.coeffs)
+        assert nbytes < 2700 * 3600 * 3
