@@ -68,6 +68,13 @@ class ServiceConfig:
     # actual algorithm (Poisson depth=8 + bbox crop, backend/app.py:
     # 297-301), "bpa" = ball-pivoting (backend/app.py:285-294).
     mesh_method: str = "grid"
+    # Hybrid JPEG ingest: large baseline JPEGs (>~3510 px max dim, i.e.
+    # the ones the reference immediately downscales) entropy-decode on
+    # the host and dequant/IDCT/upsample/color on the device at k/8
+    # scale (native/src/jpegdec.cpp + ops/jpeg.py). Cuts the H2D
+    # payload and host decode CPU several-fold for big photos; off by
+    # default for byte-level decode parity (PARITY.md deviation).
+    jpeg_device_decode: bool = False
     batch_window_ms: float = 5.0
     # Micro-batch cap: batch-16 halves per-image device+transfer cost
     # vs batch-8 on the measured chip (bench.py batch sweep); buckets

@@ -45,6 +45,13 @@ def main() -> None:
         "Open3D algorithms (backend/app.py:283-305) via native/",
     )
     parser.add_argument(
+        "--jpeg-device-decode", action="store_true",
+        default=cfg.jpeg_device_decode,
+        help="hybrid ingest for large baseline JPEGs: host Huffman only, "
+        "dequant/IDCT/upsample/color on device at reduced scale "
+        "(ops/jpeg.py; documented decode deviation in PARITY.md)",
+    )
+    parser.add_argument(
         "--warmup", default=cfg.warmup,
         help="comma-separated HxW sizes to pre-compile at startup, e.g. '518x518,480x640'",
     )
@@ -120,6 +127,7 @@ def main() -> None:
                 models=models,
                 honor_fov=args.honor_fov,
                 mesh_method=args.mesh_method,
+                jpeg_device_decode=args.jpeg_device_decode,
                 warmup_sizes=warmup_sizes,
                 batch_window_ms=cfg.batch_window_ms,
                 max_batch=cfg.max_batch,

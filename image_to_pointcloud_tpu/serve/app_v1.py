@@ -146,6 +146,7 @@ class V1Service:
         max_file_size: int = MAX_FILE_SIZE,
         max_preview_points: int = MAX_PREVIEW_POINTS,
         mesh_preview_tris: int = 20000,
+        jpeg_device_decode: bool = False,
     ):
         from image_to_pointcloud_tpu.core.config import ProcessingDefaults
 
@@ -160,6 +161,10 @@ class V1Service:
         self.max_file_size = int(max_file_size)
         self.max_preview_points = int(max_preview_points)
         self.mesh_preview_tris = int(mesh_preview_tris)
+        # Opt-in hybrid JPEG ingest (core/config.py jpeg_device_decode):
+        # eligible large baseline JPEGs skip the host pixel decode and
+        # ship DCT coefficients instead (pipeline.graph.plan_jpeg_input).
+        self.jpeg_device_decode = bool(jpeg_device_decode)
         # "grid" (default; exact depth-grid triangulation, PARITY.md
         # deviation 2) | "poisson" | "bpa" (the reference's actual
         # Open3D algorithms, backend/app.py:283-305, via native/).
@@ -271,9 +276,23 @@ class V1Service:
 
             await jobs.update(job_id, progress=20, message="Processing image...")
             t0 = _time.perf_counter()
-            image = await loop.run_in_executor(
-                self.executor, decode_image_rgb, data
-            )
+            image = None
+            if self.jpeg_device_decode and model_name not in DUMMY_MODELS:
+                # Hybrid ingest: entropy-decode only; pixels materialize
+                # on device. Returns None for non-JPEGs, unsupported
+                # streams, or images too small to benefit — those take
+                # the classic host decode below.
+                from image_to_pointcloud_tpu.pipeline.graph import (
+                    plan_jpeg_input,
+                )
+
+                image = await loop.run_in_executor(
+                    self.executor, plan_jpeg_input, data
+                )
+            if image is None:
+                image = await loop.run_in_executor(
+                    self.executor, decode_image_rgb, data
+                )
             _mark("decode", t0)
 
             opts = PipelineOptions(

@@ -59,11 +59,22 @@ __all__ = ["BatchingQueue"]
 
 @dataclasses.dataclass
 class _Item:
-    image: np.ndarray
+    # Decoded (H, W, 3) u8 pixels, or a pipeline.graph.JpegInput on the
+    # hybrid device-decode ingest (entropy-decoded DCT coefficients).
+    image: Any
     depth_scale: float
     options: PipelineOptions
     future: asyncio.Future
     want_packed: bool = True
+
+    @property
+    def signature(self) -> Any:
+        """Graph-shape part of the grouping key: ndarray shape for pixel
+        items, the frozen JpegSpec for hybrid items (same role: items
+        with equal signatures share one compiled graph)."""
+        if isinstance(self.image, np.ndarray):
+            return self.image.shape
+        return self.image.spec
 
 
 class BatchingQueue:
@@ -184,10 +195,10 @@ class BatchingQueue:
         self, batch: "list[_Item]", loop, sem: asyncio.Semaphore
     ) -> None:
         try:
-            # Group by graph signature (shape × options).
+            # Group by graph signature (shape-or-JpegSpec × options).
             groups: dict[Any, list[_Item]] = defaultdict(list)
             for item in batch:
-                groups[(item.image.shape, item.options)].append(item)
+                groups[(item.signature, item.options)].append(item)
 
             for (_, options), items in groups.items():
                 from image_to_pointcloud_tpu.serve.metrics import BATCH_SIZE
@@ -217,16 +228,22 @@ class BatchingQueue:
                     DRAIN_SUBMIT,
                 )
 
+                hybrid = not isinstance(images[0], np.ndarray)
                 try:
                     t0 = time.perf_counter()
-                    handle = await loop.run_in_executor(
-                        None,
-                        lambda images=images, scales=scales, options=options: (
+                    if hybrid:
+                        submit = lambda images=images, scales=scales, options=options: (  # noqa: E731
+                            self.pipeline.submit_batch_jpeg(
+                                images, depth_scales=scales, options=options
+                            )
+                        )
+                    else:
+                        submit = lambda images=images, scales=scales, options=options: (  # noqa: E731
                             self.pipeline.submit_batch(
                                 images, depth_scales=scales, options=options
                             )
-                        ),
-                    )
+                        )
+                    handle = await loop.run_in_executor(None, submit)
                     t1 = time.perf_counter()
                     results = await loop.run_in_executor(
                         None,

@@ -309,3 +309,159 @@ class TestHybridPipeline:
         # Coefficient payload is smaller than the pixels it replaces.
         nbytes = sum(c.nbytes for c in ji.coeffs)
         assert nbytes < 2700 * 3600 * 3
+
+
+class TestServingHybrid:
+    """V1 service with jpeg_device_decode=True: an eligible JPEG takes
+    the hybrid ingest end-to-end over HTTP; everything else falls back
+    to the host decode."""
+
+    @pytest.fixture()
+    def v1_hybrid_server(self, tmp_path, monkeypatch):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_serve import _ServerThread, _tiny_model_manager
+
+        from image_to_pointcloud_tpu.pipeline import graph as graphmod
+
+        # The real planner only engages for >3510 px images (too heavy
+        # for CI); force small JPEGs onto the hybrid path at k=8 so the
+        # whole serving flow runs in seconds. Non-JPEG bytes must still
+        # return None (fallback coverage).
+        real_coeffs = native.jpeg_coefficients
+
+        def force_plan(data):
+            from image_to_pointcloud_tpu.pipeline.graph import JpegInput
+
+            r = real_coeffs(data)
+            if r is None:
+                return None
+            spec = devjpeg.JpegSpec(
+                r["width"], r["height"], r["ncomp"],
+                tuple(r["h"]), tuple(r["v"]), 8,
+            )
+            return JpegInput(
+                spec=spec,
+                coeffs=[
+                    devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]
+                ],
+                qtables=r["qtables"].astype(np.float32),
+            )
+
+        monkeypatch.setattr(graphmod, "plan_jpeg_input", force_plan)
+
+        def make():
+            from image_to_pointcloud_tpu.serve.app_v1 import create_v1_app
+
+            return (
+                create_v1_app(
+                    output_dir=str(tmp_path),
+                    models=_tiny_model_manager(),
+                    jpeg_device_decode=True,
+                ),
+                "*",
+            )
+
+        srv = _ServerThread(make)
+        yield f"http://127.0.0.1:{srv.port}"
+        srv.stop()
+
+    def _submit_and_wait(self, base, payload, content_type, fmt="xyz"):
+        import time as _t
+
+        import httpx
+
+        with httpx.Client(timeout=120.0) as c:
+            r = c.post(
+                f"{base}/process",
+                files={"file": ("img" + content_type[-4:], payload, content_type)},
+                data={"output_format": fmt, "point_density": "low"},
+            )
+            assert r.status_code == 200, r.text
+            job_id = r.json()["job_id"]
+            for _ in range(600):
+                s = c.get(f"{base}/status/{job_id}").json()
+                if s["status"] in ("completed", "error"):
+                    break
+                _t.sleep(0.2)
+            assert s["status"] == "completed", s
+            return c.get(f"{base}/download/{job_id}"), s
+
+    def test_jpeg_end_to_end(self, v1_hybrid_server):
+        data = _encode(_photo(w=120, h=88), quality=90)
+        dl, status = self._submit_and_wait(
+            v1_hybrid_server, data, "image/jpeg"
+        )
+        assert dl.status_code == 200 and len(dl.content) > 0
+        res = status["results"]
+        assert res["gisData"]["pointCount"] > 0
+        assert res["depthMap"].startswith("data:image/png;base64,")
+        assert len(res["preview"]["points"]) > 0
+
+    def test_png_still_falls_back(self, v1_hybrid_server):
+        from image_to_pointcloud_tpu.io.image import encode_png
+
+        png = encode_png(_photo(w=96, h=64))
+        dl, status = self._submit_and_wait(
+            v1_hybrid_server, png, "image/png"
+        )
+        assert dl.status_code == 200
+        assert status["results"]["gisData"]["pointCount"] > 0
+
+
+class TestBatchingMixed:
+    """One BatchingQueue drain containing both pixel and hybrid-JPEG
+    items: they group into separate graph signatures and all resolve."""
+
+    def test_mixed_drain(self):
+        import asyncio
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_serve import _tiny_model_manager
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            JpegInput,
+            PipelineOptions,
+        )
+        from image_to_pointcloud_tpu.serve.batching import BatchingQueue
+
+        pipe = _tiny_model_manager().get("depth-anything-v2")
+        data = _encode(_photo(w=120, h=88), quality=90)
+        r = native.jpeg_coefficients(data)
+        spec = devjpeg.JpegSpec(
+            r["width"], r["height"], r["ncomp"],
+            tuple(r["h"]), tuple(r["v"]), 8,
+        )
+        ji = JpegInput(
+            spec=spec,
+            coeffs=[devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]],
+            qtables=r["qtables"].astype(np.float32),
+        )
+        from PIL import Image
+
+        pix = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+        async def scenario():
+            q = BatchingQueue(pipe, max_batch=8, window_ms=20.0)
+            try:
+                res = await asyncio.gather(
+                    q.submit(ji, 10.0, PipelineOptions()),
+                    q.submit(pix, 10.0, PipelineOptions()),
+                    q.submit(ji, 10.0, PipelineOptions()),
+                )
+            finally:
+                await q.close()
+            return res
+
+        r1, r2, r3 = asyncio.run(scenario())
+        assert r1.kept_point_count > 0
+        assert r1.grid_hw == r2.grid_hw == r3.grid_hw
+        # Hybrid and pixel results of the same JPEG agree to tolerance.
+        assert abs(r1.kept_point_count - r2.kept_point_count) <= max(
+            5, r2.kept_point_count // 500
+        )
+        np.testing.assert_array_equal(
+            r1.packed[6] > 0.5, r3.packed[6] > 0.5
+        )
