@@ -68,7 +68,7 @@ class ServiceConfig:
     # actual algorithm (Poisson depth=8 + bbox crop, backend/app.py:
     # 297-301), "bpa" = ball-pivoting (backend/app.py:285-294).
     mesh_method: str = "grid"
-    # Hybrid JPEG ingest: large baseline JPEGs (>~3510 px max dim, i.e.
+    # Hybrid JPEG ingest: large JPEGs (>~3510 px max dim, i.e.
     # the ones the reference immediately downscales) entropy-decode on
     # the host and dequant/IDCT/upsample/color on the device at k/8
     # scale (native/src/jpegdec.cpp + ops/jpeg.py). Cuts the H2D

@@ -544,13 +544,15 @@ def bpa_reconstruct(
 
 
 def jpeg_coefficients(data: bytes):
-    """Entropy-decode a baseline JPEG into quantized DCT coefficients —
-    the host half of the hybrid decode path (the dequant/IDCT/upsample/
-    color math runs on the device, ops/jpeg.py). Returns None when the
-    native module is unavailable or the stream is not a supported
-    baseline JPEG (progressive, 12-bit, CMYK, non-JPEG bytes...), in
-    which case the caller falls back to the full host decode
-    (reference's cv2.imdecode slot, backend/app.py:433).
+    """Entropy-decode a JPEG into quantized DCT coefficients — the
+    host half of the hybrid decode path (the dequant/IDCT/upsample/
+    color math runs on the device, ops/jpeg.py). Handles sequential
+    (SOF0/SOF1) and progressive (SOF2) Huffman streams, interleaved and
+    non-interleaved scans, restart intervals. Returns None when the
+    native module is unavailable or the stream is unsupported
+    (arithmetic coding, 12-bit, CMYK, non-JPEG bytes...), in which case
+    the caller falls back to the full host decode (reference's
+    cv2.imdecode slot, backend/app.py:433).
 
     Returns a dict:
       width, height, ncomp

@@ -200,7 +200,7 @@ def _unpack_jpeg_batch(payload_u8: jax.Array, spec) -> tuple[jax.Array, jax.Arra
 
 @dataclasses.dataclass
 class JpegInput:
-    """Host-side product of :func:`plan_jpeg_input`: one baseline JPEG
+    """Host-side product of :func:`plan_jpeg_input`: one JPEG
     entropy-decoded and truncated for a k/8-scale device decode. Stands
     in for the decoded RGB array on the hybrid ingest path (serving
     groups these by ``spec`` the way pixel items group by shape)."""
@@ -216,7 +216,8 @@ class JpegInput:
 
 def plan_jpeg_input(data: bytes) -> "JpegInput | None":
     """Entropy-decode ``data`` for the hybrid device-decode ingest, or
-    None when the path does not apply: not a supported baseline JPEG,
+    None when the path does not apply: not a supported JPEG
+    (sequential and progressive Huffman streams both qualify),
     the native module is missing, or the image is small enough that a
     full-scale decode would ship MORE bytes than the pixels it replaces
     (k=8 coefficients ≈ pixel bytes, plus the strided-RGB D2H

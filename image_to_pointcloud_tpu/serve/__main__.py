@@ -47,7 +47,7 @@ def main() -> None:
     parser.add_argument(
         "--jpeg-device-decode", action="store_true",
         default=cfg.jpeg_device_decode,
-        help="hybrid ingest for large baseline JPEGs: host Huffman only, "
+        help="hybrid ingest for large JPEGs: host Huffman only, "
         "dequant/IDCT/upsample/color on device at reduced scale "
         "(ops/jpeg.py; documented decode deviation in PARITY.md)",
     )

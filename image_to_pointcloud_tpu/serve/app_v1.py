@@ -162,7 +162,7 @@ class V1Service:
         self.max_preview_points = int(max_preview_points)
         self.mesh_preview_tris = int(mesh_preview_tris)
         # Opt-in hybrid JPEG ingest (core/config.py jpeg_device_decode):
-        # eligible large baseline JPEGs skip the host pixel decode and
+        # eligible large JPEGs skip the host pixel decode and
         # ship DCT coefficients instead (pipeline.graph.plan_jpeg_input).
         self.jpeg_device_decode = bool(jpeg_device_decode)
         # "grid" (default; exact depth-grid triangulation, PARITY.md

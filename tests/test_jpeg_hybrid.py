@@ -121,6 +121,76 @@ class TestFullScaleVsPIL:
         assert spec.out_hw == (67, 101)
 
 
+class TestProgressive:
+    """SOF2 streams through the same hybrid path: the multi-scan
+    entropy decoder (native/src/jpegdec.cpp progressive scans)
+    reassembles full coefficients, so device decode must land on PIL's
+    pixels exactly like the baseline path."""
+
+    @pytest.mark.parametrize(
+        "subsampling,tol",
+        [(0, 3.0), (2, 4.0)],  # 4:4:4, 4:2:0
+    )
+    def test_rgb_vs_pil(self, subsampling, tol):
+        from PIL import Image
+
+        data = _encode(
+            _photo(), quality=90, subsampling=subsampling, progressive=True
+        )
+        assert b"\xff\xc2" in data
+        out, _, _ = _device_decode(data, k=8)
+        ref = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.float64
+        )
+        err = np.abs(out - ref)
+        assert err.max() <= tol, (subsampling, err.max())
+        assert err.mean() < 1.0
+
+    def test_grayscale(self):
+        from PIL import Image
+
+        data = _encode(_photo()[..., 0], quality=88, progressive=True)
+        out, r, _ = _device_decode(data, k=8)
+        assert r["ncomp"] == 1
+        ref = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.float64
+        )
+        assert np.abs(out - ref).max() <= 2.0
+
+    def test_restart_markers(self):
+        data = _encode(
+            _photo(w=120, h=88), quality=90, progressive=True,
+            restart_marker_rows=1,
+        )
+        assert any(
+            data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+            for i in range(len(data) - 1)
+        ), "encoder produced no restart markers"
+        base = native.jpeg_coefficients(_encode(_photo(w=120, h=88), quality=90))
+        prog = native.jpeg_coefficients(data)
+        assert prog is not None
+        for c in range(base["ncomp"]):
+            np.testing.assert_array_equal(base["coeffs"][c], prog["coeffs"][c])
+
+    def test_truncation_and_bitflip_fuzz(self):
+        """Damaged progressive streams must return cleanly (dict or
+        None), never crash or write out of bounds — deterministic fuzz
+        like tests/test_http_fuzz.py."""
+        data = _encode(_photo(w=200, h=150), quality=85, progressive=True)
+        rng = np.random.default_rng(42)
+        for cut in rng.integers(2, len(data), 24):
+            native.jpeg_coefficients(data[: int(cut)])
+        buf = bytearray(data)
+        for _ in range(24):
+            i = int(rng.integers(2, len(buf)))
+            old = buf[i]
+            buf[i] = int(rng.integers(0, 256))
+            native.jpeg_coefficients(bytes(buf))
+            buf[i] = old
+        # The pristine stream still decodes after the fuzz loop.
+        assert native.jpeg_coefficients(data) is not None
+
+
 class TestScaledDecode:
     """k<8: DCT-domain downscaling. Two oracles — libjpeg's own scaled
     decode (PIL draft mode; a different fixed-point approximation, loose

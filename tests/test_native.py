@@ -660,9 +660,59 @@ class TestJpegCoefficients:
 
     def test_unsupported_and_garbage_return_none(self):
         img = self._smooth_rgb()
-        prog = _jpeg_bytes(img, quality=85, progressive=True)
-        assert native.jpeg_coefficients(prog) is None
-        assert native.jpeg_coefficients(b"\x89PNG\r\n\x1a\n" + b"z" * 64) is None
         full = _jpeg_bytes(img, quality=85)
+        # Lossless SOF3 (patched from the baseline SOF0 marker) is a
+        # frame type the decoder genuinely does not support.
+        lossless = bytearray(full)
+        sof = full.find(b"\xff\xc0")
+        assert sof > 0
+        lossless[sof + 1] = 0xC3
+        assert native.jpeg_coefficients(bytes(lossless)) is None
+        assert native.jpeg_coefficients(b"\x89PNG\r\n\x1a\n" + b"z" * 64) is None
         assert native.jpeg_coefficients(full[:40]) is None  # header cut
         assert native.jpeg_coefficients(full[: len(full) // 2]) is None  # scan cut
+
+    def test_progressive_matches_baseline_coefficients(self):
+        # libjpeg quantizes identically for baseline and progressive at
+        # the same quality; SOF2 transmission (DC/AC first + refinement
+        # scans, EOB runs, non-interleaved AC addressing) must
+        # reassemble the exact same coefficient arrays.
+        img = self._smooth_rgb()  # 97x131: odd dims, padded != ceil dims
+        prog_bytes = _jpeg_bytes(img, quality=85, progressive=True)
+        assert b"\xff\xc2" in prog_bytes, "encoder did not emit SOF2"
+        base = native.jpeg_coefficients(_jpeg_bytes(img, quality=85))
+        prog = native.jpeg_coefficients(prog_bytes)
+        assert base is not None and prog is not None
+        for c in range(base["ncomp"]):
+            np.testing.assert_array_equal(
+                base["coeffs"][c], prog["coeffs"][c]
+            )
+        np.testing.assert_array_equal(base["qtables"], prog["qtables"])
+
+    def test_progressive_pixels_match_pil(self):
+        # End-to-end check against libjpeg's own progressive rendering
+        # (gray content so the Y plane IS the pixel value).
+        import io
+
+        from PIL import Image
+
+        x = np.linspace(0, 4 * np.pi, 90)
+        y = np.linspace(0, 3 * np.pi, 61)
+        gray = (
+            (127 + 120 * np.sin(x)[None, :] * np.cos(y)[:, None])
+            .clip(0, 255)
+            .astype(np.uint8)
+        )
+        data = _jpeg_bytes(
+            np.stack([gray] * 3, -1), quality=90, subsampling=0,
+            progressive=True,
+        )
+        r = native.jpeg_coefficients(data)
+        assert r is not None
+        yplane = _idct_plane(r["coeffs"][0], r["qtables"][0])[
+            : r["height"], : r["width"]
+        ]
+        ref = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.float64
+        )[..., 0]
+        assert np.abs(yplane.clip(0, 255) - ref).max() < 3.0
