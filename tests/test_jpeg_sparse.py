@@ -1,0 +1,153 @@
+"""Sparse coefficient payload (ops/jpeg_sparse.py): pack/scatter
+roundtrip is bit-identical to the dense hybrid payload, padding slots
+are inert, and the byte accounting that gates engagement is honest.
+
+Capability slot: the H2D half of the reference's upload ingest
+(backend/app.py:433) — same fidelity contract as ops/jpeg.py, fewer
+bytes on the wire.
+"""
+
+import io
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from image_to_pointcloud_tpu import native
+from image_to_pointcloud_tpu.ops import jpeg as devjpeg
+from image_to_pointcloud_tpu.ops import jpeg_sparse as sp
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def _spec(w, h, ncomp=3, hv=((2, 1, 1), (2, 1, 1)), k=8):
+    return devjpeg.JpegSpec(w, h, ncomp, hv[0][:ncomp], hv[1][:ncomp], k)
+
+
+def _random_coeffs(spec, density=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for c in range(spec.ncomp):
+        bh, bw = spec.block_grid(c)
+        vals = rng.integers(-1024, 1024, (bh, bw, spec.k, spec.k))
+        mask = rng.random(vals.shape) < density
+        out.append((vals * mask).astype(np.int16))
+    return out
+
+
+def _pad_and_scatter(counts, pos, val, spec):
+    """Pad to the capacity bucket exactly as the payload packer does,
+    then run the device scatter."""
+    _, total = sp.coeff_layout(spec)
+    cap = sp.capacity_bucket(len(pos), total)
+    ppos = np.zeros(cap, np.uint8)
+    pval = np.zeros(cap, np.int16)
+    ppos[: len(pos)] = pos
+    pval[: len(val)] = val
+    return sp.scatter_from_blocks(
+        counts.astype(np.int32), ppos.astype(np.int32), pval, spec
+    )
+
+
+class TestPackScatter:
+    @pytest.mark.parametrize(
+        "w,h,ncomp,k", [(250, 179, 3, 8), (250, 179, 3, 2), (64, 64, 1, 8)]
+    )
+    def test_roundtrip_bit_identical(self, w, h, ncomp, k):
+        spec = _spec(w, h, ncomp, k=k)
+        coeffs = _random_coeffs(spec, seed=ncomp * k)
+        counts, pos, val = sp.block_pack(coeffs)
+        _, total = sp.coeff_layout(spec)
+        assert total == sum(c.size for c in coeffs)
+        assert counts.sum() == len(pos) == len(val)
+        assert len(counts) == total // (k * k)
+        back = _pad_and_scatter(counts, pos, val, spec)
+        for a, b in zip(coeffs, back):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_all_zero_image(self):
+        spec = _spec(64, 48, ncomp=1)
+        coeffs = [np.zeros(spec.block_grid(0) + (8, 8), np.int16)]
+        counts, pos, val = sp.block_pack(coeffs)
+        assert pos.size == 0 and val.size == 0
+        back = _pad_and_scatter(counts, pos, val, spec)
+        assert not np.asarray(back[0]).any()
+
+    def test_dense_fallback_capacity(self):
+        # Pathological (all-nonzero) coefficients: the bucket caps at
+        # the dense size and the roundtrip still holds.
+        spec = _spec(40, 40, ncomp=1)
+        coeffs = _random_coeffs(spec, density=1.0, seed=3)
+        coeffs[0][coeffs[0] == 0] = 1
+        counts, pos, val = sp.block_pack(coeffs)
+        _, total = sp.coeff_layout(spec)
+        assert sp.capacity_bucket(len(pos), total) == total
+        assert (counts == 64).all()
+        back = _pad_and_scatter(counts, pos, val, spec)
+        np.testing.assert_array_equal(coeffs[0], np.asarray(back[0]))
+
+
+class TestByteAccounting:
+    def test_bucket_pow2_with_midstep(self):
+        assert sp.capacity_bucket(0, 10**9) == 1024
+        assert sp.capacity_bucket(1024, 10**9) == 1024
+        assert sp.capacity_bucket(1025, 10**9) == 1536
+        assert sp.capacity_bucket(1537, 10**9) == 2048
+        assert sp.capacity_bucket(3000, 10**9) == 3072
+        assert sp.capacity_bucket(5000, 4096) == 4096
+
+    def test_buckets_bound_padding_waste(self):
+        for nnz in range(1024, 300000, 997):
+            cap = sp.capacity_bucket(nnz, 10**9)
+            assert nnz <= cap <= int(nnz * 1.5) + 1
+
+    def test_real_photo_beats_pixels(self):
+        # A quality-85 photo-like JPEG at full scale (k=8) must ship
+        # well under half its raw pixel bytes — the whole point of the
+        # sparse path (dense k=8 is ~pixel-sized).
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        from PIL import Image
+
+        from test_jpeg_hybrid import _photo
+
+        img = _photo(518, 518)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=85)
+        r = native.jpeg_coefficients(buf.getvalue())
+        spec = _spec(518, 518, hv=(tuple(r["h"]), tuple(r["v"])))
+        coeffs = [devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]]
+        _, pos, _ = sp.block_pack(coeffs)
+        _, total = sp.coeff_layout(spec)
+        pixel_bytes = 518 * 518 * 3
+        assert sp.sparse_payload_bytes(len(pos), total) < 0.55 * pixel_bytes
+
+
+class TestDecodeEquivalence:
+    def test_sparse_equals_dense_decode(self):
+        """decode via blocked scatter == decode via dense coeffs,
+        bit-identical (same grids in, same jitted math)."""
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        from PIL import Image
+
+        from test_jpeg_hybrid import _photo
+
+        img = _photo(251, 180, seed=5)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=80)
+        r = native.jpeg_coefficients(buf.getvalue())
+        spec = devjpeg.JpegSpec(
+            r["width"], r["height"], r["ncomp"], tuple(r["h"]),
+            tuple(r["v"]), 8,
+        )
+        qt = r["qtables"].astype(np.float32)
+        coeffs = tuple(
+            devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]
+        )
+        dense = np.asarray(devjpeg.decode_jpeg_to_rgb(coeffs, qt, spec))
+        counts, pos, val = sp.block_pack(list(coeffs))
+        back = _pad_and_scatter(counts, pos, val, spec)
+        sparse = np.asarray(devjpeg.decode_jpeg_to_rgb(tuple(back), qt, spec))
+        np.testing.assert_array_equal(dense, sparse)
