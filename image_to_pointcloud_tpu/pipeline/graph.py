@@ -198,6 +198,47 @@ def _unpack_jpeg_batch(payload_u8: jax.Array, spec) -> tuple[jax.Array, jax.Arra
     return img, scales
 
 
+def _unpack_jpeg_sparse_batch(
+    payload_u8: jax.Array, spec, cap: int
+) -> tuple[jax.Array, jax.Array]:
+    """Sparse hybrid-ingest payload rows → ((B, oh, ow, 3) f32 RGB,
+    (B,) f32 depth scales). Row layout (matching
+    ``DepthPipeline.pack_jpeg_sparse_payload``):
+    [per-block u8 nonzero counts | (cap,) u8 in-block positions |
+    (cap,) int16 values | (ncomp·64) f32 qtables | f32 depth_scale]."""
+    from image_to_pointcloud_tpu.ops.jpeg import _decode_planes
+    from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+        coeff_layout,
+        scatter_from_blocks,
+    )
+
+    b = payload_u8.shape[0]
+    _, total = coeff_layout(spec)
+    nblocks = total // (spec.k * spec.k)
+    counts = payload_u8[:, :nblocks].astype(jnp.int32)
+    off = nblocks
+    pos = payload_u8[:, off : off + cap].astype(jnp.int32)
+    off += cap
+    val = jax.lax.bitcast_convert_type(
+        payload_u8[:, off : off + 2 * cap].reshape(b, cap, 2), jnp.int16
+    )
+    off += 2 * cap
+    nq = spec.ncomp * 64 * 4
+    qt = jax.lax.bitcast_convert_type(
+        payload_u8[:, off : off + nq].reshape(b, spec.ncomp, 64, 4),
+        jnp.float32,
+    )
+    off += nq
+    scales = jax.lax.bitcast_convert_type(
+        payload_u8[:, off : off + 4], jnp.float32
+    ).reshape(-1)
+
+    def one(c, p, v, q):
+        return _decode_planes(scatter_from_blocks(c, p, v, spec), q, spec)
+
+    return jax.vmap(one)(counts, pos, val, qt), scales
+
+
 @dataclasses.dataclass
 class JpegInput:
     """Host-side product of :func:`plan_jpeg_input`: one JPEG
@@ -208,30 +249,59 @@ class JpegInput:
     spec: Any  # ops.jpeg.JpegSpec
     coeffs: list  # per-component (BH, BW, k, k) int16, natural order
     qtables: np.ndarray  # (ncomp, 64) float32, natural order
+    # Sparse blocked encoding (ops/jpeg_sparse.py), computed lazily:
+    counts: "np.ndarray | None" = None  # (nblocks,) u8
+    pos: "np.ndarray | None" = None  # (nnz,) u8
+    val: "np.ndarray | None" = None  # (nnz,) i16
 
     @property
     def orig_hw(self) -> tuple[int, int]:
         return self.spec.height, self.spec.width
 
+    def sparse(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(counts, pos, val) of the blocked sparse encoding, packed on
+        first use and cached (plan_jpeg_input pre-packs on its worker
+        thread so the serving drain never pays this)."""
+        if self.counts is None:
+            from image_to_pointcloud_tpu.ops.jpeg_sparse import block_pack
+
+            self.counts, self.pos, self.val = block_pack(self.coeffs)
+        return self.counts, self.pos, self.val
+
+    @property
+    def dense_bytes(self) -> int:
+        return sum(c.nbytes for c in self.coeffs)
+
 
 def plan_jpeg_input(data: bytes) -> "JpegInput | None":
     """Entropy-decode ``data`` for the hybrid device-decode ingest, or
     None when the path does not apply: not a supported JPEG
-    (sequential and progressive Huffman streams both qualify),
-    the native module is missing, or the image is small enough that a
-    full-scale decode would ship MORE bytes than the pixels it replaces
-    (k=8 coefficients ≈ pixel bytes, plus the strided-RGB D2H
-    ride-along — the classic host decode wins there).
+    (sequential and progressive Huffman streams both qualify), the
+    native module is missing, or the sparse coefficient payload would
+    not ship meaningfully fewer bytes than the pixels it replaces
+    (pathologically dense coefficients — e.g. quality-100 noise — keep
+    the classic host decode).
 
-    The k<8 cutoff means the hybrid path engages exactly for images the
-    reference would immediately area-downscale (>~3510 px max dim), so
-    the DCT-domain downscale deviation only applies where the reference
-    itself is already lossy (PARITY.md)."""
+    Scale: k<8 engages exactly for images the reference would
+    immediately area-downscale (>~3510 px max dim), where DCT-domain
+    truncation replaces an already-lossy resize (PARITY.md). At k=8 the
+    device decode is full-resolution and matches libjpeg within ±3 gray
+    levels (ops/jpeg.py), and the sparse blocked payload
+    (ops/jpeg_sparse.py) ships ~2.5-6x fewer H2D bytes than pixels for
+    photographic content — so ordinary uploads engage too. The 0.75
+    margin charges the hybrid path for its strided-RGB D2H ride-along
+    (colors must come back from the device; D2H is ~2x slower than H2D
+    on this rig's link)."""
     from image_to_pointcloud_tpu import native
     from image_to_pointcloud_tpu.ops.jpeg import (
         JpegSpec,
         host_truncate_coeffs,
         plan_scale,
+    )
+    from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+        block_pack,
+        coeff_layout,
+        sparse_payload_bytes,
     )
 
     r = native.jpeg_coefficients(data)
@@ -239,15 +309,22 @@ def plan_jpeg_input(data: bytes) -> "JpegInput | None":
         return None
     h, w = _proc_hw(r["height"], r["width"])
     k = plan_scale(r["width"], r["height"], (h, w))
-    if k >= 8:
-        return None
     spec = JpegSpec(
         r["width"], r["height"], r["ncomp"], tuple(r["h"]), tuple(r["v"]), k
     )
+    coeffs = [host_truncate_coeffs(c, k) for c in r["coeffs"]]
+    counts, pos, val = block_pack(coeffs)
+    if k >= 8:
+        _, total = coeff_layout(spec)
+        if sparse_payload_bytes(len(pos), total) >= 0.75 * h * w * 3:
+            return None
     return JpegInput(
         spec=spec,
-        coeffs=[host_truncate_coeffs(c, k) for c in r["coeffs"]],
+        coeffs=coeffs,
         qtables=r["qtables"].astype(np.float32),
+        counts=counts,
+        pos=pos,
+        val=val,
     )
 
 
@@ -435,6 +512,7 @@ class DepthPipeline:
         batch: int,
         preview: bool = True,
         jpeg_spec=None,
+        jpeg_sparse_cap: "int | None" = None,
     ):
         """Compile the full fused graph for one (input size, batch) signature.
 
@@ -472,8 +550,13 @@ class DepthPipeline:
             # latency per serialized transfer, so the per-image scale
             # rides inside the image upload instead of its own put.
             # (JPEG mode: [coeff int16 LE bytes per comp | qtables f32 |
-            # depth_scale f32] per row, ~k²/64·1.5·2 bytes/pixel.)
-            if jpeg_spec is not None:
+            # depth_scale f32] per row, ~k²/64·1.5·2 bytes/pixel; sparse
+            # JPEG mode ships only nonzero coefficients, ~3 bytes each.)
+            if jpeg_spec is not None and jpeg_sparse_cap is not None:
+                img, depth_scales = _unpack_jpeg_sparse_batch(
+                    payload_u8, jpeg_spec, jpeg_sparse_cap
+                )
+            elif jpeg_spec is not None:
                 img, depth_scales = _unpack_jpeg_batch(payload_u8, jpeg_spec)
             else:
                 images_u8 = payload_u8[:, : h0 * w0 * 3].reshape(
@@ -706,11 +789,17 @@ class DepthPipeline:
         )
 
     def compiled_graph_jpeg(
-        self, batch: int, spec, options: PipelineOptions, want_preview: bool
+        self,
+        batch: int,
+        spec,
+        options: PipelineOptions,
+        want_preview: bool,
+        sparse_cap: "int | None" = None,
     ):
         """Hybrid-ingest variant of :meth:`compiled_graph`; the JpegSpec
-        (frozen dataclass) is the shape part of the signature."""
-        key = ("depth-jpeg", batch, spec, options, want_preview)
+        (frozen dataclass) is the shape part of the signature, plus the
+        sparse capacity bucket when the payload is nonzero-packed."""
+        key = ("depth-jpeg", batch, spec, options, want_preview, sparse_cap)
         return self._get(
             key,
             lambda: self._build(
@@ -719,6 +808,7 @@ class DepthPipeline:
                 batch,
                 preview=want_preview,
                 jpeg_spec=spec,
+                jpeg_sparse_cap=sparse_cap,
             ),
         )
 
@@ -743,6 +833,42 @@ class DepthPipeline:
             )
             parts.append(s.reshape(1).view(np.uint8))
             rows.append(np.concatenate(parts))
+        return np.stack(rows)
+
+    @staticmethod
+    def pack_jpeg_sparse_payload(
+        jpegs: "list[JpegInput]", depth_scales: np.ndarray, cap: int
+    ) -> np.ndarray:
+        """Sparse variant of :meth:`pack_jpeg_payload`: one (B, nbytes)
+        u8 H2D buffer of blocked nonzero coefficients
+        (ops/jpeg_sparse.py). Row layout matches
+        ``_unpack_jpeg_sparse_batch``: [counts u8 | pos u8 ×cap |
+        val i16 ×cap | qtables f32 | depth_scale f32]."""
+        rows = []
+        scales = np.ascontiguousarray(depth_scales, np.float32)
+        for j, s in zip(jpegs, scales):
+            counts, pos, val = j.sparse()
+            if len(pos) > cap:
+                raise ValueError(
+                    f"nnz {len(pos)} exceeds capacity bucket {cap}"
+                )
+            ppos = np.zeros(cap, np.uint8)
+            ppos[: len(pos)] = pos
+            pval = np.zeros(cap, np.int16)
+            pval[: len(val)] = val
+            rows.append(
+                np.concatenate(
+                    [
+                        np.ascontiguousarray(counts, np.uint8),
+                        ppos,
+                        pval.view(np.uint8),
+                        np.ascontiguousarray(j.qtables, np.float32)
+                        .view(np.uint8)
+                        .ravel(),
+                        s.reshape(1).view(np.uint8),
+                    ]
+                )
+            )
         return np.stack(rows)
 
     def submit_batch(
@@ -810,8 +936,25 @@ class DepthPipeline:
             depth_scales = np.concatenate(
                 [depth_scales, depth_scales[-1:].repeat(pad)]
             )
-        fn = self.compiled_graph_jpeg(b + pad, spec, options, want_preview)
-        payload = self.pack_jpeg_payload(jpegs, depth_scales)
+        # Encoding choice: blocked-sparse wins whenever the batch's
+        # capacity bucket ships fewer bytes than the dense int16 grids
+        # (photographic content: always; quality-100 noise: dense).
+        from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+            capacity_bucket,
+            coeff_layout,
+        )
+
+        _, total = coeff_layout(spec)
+        cap = capacity_bucket(max(len(j.sparse()[1]) for j in jpegs), total)
+        nblocks = total // (spec.k * spec.k)
+        if nblocks + 3 * cap < 2 * total:
+            fn = self.compiled_graph_jpeg(
+                b + pad, spec, options, want_preview, sparse_cap=cap
+            )
+            payload = self.pack_jpeg_sparse_payload(jpegs, depth_scales, cap)
+        else:
+            fn = self.compiled_graph_jpeg(b + pad, spec, options, want_preview)
+            payload = self.pack_jpeg_payload(jpegs, depth_scales)
         out, prev = fn(self.params, self._place_batch(jnp.asarray(payload)))
         h, w = _proc_hw(spec.height, spec.width)
         from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES

@@ -354,12 +354,35 @@ class TestHybridPipeline:
         np.testing.assert_allclose(z10, z5 * 2.0, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(z20, z5 * 4.0, rtol=1e-4, atol=1e-5)
 
-    def test_plan_gates_small_images(self):
+    def test_plan_engages_small_jpegs_when_sparse_wins(self):
+        """With the blocked-sparse payload (ops/jpeg_sparse.py) ordinary
+        full-scale (k=8) JPEGs engage too: the payload must ship well
+        under the raw pixel bytes it replaces."""
+        from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+            capacity_bucket,
+            coeff_layout,
+        )
         from image_to_pointcloud_tpu.pipeline.graph import plan_jpeg_input
 
-        small = _encode(_photo(w=400, h=300), quality=90)
-        assert plan_jpeg_input(small) is None  # k=8 → host path wins
+        small = _encode(_photo(w=400, h=300, noise=6.0), quality=88)
+        ji = plan_jpeg_input(small)
+        assert ji is not None and ji.spec.k == 8
+        counts, pos, val = ji.sparse()
+        _, total = coeff_layout(ji.spec)
+        cap = capacity_bucket(len(pos), total)
+        assert total // 64 + 3 * cap < 0.75 * 400 * 300 * 3
+
+    def test_plan_gates_non_jpeg_and_dense_content(self):
+        from image_to_pointcloud_tpu.pipeline.graph import plan_jpeg_input
+
         assert plan_jpeg_input(b"\x89PNG\r\n\x1a\nnope") is None
+        # Quality-100 uniform noise: nearly every coefficient survives
+        # quantization, the sparse payload loses to pixels, host decode
+        # keeps the slot.
+        rng = np.random.default_rng(11)
+        noise = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+        dense = _encode(noise, quality=100)
+        assert plan_jpeg_input(dense) is None
 
     def test_plan_large_image(self):
         """>3511 px max dim → k<8 and the decode covers the reference's

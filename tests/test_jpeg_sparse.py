@@ -124,6 +124,64 @@ class TestByteAccounting:
         assert sp.sparse_payload_bytes(len(pos), total) < 0.55 * pixel_bytes
 
 
+class TestPipelineSparseEqualsDense:
+    def test_graph_outputs_bit_identical(self):
+        """The full fused serving graph produces bit-identical packed
+        points from the sparse payload and the dense payload of the
+        same JPEG (the scatter is exact, so the graphs only differ in
+        their ingest head)."""
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from test_jpeg_hybrid import _photo
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+            capacity_bucket,
+            coeff_layout,
+        )
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            JpegInput,
+            PipelineOptions,
+        )
+
+        _, model, variables = _build_pair(image_size=56)
+        pipe = DepthPipeline(
+            model.cfg, variables["params"], model_target=56
+        )
+        buf = io.BytesIO()
+        Image.fromarray(_photo(120, 88, seed=9)).save(
+            buf, "JPEG", quality=90
+        )
+        r = native.jpeg_coefficients(buf.getvalue())
+        spec = devjpeg.JpegSpec(
+            r["width"], r["height"], r["ncomp"], tuple(r["h"]),
+            tuple(r["v"]), 8,
+        )
+        ji = JpegInput(
+            spec=spec,
+            coeffs=[devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]],
+            qtables=r["qtables"].astype(np.float32),
+        )
+        _, total = coeff_layout(spec)
+        cap = capacity_bucket(len(ji.sparse()[1]), total)
+        opts = PipelineOptions()
+        scales = np.array([10.0], np.float32)
+        fn_d = pipe.compiled_graph_jpeg(1, spec, opts, False)
+        fn_s = pipe.compiled_graph_jpeg(1, spec, opts, False, sparse_cap=cap)
+        out_d, _ = fn_d(
+            pipe.params, jnp.asarray(pipe.pack_jpeg_payload([ji], scales))
+        )
+        out_s, _ = fn_s(
+            pipe.params,
+            jnp.asarray(pipe.pack_jpeg_sparse_payload([ji], scales, cap)),
+        )
+        np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+
 class TestDecodeEquivalence:
     def test_sparse_equals_dense_decode(self):
         """decode via blocked scatter == decode via dense coeffs,
