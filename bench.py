@@ -1,11 +1,20 @@
-"""Benchmark: 518x518 image -> point-cloud conversions/sec on one chip.
+"""Benchmark: 518x518 JPEG -> point-cloud conversions/sec on one chip.
 
-The north-star metric (BASELINE.json): full pipeline per image =
-preprocess (resize+normalize) -> Depth-Anything-V2-Small forward (bf16,
-flash attention) -> depth normalize -> pinhole unprojection -> outlier
-removal -> packed point buffer pulled to host. The reference claims
-2-3 s per image on its stack (backend/app.py:713); vs_baseline is the
-speedup over that claim's 0.4 img/s.
+The north-star metric (BASELINE.json "single JPEG -> PLY"): full
+pipeline per image = JPEG entropy decode (host, native/) -> sparse DCT
+coefficient upload -> device dequant+IDCT+color (ops/jpeg.py) ->
+Depth-Anything-V2-Small forward (bf16, flash attention) -> depth
+normalize -> pinhole unprojection -> outlier removal. The reference
+claims 2-3 s per image on its stack (backend/app.py:713); vs_baseline
+is the speedup over that claim's 0.4 img/s.
+
+Input mode: quality-88 4:2:0 JPEGs through the sparse hybrid ingest
+(the fastest and most product-faithful path; uploads ARE JPEGs).
+``IPC_BENCH_INPUT=pixels`` reverts to raw RGB payload rows (the
+pre-round-2 configuration; also the automatic fallback when the native
+entropy decoder is unavailable or the planner declines the images).
+JPEG re-planning (host Huffman decode + sparse pack) runs inside the
+timed loop every iteration — the host work is charged, not amortized.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -173,13 +182,68 @@ def main() -> None:
     pipe = DepthPipeline(cfg, params)
     opts = PipelineOptions(density="medium", refine=True)
 
-    rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 255, (batch, 518, 518, 3)).astype(np.uint8)
+    # Photographic synthetic content (smooth fields + mild texture):
+    # required for the JPEG mode to be representative (uniform noise
+    # defeats DCT compression), harmless for the pixel mode (transfer
+    # and compute cost are content-independent).
+    def _photo(w, h, seed):
+        g = np.random.default_rng(seed)
+        x = np.linspace(0, 4 * np.pi, w)
+        y = np.linspace(0, 3 * np.pi, h)
+        base = np.stack(
+            [
+                127 + 110 * np.sin(x)[None, :] * np.cos(y)[:, None],
+                127 + 90 * np.cos(2 * x)[None, :] + 0 * y[:, None],
+                127 + 70 * np.sin(y)[:, None] + 0 * x[None, :],
+            ],
+            -1,
+        )
+        return (base + g.normal(0, 6.0, base.shape)).clip(0, 255).astype(
+            np.uint8
+        )
+
+    imgs = np.stack([_photo(518, 518, s) for s in range(batch)])
+
+    input_mode = os.environ.get("IPC_BENCH_INPUT", "jpeg")
+    jpeg_datas = None
+    if input_mode == "jpeg":
+        try:
+            import io
+
+            from PIL import Image
+
+            from image_to_pointcloud_tpu.pipeline.graph import plan_jpeg_input
+
+            jpeg_datas = []
+            for i in range(batch):
+                buf = io.BytesIO()
+                Image.fromarray(imgs[i]).save(buf, "JPEG", quality=88)
+                jpeg_datas.append(buf.getvalue())
+            if any(plan_jpeg_input(d) is None for d in jpeg_datas):
+                raise RuntimeError("hybrid planner declined a bench JPEG")
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"bench: jpeg ingest unavailable ({e!r}); "
+                             "falling back to pixel payload\n")
+            input_mode, jpeg_datas = "pixels", None
+
+    def _submit():
+        if jpeg_datas is not None:
+            # Honest e2e: re-plan (host Huffman + sparse pack) per
+            # iteration inside the timed loop.
+            return pipe.submit_batch_jpeg(
+                [plan_jpeg_input(d) for d in jpeg_datas],
+                options=opts,
+                want_preview=False,
+            )
+        return pipe.submit_batch(imgs, options=opts, want_preview=False)
+
+    def _run_once():
+        pipe.collect(_submit(), want_preview=False, want_packed=False)
 
     # Warmup: compile + one steady-state run (disarms the watchdog).
-    pipe.run_batch(imgs, options=opts, want_preview=False, want_packed=False)
+    _run_once()
     warmed.set()
-    pipe.run_batch(imgs, options=opts, want_preview=False, want_packed=False)
+    _run_once()
 
     # Pipelined steady state: several batches in flight so upload, compute
     # and download overlap across the host link. On a degraded relay
@@ -196,10 +260,10 @@ def main() -> None:
     pending = deque()
     t0 = time.perf_counter()
     for _ in range(depth_q):
-        pending.append(pipe.submit_batch(imgs, options=opts, want_preview=False))
+        pending.append(_submit())
     for _ in range(iters - depth_q):
         s = time.perf_counter()
-        pending.append(pipe.submit_batch(imgs, options=opts, want_preview=False))
+        pending.append(_submit())
         pipe.collect(pending.popleft(), want_preview=False, want_packed=False)
         lat.append(time.perf_counter() - s)
     while pending:
@@ -280,6 +344,7 @@ def main() -> None:
                                 ),
                                 "date": datetime.date.today().isoformat(),
                                 "batch": batch,
+                                "input": input_mode,
                             },
                             f,
                         )
@@ -293,7 +358,9 @@ def main() -> None:
                     "unit": (
                         f"img/s/chip e2e (batch={batch}, "
                         f"p50={p50_ms:.1f}ms/img"
-                        f"{dev_part}, backend={jax.default_backend()})"
+                        f"{dev_part}, input="
+                        f"{'jpeg-q88-sparse' if jpeg_datas is not None else 'pixels'}"
+                        f", backend={jax.default_backend()})"
                     ),
                     "vs_baseline": round(throughput / baseline_img_s, 1),
                 }
@@ -327,10 +394,24 @@ def main() -> None:
     # host does not have. Zero extra compiles: reuses the e2e graph.
     dev_tp = None
     try:
-        fn = pipe.compiled_graph(batch, (518, 518), opts, False)
-        payload = pipe.pack_payload(
-            imgs, np.full((batch,), 10.0, np.float32)
-        )
+        scales = np.full((batch,), 10.0, np.float32)
+        if jpeg_datas is not None:
+            from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+                capacity_bucket,
+                coeff_layout,
+            )
+
+            jpegs = [plan_jpeg_input(d) for d in jpeg_datas]
+            spec = jpegs[0].spec
+            _, total = coeff_layout(spec)
+            cap = capacity_bucket(max(len(j.pos) for j in jpegs), total)
+            fn = pipe.compiled_graph_jpeg(
+                batch, spec, opts, False, sparse_cap=cap
+            )
+            payload = pipe.pack_jpeg_sparse_payload(jpegs, scales, cap)
+        else:
+            fn = pipe.compiled_graph(batch, (518, 518), opts, False)
+            payload = pipe.pack_payload(imgs, scales)
         dev_payload = jax.device_put(payload)
         _, p = fn(pipe.params, dev_payload)
         np.asarray(p)  # warm
