@@ -21,12 +21,15 @@ upload. On this rig the serialized ~100 MB/s H2D link is the
 end-to-end bottleneck (benchmarks/RESULTS.md), so payload bytes
 convert directly into throughput.
 
-Device side, block ids rematerialize from the counts with one cumsum +
-vectorized binary search (both XLA-friendly: no dynamic shapes), the
-flat index is ``block * k^2 + position``, and a single sorted 1-D
-scatter rebuilds the dense coefficient grids — bit-identical to the
-dense payload's (tests/test_jpeg_sparse.py), feeding the exact same
-dequant + scaled-IDCT + color path (ops/jpeg.py `_decode_planes`).
+Device side, block ids rematerialize from the counts with a sorted
+scatter-add of block starts into a slot indicator plus one cumsum
+(XLA-friendly: no dynamic shapes, no binary search — ``searchsorted``
+lowers to a gather cascade that measured ~90% of the decode subgraph
+on TPU), the flat index is ``block * k^2 + position``, and a single
+sorted 1-D scatter rebuilds the dense coefficient grids —
+bit-identical to the dense payload's (tests/test_jpeg_sparse.py),
+feeding the exact same dequant + scaled-IDCT + color path
+(ops/jpeg.py `_decode_planes`).
 
 Reference behavior replaced: the host-side ``cv2.imdecode`` of uploads
 (reference backend/app.py:433); the fidelity notes in ops/jpeg.py
@@ -112,20 +115,32 @@ def scatter_from_blocks(counts, pos, val, spec):
     positions, (cap,) int16 values) -> per-component (BH, BW, k, k)
     int16 grids, bit-identical to the dense payload's.
 
-    Slot -> block recovery: ``ends = cumsum(counts)`` then a
-    vectorized binary search of each slot index against ``ends``
-    (XLA lowers searchsorted to log2(nblocks) gathers — cheap next to
-    the IDCT matmuls downstream). Padding slots (beyond ``ends[-1]``)
-    route to a sacrificial tail slot that the per-component slices
-    never read; all pads write the same slot so scatter order cannot
-    matter."""
+    Slot -> block recovery: block starts (exclusive cumsum of counts)
+    scatter-add +1 into a per-slot indicator, whose inclusive cumsum at
+    slot ``s`` counts the blocks starting at or before ``s``; minus one
+    that is exactly the block owning ``s`` (empty blocks share their
+    successor's start and therefore never capture a slot; block 0
+    always starts at 0, so the id is never negative). Both the scatter
+    and the cumsum are O(cap) with tiny constants — replacing
+    ``searchsorted``, whose gather cascade dominated the whole decode
+    subgraph on TPU (benchmarks/RESULTS.md). Padding slots (beyond the
+    nonzero total) route to a sacrificial tail slot that the
+    per-component slices never read; all pads write the same slot so
+    scatter order cannot matter."""
     sizes, total = coeff_layout(spec)
     k2 = spec.k * spec.k
-    ends = jnp.cumsum(counts)
+    counts = counts.astype(jnp.int32)
+    nnz = jnp.sum(counts)
+    starts = jnp.cumsum(counts) - counts
     slot = jnp.arange(pos.shape[0], dtype=jnp.int32)
-    block = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
-    flat = jnp.minimum(block, ends.shape[0] - 1) * k2 + pos
-    flat = jnp.where(slot < ends[-1], flat, total)
+    indicator = (
+        jnp.zeros(pos.shape[0], jnp.int32)
+        .at[starts]
+        .add(1, indices_are_sorted=True, mode="drop")
+    )
+    block = jnp.cumsum(indicator) - 1
+    flat = block * k2 + pos
+    flat = jnp.where(slot < nnz, flat, total)
     dense = (
         jnp.zeros(total + 1, jnp.int16)
         .at[flat]
