@@ -62,6 +62,9 @@ def main() -> None:
     # still 6x that. 0.05 s made the co-located load generator itself a
     # measurable server cost (240 req/s of polling on the shared core).
     ap.add_argument("--poll-s", type=float, default=0.25)
+    ap.add_argument("--wait-ms", type=float, default=0.0,
+                    help="long-poll /status?wait_ms= instead of sleeping "
+                         "poll-s between snapshots (0 = classic polling)")
     ap.add_argument("--warmup", type=int, default=2,
                     help="untimed jobs first (compile + cache warm)")
     args = ap.parse_args()
@@ -88,8 +91,14 @@ def main() -> None:
         )
         r.raise_for_status()
         job_id = r.json()["job_id"]
+        status_url = f"{args.url}/status/{job_id}"
+        if args.wait_ms > 0:
+            # Long-poll (serve/jobs.py status_for): the server holds the
+            # request until the next state change, so job completion is
+            # detected with ~0 poll-granularity latency.
+            status_url += f"?wait_ms={args.wait_ms:g}"
         while True:
-            s = client.get(f"{args.url}/status/{job_id}", timeout=120)
+            s = client.get(status_url, timeout=120)
             # The status field sits in the first ~80 bytes; don't
             # json-parse the multi-MB completed body (the full bytes
             # still traverse the socket — only client-side parse cost
@@ -100,7 +109,8 @@ def main() -> None:
                 break
             if b'"status": "error"' in head:
                 raise RuntimeError(s.json()["message"])
-            time.sleep(args.poll_s)
+            if args.wait_ms <= 0:
+                time.sleep(args.poll_s)
         dt = time.perf_counter() - t0
         t = client.get(f"{args.url}/timings/{job_id}", timeout=30)
         if timed:
@@ -143,6 +153,7 @@ def main() -> None:
         "metric": "serving_concurrent_img_per_sec",
         "value": round(len(lat) / wall, 2) if wall > 0 else 0.0,
         "clients": args.clients,
+        "wait_ms": args.wait_ms,
         "jobs_completed": len(lat),
         "errors": len(errors),
         "job_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1) if len(lat) else None,

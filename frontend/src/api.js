@@ -69,21 +69,31 @@ export async function submitJob(file, settings) {
   return r.json();
 }
 
-export async function fetchStatus(jobId) {
-  const r = await fetch(`${API_BASE}/status/${jobId}`);
+// Long-poll horizon per status request: the backend holds the request
+// until the job's next state change or this many ms (serve/jobs.py
+// status_for; capped server-side at 30 s). Against a server that
+// ignores wait_ms, pollJob's pacing guard keeps the reference cadence.
+const WAIT_MS = 10000;
+
+export async function fetchStatus(jobId, waitMs = 0) {
+  const qs = waitMs > 0 ? `?wait_ms=${waitMs}` : "";
+  const r = await fetch(`${API_BASE}/status/${jobId}${qs}`);
   if (!r.ok) throw new Error(`status ${r.status}`);
   return r.json();
 }
 
-/** Poll /status every POLL_MS, invoking onProgress each tick; resolves
- *  with the final job object (completed) or rejects (error). */
+/** Long-poll /status (progress arrives per state change, not per 1.5 s
+ *  tick), invoking onProgress each response; resolves with the final
+ *  job object (completed) or rejects (error). */
 export function pollJob(jobId, onProgress) {
   return new Promise((resolve, reject) => {
     let failures = 0;
+    let last = "";
     const tick = async () => {
       let job;
+      const t0 = Date.now();
       try {
-        job = await fetchStatus(jobId);
+        job = await fetchStatus(jobId, WAIT_MS);
         failures = 0;
       } catch (e) {
         // One dropped connection must not abandon a job that is still
@@ -97,9 +107,18 @@ export function pollJob(jobId, onProgress) {
         return;
       }
       onProgress?.(job);
-      if (job.status === "completed") resolve(job);
-      else if (job.status === "error") reject(new Error(job.message || "failed"));
-      else setTimeout(tick, POLL_MS);
+      if (job.status === "completed") { resolve(job); return; }
+      if (job.status === "error") {
+        reject(new Error(job.message || "failed"));
+        return;
+      }
+      // Re-arm immediately after a real transition (the next request
+      // long-polls server-side); pace unchanged-state responses so a
+      // server that ignores wait_ms still sees <=1 req/POLL_MS.
+      const state = `${job.status}|${job.progress}|${job.message}`;
+      const advanced = state !== last;
+      last = state;
+      setTimeout(tick, advanced ? 0 : Math.max(0, POLL_MS - (Date.now() - t0)));
     };
     tick();
   });

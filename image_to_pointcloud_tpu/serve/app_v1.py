@@ -602,9 +602,12 @@ class V1Service:
 
         @r.get("/status/{job_id}")
         async def status(req: Request):
-            job = svc.jobs.get(req.path_params["job_id"])
-            if job is None:
-                raise HTTPError(404, "Job not found")
+            # Reference contract: instant snapshot (backend/app.py:666-676).
+            # Beyond-reference: ``?wait_ms=N`` long-polls the next state
+            # change (jobs.JobRegistry.status_for) — same response shape.
+            job = await svc.jobs.status_for(
+                req.path_params["job_id"], req.query.get("wait_ms")
+            )
             if job.status in (JobStatus.COMPLETED, JobStatus.ERROR):
                 return Response(
                     headers={"content-type": "application/json"},

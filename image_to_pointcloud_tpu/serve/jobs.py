@@ -350,6 +350,72 @@ class JobRegistry:
                 job.extra["finished_at"] = _time.monotonic()
                 self._persist(job)
                 self._evict_locked()
+            self._signal(job)
+
+    # ---------- long-poll support (beyond-reference: the reference's
+    # frontend polls GET /status at a fixed 1.5 s, App.jsx:1012; a
+    # ``wait_ms`` query param lets clients block on the NEXT state
+    # change instead, removing poll-granularity latency) ----------
+
+    @staticmethod
+    def _signal(job: Job) -> None:
+        """Wake every coroutine blocked in :meth:`wait_change`.
+
+        The event is consumed (popped) on signal: each state transition
+        gets a fresh event, so a waiter that re-arms after waking sees
+        the *next* transition, never a stale set() from this one. Lives
+        in ``extra`` — like ``_status_body``, never journaled.
+        """
+        ev = job.extra.pop("_changed", None)
+        if ev is not None:
+            ev.set()
+
+    async def wait_change(self, job_id: str, wait_ms: float) -> None:
+        """Block until the job's state next changes (any field), it is
+        deleted, or ``wait_ms`` elapses — whichever is first. Returns
+        immediately for unknown or already-terminal jobs. Callers must
+        re-``get()`` the job afterwards (it may have been deleted).
+        """
+        job = self._jobs.get(job_id)
+        if job is None or job.status in (JobStatus.COMPLETED, JobStatus.ERROR):
+            return
+        ev = job.extra.get("_changed")
+        if ev is None:
+            ev = asyncio.Event()
+            job.extra["_changed"] = ev
+        # No await between the status check above and wait() below, so a
+        # transition cannot slip through unobserved (single event loop).
+        try:
+            await asyncio.wait_for(ev.wait(), wait_ms / 1000.0)
+        except asyncio.TimeoutError:
+            pass
+
+    async def status_for(self, job_id: str, wait_raw: str | None) -> Job:
+        """Endpoint half of long-poll: resolve a /status lookup.
+
+        ``wait_raw`` is the request's ``wait_ms`` query value (None when
+        absent — classic instant-poll semantics, the reference contract,
+        backend/app.py:642-647). When present and positive, blocks via
+        :meth:`wait_change` (capped at 30 s so a dead client cannot pin
+        a connection), then re-resolves. Raises 404/400 as HTTPError.
+        """
+        from image_to_pointcloud_tpu.serve.http import HTTPError
+
+        job = self._jobs.get(job_id)
+        if job is None:
+            raise HTTPError(404, "Job not found")
+        if wait_raw is not None:
+            try:
+                wait_ms = float(wait_raw)
+            except ValueError:
+                raise HTTPError(400, "wait_ms must be a number") from None
+            wait_ms = min(max(wait_ms, 0.0), 30_000.0)
+            if wait_ms > 0:
+                await self.wait_change(job_id, wait_ms)
+                job = self._jobs.get(job_id)
+                if job is None:
+                    raise HTTPError(404, "Job not found")
+        return job
 
     def get(self, job_id: str) -> Job | None:
         return self._jobs.get(job_id)
@@ -362,10 +428,13 @@ class JobRegistry:
 
     async def delete(self, job_id: str) -> bool:
         async with self._lock:
-            existed = self._jobs.pop(job_id, None) is not None
-            if existed:
+            job = self._jobs.pop(job_id, None)
+            if job is not None:
                 self._journal_delete(job_id)
-            return existed
+                # Wake long-pollers so they re-check and 404 instead of
+                # sleeping out their full wait on a job that is gone.
+                self._signal(job)
+            return job is not None
 
     def list(self, status: str | None = None) -> list[Job]:
         return [

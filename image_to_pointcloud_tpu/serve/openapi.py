@@ -42,6 +42,23 @@ def _job_param():
     }
 
 
+def _wait_param():
+    """Beyond-reference long-poll knob on GET /status (serve/jobs.py
+    JobRegistry.status_for): block up to wait_ms for the next job state
+    change instead of returning an instant snapshot."""
+    return {
+        "name": "wait_ms",
+        "in": "query",
+        "required": False,
+        "schema": {"type": "number", "minimum": 0, "maximum": 30000},
+        "description": (
+            "Long-poll: hold the request until the job's state next "
+            "changes or this many milliseconds pass (clamped to 30000). "
+            "Omit for the reference's instant-snapshot behavior."
+        ),
+    }
+
+
 def v1_openapi() -> dict:
     """Mirror of the reference v1 schema surface (backend/app.py)."""
     q = lambda name, schema, **kw: {  # noqa: E731
@@ -99,12 +116,13 @@ def v1_openapi() -> dict:
             "/status/{job_id}": {
                 "get": {
                     "summary": "Get Status",
-                    "parameters": [_job_param()],
+                    "parameters": [_job_param(), _wait_param()],
                     "responses": {
                         "200": {
                             "description": "Job state + results when completed",
                             "content": {"application/json": {"schema": _STATUS_SCHEMA}},
                         },
+                        "400": {"description": "wait_ms not a number"},
                         "404": {"description": "Job not found"},
                     },
                 }
@@ -184,8 +202,10 @@ def v2_openapi() -> dict:
                 }
             },
             "/status/{job_id}": {
-                "get": {"summary": "Get Status", "parameters": [_job_param()],
+                "get": {"summary": "Get Status",
+                        "parameters": [_job_param(), _wait_param()],
                         "responses": {"200": {"description": "Job state"},
+                                      "400": {"description": "wait_ms not a number"},
                                       "404": {"description": "Job not found"}}}
             },
             "/download/{job_id}/{filename}": {

@@ -188,6 +188,93 @@ class TestJobRegistry:
 
         asyncio.run(run())
 
+    def test_wait_change_wakes_on_update(self):
+        async def run():
+            reg = JobRegistry()
+            job = await reg.create()
+
+            async def later():
+                await asyncio.sleep(0.05)
+                await reg.update(job.job_id, progress=40, message="Working")
+
+            t0 = asyncio.get_running_loop().time()
+            task = asyncio.ensure_future(later())
+            # Generous wait; must return at the update, not the timeout.
+            await reg.wait_change(job.job_id, 5000)
+            elapsed = asyncio.get_running_loop().time() - t0
+            await task
+            assert elapsed < 2.0, f"woke by timeout, not update ({elapsed:.2f}s)"
+            assert reg.get(job.job_id).progress == 40
+
+        asyncio.run(run())
+
+    def test_wait_change_timeout_and_terminal(self):
+        async def run():
+            reg = JobRegistry()
+            job = await reg.create()
+            t0 = asyncio.get_running_loop().time()
+            await reg.wait_change(job.job_id, 80)  # nothing changes
+            assert asyncio.get_running_loop().time() - t0 >= 0.07
+            # Terminal and unknown jobs return immediately.
+            await reg.update(job.job_id, status=JobStatus.COMPLETED)
+            t0 = asyncio.get_running_loop().time()
+            await reg.wait_change(job.job_id, 5000)
+            await reg.wait_change("nope", 5000)
+            assert asyncio.get_running_loop().time() - t0 < 1.0
+
+        asyncio.run(run())
+
+    def test_wait_change_wakes_on_delete(self):
+        async def run():
+            from image_to_pointcloud_tpu.serve.http import HTTPError
+
+            reg = JobRegistry()
+            job = await reg.create()
+
+            async def later():
+                await asyncio.sleep(0.05)
+                await reg.delete(job.job_id)
+
+            task = asyncio.ensure_future(later())
+            with pytest.raises(HTTPError) as ei:
+                await reg.status_for(job.job_id, "5000")
+            await task
+            assert ei.value.status == 404
+
+        asyncio.run(run())
+
+    def test_status_for_validates_wait_ms(self):
+        async def run():
+            from image_to_pointcloud_tpu.serve.http import HTTPError
+
+            reg = JobRegistry()
+            job = await reg.create()
+            # None → instant snapshot, no validation involved.
+            assert (await reg.status_for(job.job_id, None)) is job
+            # Non-numeric → 400.
+            with pytest.raises(HTTPError) as ei:
+                await reg.status_for(job.job_id, "soon")
+            assert ei.value.status == 400
+            # Negative clamps to 0 (instant), absurd values clamp to 30 s
+            # (not waited out here — just must not raise).
+            assert (await reg.status_for(job.job_id, "-5")) is job
+            with pytest.raises(HTTPError):
+                await reg.status_for("nope", "100")
+
+        asyncio.run(run())
+
+    def test_each_transition_gets_a_fresh_event(self):
+        async def run():
+            reg = JobRegistry()
+            job = await reg.create()
+            await reg.update(job.job_id, progress=10)  # signal, no waiter
+            # A waiter arming AFTER that signal must not see a stale set().
+            t0 = asyncio.get_running_loop().time()
+            await reg.wait_change(job.job_id, 80)
+            assert asyncio.get_running_loop().time() - t0 >= 0.07
+
+        asyncio.run(run())
+
     def test_v1_v2_shapes(self):
         async def run():
             reg = JobRegistry()

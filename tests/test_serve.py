@@ -270,6 +270,49 @@ class TestV1:
         vert = read_ply(d.content)["vertex"]
         assert len(vert) == res["pointCloud"]["points"]
 
+    def test_status_long_poll(self, v1_server):
+        """Beyond-reference ``?wait_ms=`` long-poll (serve/jobs.py
+        status_for): completion is observed in at most one request per
+        state transition, with no sleep between requests; bad wait_ms
+        values 400 without touching the job."""
+        files = {"file": ("test.png", _test_image_png(), "image/png")}
+        r = httpx.post(f"{v1_server}/process", files=files, timeout=60)
+        assert r.status_code == 200
+        job_id = r.json()["job_id"]
+
+        # v1 milestones: pending→processing(10)→20→40→60→80→completed —
+        # at most one long-poll round per transition (coalescing under
+        # load can only reduce the count), plus the arming request.
+        requests = 0
+        final = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            s = httpx.get(
+                f"{v1_server}/status/{job_id}?wait_ms=3000", timeout=30
+            )
+            assert s.status_code == 200
+            requests += 1
+            data = s.json()
+            if data["status"] in ("completed", "error"):
+                final = data
+                break
+        assert final is not None and final["status"] == "completed"
+        # 7 transitions + armed-before-first + generous timeout slack
+        # (each 3 s wait can also lapse on a slow box): the bound that
+        # matters is "far fewer than 0.25 s-granularity polling" while
+        # proving the loop isn't spinning (instant unchanged returns
+        # would hit hundreds of requests inside 120 s).
+        assert requests <= 40, f"{requests} requests — long-poll not blocking"
+
+        # Completed jobs answer instantly regardless of wait_ms.
+        t0 = time.time()
+        s = httpx.get(f"{v1_server}/status/{job_id}?wait_ms=20000", timeout=30)
+        assert s.status_code == 200 and time.time() - t0 < 5.0
+
+        # Validation: non-numeric wait_ms is a 400, not a hang/500.
+        s = httpx.get(f"{v1_server}/status/{job_id}?wait_ms=abc", timeout=30)
+        assert s.status_code == 400
+
     def test_process_params_query_and_form(self, v1_server):
         """PARITY.md deviation 9: the reference declares settings as
         query params (backend/app.py:611-620) but its frontend sends
