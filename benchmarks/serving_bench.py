@@ -32,11 +32,12 @@ from collections import defaultdict
 import numpy as np
 
 
-def _test_png(seed: int) -> bytes:
+def _test_image(seed: int, fmt: str) -> tuple[str, bytes, str]:
+    """(filename, bytes, media type) for one synthetic upload."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
-    # Smooth-ish content: realistic PNG size and depth structure.
+    # Smooth-ish content: realistic compressed size and depth structure.
     x = np.linspace(0, 4, 518)
     base = (np.sin(x)[None, :] + np.cos(x * 1.3)[:, None] + 2) / 4
     img = np.stack(
@@ -44,11 +45,17 @@ def _test_png(seed: int) -> bytes:
     ).astype(np.uint8)
     noise = rng.integers(0, 24, img.shape, dtype=np.int16)
     # Saturate — u8 wraparound would speckle the bright bands and
-    # inflate PNG size beyond the intended "smooth-ish" content.
+    # inflate the compressed size beyond the intended content.
     img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
     buf = io.BytesIO()
+    if fmt == "jpeg":
+        # Quality 88 4:2:0 — the hybrid-ingest product path (launch the
+        # server with --jpeg-device-decode to skip the host pixel
+        # decode and ship DCT coefficients to the chip instead).
+        Image.fromarray(img).save(buf, format="JPEG", quality=88)
+        return "bench.jpg", buf.getvalue(), "image/jpeg"
     Image.fromarray(img).save(buf, format="PNG")
-    return buf.getvalue()
+    return "bench.png", buf.getvalue(), "image/png"
 
 
 def main() -> None:
@@ -61,6 +68,9 @@ def main() -> None:
     # The reference frontend polls at 1.5 s (App.jsx:1012); 0.25 s is
     # still 6x that. 0.05 s made the co-located load generator itself a
     # measurable server cost (240 req/s of polling on the shared core).
+    ap.add_argument("--input", choices=["png", "jpeg"], default="png",
+                    help="upload format; jpeg exercises the hybrid "
+                         "DCT ingest when the server enables it")
     ap.add_argument("--poll-s", type=float, default=0.25)
     ap.add_argument("--wait-ms", type=float, default=0.0,
                     help="long-poll /status?wait_ms= instead of sleeping "
@@ -71,14 +81,15 @@ def main() -> None:
 
     import httpx
 
-    pngs = [_test_png(i) for i in range(args.clients)]
+    uploads = [_test_image(i, args.input) for i in range(args.clients)]
     lock = threading.Lock()
     remaining = [args.jobs]
     latencies: list[float] = []
     stage_sums: dict[str, list[float]] = defaultdict(list)
     errors: list[str] = []
 
-    def one_job(client: httpx.Client, png: bytes, timed: bool) -> None:
+    def one_job(client: httpx.Client, upload, timed: bool) -> None:
+        name, data, media = upload
         t0 = time.perf_counter()
         r = client.post(
             f"{args.url}/process",
@@ -86,7 +97,7 @@ def main() -> None:
                 "output_format": args.format,
                 "point_density": args.density,
             },
-            files={"file": ("bench.png", png, "image/png")},
+            files={"file": (name, data, media)},
             timeout=120,
         )
         r.raise_for_status()
@@ -128,7 +139,7 @@ def main() -> None:
                         return
                     remaining[0] -= 1
                 try:
-                    one_job(client, pngs[idx % len(pngs)], timed=True)
+                    one_job(client, uploads[idx % len(uploads)], timed=True)
                 except Exception as e:  # noqa: BLE001
                     with lock:
                         errors.append(str(e))
@@ -136,7 +147,7 @@ def main() -> None:
     # Warmup (serial, untimed): first request compiles the XLA graph.
     with httpx.Client() as client:
         for _ in range(args.warmup):
-            one_job(client, pngs[0], timed=False)
+            one_job(client, uploads[0], timed=False)
 
     threads = [
         threading.Thread(target=worker, args=(i,)) for i in range(args.clients)
@@ -154,6 +165,7 @@ def main() -> None:
         "value": round(len(lat) / wall, 2) if wall > 0 else 0.0,
         "clients": args.clients,
         "wait_ms": args.wait_ms,
+        "input": args.input,
         "jobs_completed": len(lat),
         "errors": len(errors),
         "job_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1) if len(lat) else None,
