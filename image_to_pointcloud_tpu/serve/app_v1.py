@@ -225,27 +225,82 @@ class V1Service:
         while buckets[-1] < self.max_batch:
             buckets.append(buckets[-1] * 2)
         ok = 0
+        total = 0
         for h, w in self.warmup_sizes:
+            # Hybrid-ingest graphs compile per (JpegSpec, capacity,
+            # batch) signature; without warming them the first real
+            # JPEG upload of each size eats the same minutes-long
+            # remote compile the pixel path is protected from here.
+            # A photographic-statistics gradient+noise frame at PIL's
+            # default 4:2:0 subsampling lands in the spec and capacity
+            # bucket ordinary uploads hit.
+            jpeg_plan = None
+            if self.jpeg_device_decode:
+                try:
+                    import io as _io
+
+                    from PIL import Image as _Image
+
+                    from image_to_pointcloud_tpu.pipeline.graph import (
+                        plan_jpeg_input,
+                    )
+
+                    yy, xx = _np.mgrid[0:h, 0:w]
+                    rng = _np.random.default_rng(0)
+                    frame = (
+                        96.0
+                        + 64.0 * _np.sin(xx / 37.0)
+                        + 48.0 * _np.cos(yy / 23.0)
+                        + rng.normal(0.0, 6.0, (h, w))
+                    )
+                    frame = (
+                        _np.clip(frame, 0, 255)
+                        .astype(_np.uint8)[..., None]
+                        .repeat(3, axis=-1)
+                    )
+                    buf = _io.BytesIO()
+                    _Image.fromarray(frame).save(
+                        buf, format="JPEG", quality=88
+                    )
+                    jpeg_plan = plan_jpeg_input(buf.getvalue())
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("Warmup JPEG synth %dx%d: %s", h, w, e)
             for b in buckets:
-                logger.info("Warmup compile %dx%d batch=%d", h, w, b)
-                imgs = _np.zeros((b, h, w, 3), _np.uint8)
-                # A transient remote-compile failure (this rig's relay
-                # flaps) must not abort the rest of the warmup — the
-                # failed signature just compiles on first real use.
-                for attempt in (0, 1):
-                    try:
-                        pipeline.run_batch(imgs, options=PipelineOptions())
-                        ok += 1
-                        break
-                    except Exception as e:  # noqa: BLE001
-                        logger.warning(
-                            "Warmup %dx%d batch=%d failed (attempt %d): %s",
-                            h, w, b, attempt + 1, e,
-                        )
-        logger.info(
-            "Warmup complete (%d/%d signatures)",
-            ok, len(self.warmup_sizes) * len(buckets),
-        )
+                variants = [("pixel", None)]
+                if jpeg_plan is not None:
+                    variants.append(("jpeg", jpeg_plan))
+                for kind, plan in variants:
+                    total += 1
+                    logger.info(
+                        "Warmup compile %dx%d batch=%d (%s)", h, w, b, kind
+                    )
+                    # A transient remote-compile failure (this rig's
+                    # relay flaps) must not abort the rest of the
+                    # warmup — the failed signature just compiles on
+                    # first real use.
+                    for attempt in (0, 1):
+                        try:
+                            if plan is None:
+                                imgs = _np.zeros((b, h, w, 3), _np.uint8)
+                                pipeline.run_batch(
+                                    imgs, options=PipelineOptions()
+                                )
+                            else:
+                                pipeline.collect(
+                                    pipeline.submit_batch_jpeg(
+                                        [plan] * b,
+                                        options=PipelineOptions(),
+                                    )
+                                )
+                            ok += 1
+                            break
+                        except Exception as e:  # noqa: BLE001
+                            logger.warning(
+                                "Warmup %dx%d batch=%d (%s) failed "
+                                "(attempt %d): %s",
+                                h, w, b, kind, attempt + 1, e,
+                            )
+        logger.info("Warmup complete (%d/%d signatures)", ok, total)
 
     # ---------- pipeline task ----------
 

@@ -955,6 +955,54 @@ class TestWarmupResilience:
         # buckets 1,4,8 warmed once; bucket 2 tried twice.
         assert sorted(calls) == [1, 2, 2, 4, 8]
 
+    def test_warmup_covers_hybrid_jpeg_buckets(self, tmp_path):
+        """With --jpeg-device-decode the warmup must also compile the
+        hybrid-ingest graph per bucket (a cold JpegSpec signature costs
+        the same minutes-long remote compile the pixel path is warmed
+        against), using a synthesized photographic JPEG."""
+        pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+
+        from image_to_pointcloud_tpu.pipeline.graph import plan_jpeg_input
+        from image_to_pointcloud_tpu.serve.app_v1 import V1Service
+        from image_to_pointcloud_tpu.serve.models import ModelManager
+
+        probe = np.full((64, 64, 3), 128, np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(probe).save(buf, format="JPEG", quality=88)
+        if plan_jpeg_input(buf.getvalue()) is None:
+            pytest.skip("native jpeg module unavailable")
+
+        pixel_calls, jpeg_calls = [], []
+
+        class RecordingPipe:
+            def run_batch(self, images, depth_scales=None, options=None):
+                pixel_calls.append(len(images))
+                return []
+
+            def submit_batch_jpeg(self, jpegs, options=None):
+                jpeg_calls.append(len(jpegs))
+                return "handle"
+
+            def collect(self, handle):
+                assert handle == "handle"
+                return []
+
+        mm = ModelManager(use_bf16=False, use_flash_attention=False)
+        mm._cache["depth-anything-v2"] = RecordingPipe()
+        svc = V1Service(
+            output_dir=str(tmp_path), models=mm,
+            warmup_sizes=[(64, 64)], durable_jobs=False, max_batch=4,
+            jpeg_device_decode=True,
+        )
+        svc.warmup()
+        assert pixel_calls == [1, 2, 4]
+        # One shared JpegInput per size, submitted per bucket; every
+        # item of a bucket shares the spec (submit_batch_jpeg contract).
+        assert jpeg_calls == [1, 2, 4]
+
 
 class TestMeshPreviewColorPrecision:
     def test_colors_divide_in_f64(self):
