@@ -103,11 +103,14 @@ def capacity_bucket(nnz: int, total: int) -> int:
     return min(cap, total)
 
 
-def sparse_payload_bytes(nnz: int, total: int) -> int:
+def sparse_payload_bytes(nnz: int, total: int, block: int = 64) -> int:
     """H2D bytes per image for a sparse row at ``nnz``'s bucket: u8
     position + i16 value per slot, u8 count per block (qtables/scale
-    overhead excluded; it is shared with the dense layout)."""
-    return 3 * capacity_bucket(nnz, total) + total // 64
+    overhead excluded; it is shared with the dense layout). ``block``
+    is the per-block slot count k*k — the default 64 is the full-scale
+    k=8 layout; pass k*k for scaled-decode (k<8) specs or the count
+    bytes are understated."""
+    return 3 * capacity_bucket(nnz, total) + total // block
 
 
 def scatter_from_blocks(counts, pos, val, spec):

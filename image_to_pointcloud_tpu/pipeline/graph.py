@@ -313,11 +313,16 @@ def plan_jpeg_input(data: bytes) -> "JpegInput | None":
         r["width"], r["height"], r["ncomp"], tuple(r["h"]), tuple(r["v"]), k
     )
     coeffs = [host_truncate_coeffs(c, k) for c in r["coeffs"]]
-    counts, pos, val = block_pack(coeffs)
+    # Gate on the cheap nonzero count BEFORE building the pos/val
+    # arrays: a declined JPEG (dense coefficients) falls back to the
+    # full host decode, so any pack work done here is pure waste on
+    # exactly the most expensive uploads.
     if k >= 8:
         _, total = coeff_layout(spec)
-        if sparse_payload_bytes(len(pos), total) >= 0.75 * h * w * 3:
+        nnz = sum(int(np.count_nonzero(c)) for c in coeffs)
+        if sparse_payload_bytes(nnz, total) >= 0.75 * h * w * 3:
             return None
+    counts, pos, val = block_pack(coeffs)
     return JpegInput(
         spec=spec,
         coeffs=coeffs,

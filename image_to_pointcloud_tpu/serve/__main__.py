@@ -147,6 +147,15 @@ def main() -> None:
 
                 threading.Thread(target=app.warmup, daemon=True).start()
         else:
+            if args.jpeg_device_decode:
+                # v2's preprocess (matte, foreground crop, 512² resize —
+                # serve/processor3d.py) needs host pixels, so hybrid
+                # ingest cannot apply; say so instead of silently
+                # dropping the flag.
+                logging.getLogger(__name__).warning(
+                    "--jpeg-device-decode applies to --generation v1 "
+                    "only; ignored for v2"
+                )
             from image_to_pointcloud_tpu.serve.app_v2 import create_v2_app
 
             app = create_v2_app(

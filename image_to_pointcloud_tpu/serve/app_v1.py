@@ -263,6 +263,17 @@ class V1Service:
                         buf, format="JPEG", quality=88
                     )
                     jpeg_plan = plan_jpeg_input(buf.getvalue())
+                    if jpeg_plan is None:
+                        # None is a decline, not an error (native module
+                        # missing, or the sparse-margin gate rejected the
+                        # synth frame) — surface it, or the hybrid path
+                        # stays cold with a clean-looking warmup log and
+                        # the first real JPEG eats the remote compile.
+                        logger.warning(
+                            "Warmup JPEG %dx%d: plan_jpeg_input declined; "
+                            "hybrid-ingest graphs stay cold for this size",
+                            h, w,
+                        )
                 except Exception as e:  # noqa: BLE001
                     logger.warning("Warmup JPEG synth %dx%d: %s", h, w, e)
             for b in buckets:
