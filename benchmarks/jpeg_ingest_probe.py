@@ -11,28 +11,15 @@ Usage: python benchmarks/jpeg_ingest_probe.py [iters]
 
 from __future__ import annotations
 
-import io
 import sys
 import time
 
 import numpy as np
 
-
-def _photo(w, h, seed):
-    rng = np.random.default_rng(seed)
-    x = np.linspace(0, 4 * np.pi, w)
-    y = np.linspace(0, 3 * np.pi, h)
-    base = np.stack(
-        [
-            127 + 110 * np.sin(x)[None, :] * np.cos(y)[:, None],
-            127 + 90 * np.cos(2 * x)[None, :] + 0 * y[:, None],
-            127 + 70 * np.sin(y)[:, None] + 0 * x[None, :],
-        ],
-        -1,
-    )
-    return (base + rng.normal(0, 6.0, base.shape)).clip(0, 255).astype(
-        np.uint8
-    )
+# Same content as bench.py's inline copy (asserted identical by
+# tests/test_bench_contract.py) — the A/B ratio only explains the
+# headline if both measure the same JPEG payload.
+from synth import jpeg_bytes, photo
 
 
 def main() -> None:
@@ -46,8 +33,8 @@ def main() -> None:
 
     from image_to_pointcloud_tpu.models import DepthAnything, preset
     from image_to_pointcloud_tpu.ops.jpeg_sparse import (
-        capacity_bucket,
         coeff_layout,
+        sparse_payload_bytes,
     )
     from image_to_pointcloud_tpu.pipeline.graph import (
         DepthPipeline,
@@ -67,14 +54,8 @@ def main() -> None:
     pipe = DepthPipeline(cfg, params)
     opts = PipelineOptions(density="medium", refine=True)
 
-    from PIL import Image
-
-    imgs = np.stack([_photo(518, 518, s) for s in range(batch)])
-    datas = []
-    for i in range(batch):
-        buf = io.BytesIO()
-        Image.fromarray(imgs[i]).save(buf, "JPEG", quality=88)
-        datas.append(buf.getvalue())
+    imgs = np.stack([photo(518, 518, s) for s in range(batch)])
+    datas = [jpeg_bytes(imgs[i]) for i in range(batch)]
 
     t0 = time.perf_counter()
     jpegs = [plan_jpeg_input(d) for d in datas]
@@ -82,13 +63,21 @@ def main() -> None:
     assert all(j is not None for j in jpegs), "planner rejected a JPEG"
     spec = jpegs[0].spec
     _, total = coeff_layout(spec)
-    cap = capacity_bucket(max(len(j.pos) for j in jpegs), total)
-    sparse_row = total // 64 + 3 * cap + spec.ncomp * 64 * 4 + 4
+    # Per-image H2D bytes via the product accounting helper, plus the
+    # per-batch-row overheads shared with the dense layout (qtables,
+    # padded-length word) so the pixel comparison is apples-to-apples.
+    sparse_row = (
+        sparse_payload_bytes(
+            max(len(j.pos) for j in jpegs), total, spec.k * spec.k
+        )
+        + spec.ncomp * 64 * 4
+        + 4
+    )
     pixel_row = 518 * 518 * 3 + 4
     print(
         f"plan {plan_ms:.1f} ms/img host; payload/img: sparse "
         f"{sparse_row / 1024:.0f} KB vs pixels {pixel_row / 1024:.0f} KB "
-        f"({sparse_row / pixel_row:.2f}x), cap={cap}",
+        f"({sparse_row / pixel_row:.2f}x)",
         flush=True,
     )
 
