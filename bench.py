@@ -427,19 +427,20 @@ def main() -> None:
     try:
         scales = np.full((batch,), 10.0, np.float32)
         if jpeg_datas is not None:
-            from image_to_pointcloud_tpu.ops.jpeg_sparse import (
-                capacity_bucket,
-                coeff_layout,
+            from image_to_pointcloud_tpu.pipeline.graph import (
+                plan_sparse_batch,
             )
 
             jpegs = [plan_jpeg_input(d) for d in jpeg_datas]
             spec = jpegs[0].spec
-            _, total = coeff_layout(spec)
-            cap = capacity_bucket(max(len(j.pos) for j in jpegs), total)
+            caps = plan_sparse_batch(jpegs)
             fn = pipe.compiled_graph_jpeg(
-                batch, spec, opts, False, sparse_cap=cap
+                batch, spec, opts, False, sparse_cap=caps
             )
-            payload = pipe.pack_jpeg_sparse_payload(jpegs, scales, cap)
+            if caps is not None:
+                payload = pipe.pack_jpeg_sparse_payload(jpegs, scales, *caps)
+            else:
+                payload = pipe.pack_jpeg_payload(jpegs, scales)
         else:
             fn = pipe.compiled_graph(batch, (518, 518), opts, False)
             payload = pipe.pack_payload(imgs, scales)

@@ -32,14 +32,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     from image_to_pointcloud_tpu.models import DepthAnything, preset
-    from image_to_pointcloud_tpu.ops.jpeg_sparse import (
-        coeff_layout,
-        sparse_payload_bytes,
-    )
     from image_to_pointcloud_tpu.pipeline.graph import (
         DepthPipeline,
         PipelineOptions,
         plan_jpeg_input,
+        plan_sparse_batch,
     )
 
     import jax
@@ -61,18 +58,14 @@ def main() -> None:
     jpegs = [plan_jpeg_input(d) for d in datas]
     plan_ms = (time.perf_counter() - t0) * 1000 / batch
     assert all(j is not None for j in jpegs), "planner rejected a JPEG"
-    spec = jpegs[0].spec
-    _, total = coeff_layout(spec)
-    # Per-image H2D bytes via the product accounting helper, plus the
-    # per-batch-row overheads shared with the dense layout (qtables,
-    # padded-length word) so the pixel comparison is apples-to-apples.
-    sparse_row = (
-        sparse_payload_bytes(
-            max(len(j.pos) for j in jpegs), total, spec.k * spec.k
-        )
-        + spec.ncomp * 64 * 4
-        + 4
-    )
+    # Per-image H2D bytes from the product packer itself (includes the
+    # per-row overheads shared with the dense layout — qtables, padded
+    # scale word — so the pixel comparison is apples-to-apples).
+    caps = plan_sparse_batch(jpegs)
+    assert caps is not None, "chooser fell back to the dense payload"
+    sparse_row = pipe.pack_jpeg_sparse_payload(
+        jpegs, np.full((batch,), 10.0, np.float32), *caps
+    ).shape[1]
     pixel_row = 518 * 518 * 3 + 4
     print(
         f"plan {plan_ms:.1f} ms/img host; payload/img: sparse "

@@ -5,31 +5,40 @@ Quantized DCT coefficients are mostly zero (that is why JPEG works:
 typically 80-95% of the post-quantization values in a photographic
 image are 0). The dense hybrid payload (ops/jpeg.py) ships every
 coefficient as int16, which only beats raw pixels for scaled decodes
-(k<8). This module ships only the nonzeros, blocked:
+(k<8). This module ships only the nonzeros, blocked, with the value
+stream split by coefficient class (the "DC/AC split"):
 
-- one uint8 **count** per 8x8 block (nonzeros in that block),
+- one uint8 **count** per 8x8 block (AC nonzeros in that block),
+- one int16 **DC** per block, dense (DC is the block mean: it is
+  nearly always nonzero, and after Huffman DIFF undoing its magnitude
+  routinely exceeds int8 — so it ships dense and wide),
 - one uint8 **position** (row-major index within the k x k truncated
-  block, < 64) per nonzero,
-- one int16 **value** per nonzero,
+  block, 1..k^2-1) per AC nonzero,
+- one int8 **value** per AC nonzero — quantized AC magnitudes are
+  small by construction (the quantization table's whole job), so int8
+  covers photographic content outright,
+- a tiny **exception** side channel ((int32 slot, int16 value) pairs)
+  for the rare AC values outside int8 range, e.g. low-frequency
+  coefficients of synthetic high-contrast content at high quality.
 
-i.e. 3 bytes per nonzero + 1 byte per block + a padding bucket. For a
-quality-85 photo that is ~2.5-6x fewer H2D bytes than the raw pixels
-the payload replaces, *at every scale k including k=8 full
-resolution* — which extends the hybrid ingest from "only images the
-reference would downscale" (ops/jpeg.py `plan_scale`) to every JPEG
-upload. On this rig the serialized ~100 MB/s H2D link is the
-end-to-end bottleneck (benchmarks/RESULTS.md), so payload bytes
-convert directly into throughput.
+That is 2 bytes per AC nonzero + 3 bytes per block + padding buckets —
+~3.5-8x fewer H2D bytes than the raw pixels the payload replaces (and
+~28% fewer than the previous 3-bytes-per-nonzero layout), *at every
+scale k including k=8 full resolution*. On this rig the serialized
+~100 MB/s H2D link is the end-to-end bottleneck
+(benchmarks/RESULTS.md), so payload bytes convert directly into
+throughput.
 
 Device side, block ids rematerialize from the counts with a sorted
 scatter-add of block starts into a slot indicator plus one cumsum
 (XLA-friendly: no dynamic shapes, no binary search — ``searchsorted``
 lowers to a gather cascade that measured ~90% of the decode subgraph
-on TPU), the flat index is ``block * k^2 + position``, and a single
-sorted 1-D scatter rebuilds the dense coefficient grids —
-bit-identical to the dense payload's (tests/test_jpeg_sparse.py),
-feeding the exact same dequant + scaled-IDCT + color path
-(ops/jpeg.py `_decode_planes`).
+on TPU), the flat index is ``block * k^2 + position``, a single sorted
+1-D scatter rebuilds the AC slots of the dense coefficient grids, and
+one column write drops the dense DC stream into position 0 of every
+block — bit-identical to the dense payload's grids
+(tests/test_jpeg_sparse.py), feeding the exact same dequant +
+scaled-IDCT + color path (ops/jpeg.py `_decode_planes`).
 
 Reference behavior replaced: the host-side ``cv2.imdecode`` of uploads
 (reference backend/app.py:433); the fidelity notes in ops/jpeg.py
@@ -45,11 +54,13 @@ __all__ = [
     "block_pack",
     "capacity_bucket",
     "coeff_layout",
+    "exception_bucket",
     "scatter_from_blocks",
     "sparse_payload_bytes",
 ]
 
 _MIN_CAPACITY = 1024
+_MIN_EXC_CAPACITY = 16
 
 
 def coeff_layout(spec) -> tuple[tuple[int, ...], int]:
@@ -66,30 +77,52 @@ def coeff_layout(spec) -> tuple[tuple[int, ...], int]:
 
 def block_pack(
     coeffs: "list[np.ndarray]",
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray]:
     """Truncated host coefficients (per-component (BH, BW, k, k) int16,
-    the same arrays the dense payload ships) -> (counts u8, pos u8,
-    val i16). Blocks number consecutively across components in pack
-    order; positions are row-major within each k x k block; nonzeros
-    appear in flat-index order (sorted), which the device scatter
-    exploits."""
+    the same arrays the dense payload ships) -> (counts u8, dc i16,
+    pos u8, val i8, exc_idx i32, exc_val i16).
+
+    Blocks number consecutively across components in pack order; DC
+    (in-block position 0) ships dense in ``dc``; AC positions are
+    row-major within each k x k block (1..k^2-1); AC nonzeros appear in
+    flat-index order (sorted), which the device scatter exploits.
+    ``val`` holds the wrapped int8 image of each AC value; entries
+    outside int8 range are listed in (exc_idx, exc_val) — indices into
+    the ``val``/``pos`` streams, ascending — and overwrite the wrapped
+    byte device-side."""
     counts = []
+    dcs = []
     poss = []
     vals = []
     for c in coeffs:
         k2 = c.shape[2] * c.shape[3]
         flat = np.ascontiguousarray(c, np.int16).reshape(-1, k2)
-        nz = np.flatnonzero(flat)
-        counts.append(
-            np.count_nonzero(flat, axis=1).astype(np.uint8)
-        )
-        poss.append((nz % k2).astype(np.uint8))
-        vals.append(flat.reshape(-1)[nz])
-    return np.concatenate(counts), np.concatenate(poss), np.concatenate(vals)
+        dcs.append(flat[:, 0])
+        if k2 == 1:  # k=1 blocks are DC-only
+            counts.append(np.zeros(flat.shape[0], np.uint8))
+            continue
+        ac = flat[:, 1:]
+        nz = np.flatnonzero(ac)
+        counts.append(np.count_nonzero(ac, axis=1).astype(np.uint8))
+        poss.append((nz % (k2 - 1) + 1).astype(np.uint8))
+        vals.append(ac.reshape(-1)[nz])
+    val = (
+        np.concatenate(vals) if vals else np.zeros(0, np.int16)
+    ).astype(np.int16, copy=False)
+    wide = np.flatnonzero((val < -128) | (val > 127))
+    return (
+        np.concatenate(counts),
+        np.concatenate(dcs).astype(np.int16, copy=False),
+        (np.concatenate(poss) if poss else np.zeros(0, np.uint8)),
+        val.astype(np.int8),  # wraps wide entries; exceptions overwrite
+        wide.astype(np.int32),
+        val[wide],
+    )
 
 
 def capacity_bucket(nnz: int, total: int) -> int:
-    """Padding bucket for a nonzero count: powers of two plus one
+    """Padding bucket for an AC nonzero count: powers of two plus one
     midpoint step (x1.5), so padding waste stays under ~33% while the
     number of distinct compiled signatures stays small (every distinct
     capacity is a distinct compile, exactly like the serving batcher's
@@ -103,20 +136,41 @@ def capacity_bucket(nnz: int, total: int) -> int:
     return min(cap, total)
 
 
-def sparse_payload_bytes(nnz: int, total: int, block: int = 64) -> int:
-    """H2D bytes per image for a sparse row at ``nnz``'s bucket: u8
-    position + i16 value per slot, u8 count per block (qtables/scale
-    overhead excluded; it is shared with the dense layout). ``block``
-    is the per-block slot count k*k — the default 64 is the full-scale
-    k=8 layout; pass k*k for scaled-decode (k<8) specs or the count
-    bytes are understated."""
-    return 3 * capacity_bucket(nnz, total) + total // block
+def exception_bucket(nexc: int) -> int:
+    """Padding bucket for the exception side channel: x4 steps from a
+    16-entry floor. Photographic content has zero exceptions, so the
+    floor (96 payload bytes) keeps one compiled signature for the
+    common case; coarse steps bound the signature count for synthetic
+    content without letting 6-byte entries balloon the row."""
+    cap = _MIN_EXC_CAPACITY
+    while cap < nexc:
+        cap *= 4
+    return cap
 
 
-def scatter_from_blocks(counts, pos, val, spec):
-    """Device half: ((nblocks,) int32 counts, (cap,) int32 in-block
-    positions, (cap,) int16 values) -> per-component (BH, BW, k, k)
-    int16 grids, bit-identical to the dense payload's.
+def sparse_payload_bytes(
+    nnz_ac: int, nexc: int, total: int, block: int = 64
+) -> int:
+    """H2D bytes per image for a split sparse row at the given buckets:
+    u8 position + i8 value per AC slot, u8 count + i16 DC per block,
+    6 bytes per exception slot (qtables/scale overhead excluded; it is
+    shared with the dense layout). ``block`` is the per-block slot
+    count k*k — the default 64 is the full-scale k=8 layout; pass k*k
+    for scaled-decode (k<8) specs or the per-block bytes are
+    understated."""
+    return (
+        2 * capacity_bucket(nnz_ac, total)
+        + 3 * (total // block)
+        + 6 * exception_bucket(nexc)
+    )
+
+
+def scatter_from_blocks(counts, dc, pos, val, exc_idx, exc_val, spec):
+    """Device half: ((nblocks,) int32 AC counts, (nblocks,) int16 DC,
+    (cap,) int32 in-block positions, (cap,) int8 AC values,
+    (ecap,) int32 exception slots, (ecap,) int16 exception values) ->
+    per-component (BH, BW, k, k) int16 grids, bit-identical to the
+    dense payload's.
 
     Slot -> block recovery: block starts (exclusive cumsum of counts)
     scatter-add +1 into a per-slot indicator, whose inclusive cumsum at
@@ -126,10 +180,15 @@ def scatter_from_blocks(counts, pos, val, spec):
     always starts at 0, so the id is never negative). Both the scatter
     and the cumsum are O(cap) with tiny constants — replacing
     ``searchsorted``, whose gather cascade dominated the whole decode
-    subgraph on TPU (benchmarks/RESULTS.md). Padding slots (beyond the
-    nonzero total) route to a sacrificial tail slot that the
+    subgraph on TPU (benchmarks/RESULTS.md).
+
+    The int8 AC stream widens to int16 and the exception pairs
+    overwrite their wrapped slots through a sacrificial tail entry
+    (pad exceptions point at index ``cap``). Padding AC slots (beyond
+    the nonzero total) route to a sacrificial dense slot that the
     per-component slices never read; all pads write the same slot so
-    scatter order cannot matter."""
+    scatter order cannot matter. DC lands last via one column write on
+    the (nblocks, k^2) view — position 0 of every block."""
     sizes, total = coeff_layout(spec)
     k2 = spec.k * spec.k
     counts = counts.astype(jnp.int32)
@@ -144,16 +203,29 @@ def scatter_from_blocks(counts, pos, val, spec):
     block = jnp.cumsum(indicator) - 1
     flat = block * k2 + pos
     flat = jnp.where(slot < nnz, flat, total)
+    val16 = jnp.concatenate(
+        [val.astype(jnp.int16), jnp.zeros((1,), jnp.int16)]
+    )
+    val16 = val16.at[exc_idx].set(
+        exc_val, indices_are_sorted=True, mode="drop"
+    )[:-1]
     dense = (
         jnp.zeros(total + 1, jnp.int16)
         .at[flat]
-        .set(val, indices_are_sorted=True, mode="drop")
+        .set(val16, indices_are_sorted=True, mode="drop")
+    )
+    grids = (
+        dense[:total]
+        .reshape(total // k2, k2)
+        .at[:, 0]
+        .set(dc.astype(jnp.int16))
+        .reshape(-1)
     )
     out = []
     off = 0
     for c in range(spec.ncomp):
         bh, bw = spec.block_grid(c)
         n = sizes[c]
-        out.append(dense[off : off + n].reshape(bh, bw, spec.k, spec.k))
+        out.append(grids[off : off + n].reshape(bh, bw, spec.k, spec.k))
         off += n
     return tuple(out)

@@ -199,13 +199,15 @@ def _unpack_jpeg_batch(payload_u8: jax.Array, spec) -> tuple[jax.Array, jax.Arra
 
 
 def _unpack_jpeg_sparse_batch(
-    payload_u8: jax.Array, spec, cap: int
+    payload_u8: jax.Array, spec, cap: int, exc_cap: int
 ) -> tuple[jax.Array, jax.Array]:
     """Sparse hybrid-ingest payload rows → ((B, oh, ow, 3) f32 RGB,
     (B,) f32 depth scales). Row layout (matching
     ``DepthPipeline.pack_jpeg_sparse_payload``):
-    [per-block u8 nonzero counts | (cap,) u8 in-block positions |
-    (cap,) int16 values | (ncomp·64) f32 qtables | f32 depth_scale]."""
+    [per-block u8 AC counts | per-block i16 DC | (cap,) u8 in-block
+    positions | (cap,) i8 AC values | (exc_cap,) i32 exception slots |
+    (exc_cap,) i16 exception values | (ncomp·64) f32 qtables |
+    f32 depth_scale]."""
     from image_to_pointcloud_tpu.ops.jpeg import _decode_planes
     from image_to_pointcloud_tpu.ops.jpeg_sparse import (
         coeff_layout,
@@ -217,12 +219,27 @@ def _unpack_jpeg_sparse_batch(
     nblocks = total // (spec.k * spec.k)
     counts = payload_u8[:, :nblocks].astype(jnp.int32)
     off = nblocks
+    dc = jax.lax.bitcast_convert_type(
+        payload_u8[:, off : off + 2 * nblocks].reshape(b, nblocks, 2),
+        jnp.int16,
+    )
+    off += 2 * nblocks
     pos = payload_u8[:, off : off + cap].astype(jnp.int32)
     off += cap
     val = jax.lax.bitcast_convert_type(
-        payload_u8[:, off : off + 2 * cap].reshape(b, cap, 2), jnp.int16
+        payload_u8[:, off : off + cap].reshape(b, cap, 1), jnp.int8
+    ).reshape(b, cap)
+    off += cap
+    exc_idx = jax.lax.bitcast_convert_type(
+        payload_u8[:, off : off + 4 * exc_cap].reshape(b, exc_cap, 4),
+        jnp.int32,
     )
-    off += 2 * cap
+    off += 4 * exc_cap
+    exc_val = jax.lax.bitcast_convert_type(
+        payload_u8[:, off : off + 2 * exc_cap].reshape(b, exc_cap, 2),
+        jnp.int16,
+    )
+    off += 2 * exc_cap
     nq = spec.ncomp * 64 * 4
     qt = jax.lax.bitcast_convert_type(
         payload_u8[:, off : off + nq].reshape(b, spec.ncomp, 64, 4),
@@ -233,10 +250,12 @@ def _unpack_jpeg_sparse_batch(
         payload_u8[:, off : off + 4], jnp.float32
     ).reshape(-1)
 
-    def one(c, p, v, q):
-        return _decode_planes(scatter_from_blocks(c, p, v, spec), q, spec)
+    def one(c, d, p, v, ei, ev, q):
+        return _decode_planes(
+            scatter_from_blocks(c, d, p, v, ei, ev, spec), q, spec
+        )
 
-    return jax.vmap(one)(counts, pos, val, qt), scales
+    return jax.vmap(one)(counts, dc, pos, val, exc_idx, exc_val, qt), scales
 
 
 @dataclasses.dataclass
@@ -249,24 +268,37 @@ class JpegInput:
     spec: Any  # ops.jpeg.JpegSpec
     coeffs: list  # per-component (BH, BW, k, k) int16, natural order
     qtables: np.ndarray  # (ncomp, 64) float32, natural order
-    # Sparse blocked encoding (ops/jpeg_sparse.py), computed lazily:
-    counts: "np.ndarray | None" = None  # (nblocks,) u8
-    pos: "np.ndarray | None" = None  # (nnz,) u8
-    val: "np.ndarray | None" = None  # (nnz,) i16
+    # Split sparse blocked encoding (ops/jpeg_sparse.py), lazy:
+    counts: "np.ndarray | None" = None  # (nblocks,) u8 AC counts
+    dc: "np.ndarray | None" = None  # (nblocks,) i16
+    pos: "np.ndarray | None" = None  # (nnz_ac,) u8
+    val: "np.ndarray | None" = None  # (nnz_ac,) i8
+    exc_idx: "np.ndarray | None" = None  # (nexc,) i32 slots into pos/val
+    exc_val: "np.ndarray | None" = None  # (nexc,) i16
 
     @property
     def orig_hw(self) -> tuple[int, int]:
         return self.spec.height, self.spec.width
 
-    def sparse(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(counts, pos, val) of the blocked sparse encoding, packed on
-        first use and cached (plan_jpeg_input pre-packs on its worker
-        thread so the serving drain never pays this)."""
+    def sparse(
+        self,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+               np.ndarray]:
+        """(counts, dc, pos, val, exc_idx, exc_val) of the split sparse
+        encoding, packed on first use and cached (plan_jpeg_input
+        pre-packs on its worker thread so the serving drain never pays
+        this)."""
         if self.counts is None:
             from image_to_pointcloud_tpu.ops.jpeg_sparse import block_pack
 
-            self.counts, self.pos, self.val = block_pack(self.coeffs)
-        return self.counts, self.pos, self.val
+            (
+                self.counts, self.dc, self.pos, self.val,
+                self.exc_idx, self.exc_val,
+            ) = block_pack(self.coeffs)
+        return (
+            self.counts, self.dc, self.pos, self.val,
+            self.exc_idx, self.exc_val,
+        )
 
     @property
     def dense_bytes(self) -> int:
@@ -313,24 +345,57 @@ def plan_jpeg_input(data: bytes) -> "JpegInput | None":
         r["width"], r["height"], r["ncomp"], tuple(r["h"]), tuple(r["v"]), k
     )
     coeffs = [host_truncate_coeffs(c, k) for c in r["coeffs"]]
-    # Gate on the cheap nonzero count BEFORE building the pos/val
+    # Gate on cheap full-array counts BEFORE building the pos/val
     # arrays: a declined JPEG (dense coefficients) falls back to the
     # full host decode, so any pack work done here is pure waste on
     # exactly the most expensive uploads.
     if k >= 8:
         _, total = coeff_layout(spec)
-        nnz = sum(int(np.count_nonzero(c)) for c in coeffs)
-        if sparse_payload_bytes(nnz, total) >= 0.75 * h * w * 3:
+        nnz_ac = 0
+        nexc = 0
+        for c in coeffs:
+            nnz_ac += int(np.count_nonzero(c)) - int(
+                np.count_nonzero(c[:, :, 0, 0])
+            )
+            wide = (c < -128) | (c > 127)
+            wide[:, :, 0, 0] = False  # DC ships dense i16 regardless
+            nexc += int(np.count_nonzero(wide))
+        if sparse_payload_bytes(nnz_ac, nexc, total) >= 0.75 * h * w * 3:
             return None
-    counts, pos, val = block_pack(coeffs)
+    counts, dc, pos, val, exc_idx, exc_val = block_pack(coeffs)
     return JpegInput(
         spec=spec,
         coeffs=coeffs,
         qtables=r["qtables"].astype(np.float32),
         counts=counts,
+        dc=dc,
         pos=pos,
         val=val,
+        exc_idx=exc_idx,
+        exc_val=exc_val,
     )
+
+
+def plan_sparse_batch(jpegs: "list[JpegInput]") -> "tuple[int, int] | None":
+    """(AC capacity, exception capacity) buckets for one hybrid batch,
+    or None when the dense int16 payload ships fewer bytes (so the
+    batch should take the dense graph). ONE chooser — serving
+    (``submit_batch_jpeg``) and the benches share it, so measured
+    payloads are the product's payloads."""
+    from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+        capacity_bucket,
+        coeff_layout,
+        exception_bucket,
+    )
+
+    spec = jpegs[0].spec
+    _, total = coeff_layout(spec)
+    nblocks = total // (spec.k * spec.k)
+    cap = capacity_bucket(max(len(j.sparse()[2]) for j in jpegs), total)
+    exc_cap = exception_bucket(max(len(j.sparse()[4]) for j in jpegs))
+    if 3 * nblocks + 2 * cap + 6 * exc_cap < 2 * total:
+        return cap, exc_cap
+    return None
 
 
 def _outlier_mask_from_means(means: jax.Array) -> jax.Array:
@@ -517,7 +582,7 @@ class DepthPipeline:
         batch: int,
         preview: bool = True,
         jpeg_spec=None,
-        jpeg_sparse_cap: "int | None" = None,
+        jpeg_sparse_cap: "tuple[int, int] | None" = None,
     ):
         """Compile the full fused graph for one (input size, batch) signature.
 
@@ -556,10 +621,11 @@ class DepthPipeline:
             # rides inside the image upload instead of its own put.
             # (JPEG mode: [coeff int16 LE bytes per comp | qtables f32 |
             # depth_scale f32] per row, ~k²/64·1.5·2 bytes/pixel; sparse
-            # JPEG mode ships only nonzero coefficients, ~3 bytes each.)
+            # JPEG mode ships dense i16 DC per block plus ~2 bytes per
+            # AC nonzero.)
             if jpeg_spec is not None and jpeg_sparse_cap is not None:
                 img, depth_scales = _unpack_jpeg_sparse_batch(
-                    payload_u8, jpeg_spec, jpeg_sparse_cap
+                    payload_u8, jpeg_spec, *jpeg_sparse_cap
                 )
             elif jpeg_spec is not None:
                 img, depth_scales = _unpack_jpeg_batch(payload_u8, jpeg_spec)
@@ -799,11 +865,12 @@ class DepthPipeline:
         spec,
         options: PipelineOptions,
         want_preview: bool,
-        sparse_cap: "int | None" = None,
+        sparse_cap: "tuple[int, int] | None" = None,
     ):
         """Hybrid-ingest variant of :meth:`compiled_graph`; the JpegSpec
         (frozen dataclass) is the shape part of the signature, plus the
-        sparse capacity bucket when the payload is nonzero-packed."""
+        (AC capacity, exception capacity) buckets when the payload is
+        nonzero-packed (see :func:`plan_sparse_batch`)."""
         key = ("depth-jpeg", batch, spec, options, want_preview, sparse_cap)
         return self._get(
             key,
@@ -842,31 +909,48 @@ class DepthPipeline:
 
     @staticmethod
     def pack_jpeg_sparse_payload(
-        jpegs: "list[JpegInput]", depth_scales: np.ndarray, cap: int
+        jpegs: "list[JpegInput]",
+        depth_scales: np.ndarray,
+        cap: int,
+        exc_cap: int,
     ) -> np.ndarray:
         """Sparse variant of :meth:`pack_jpeg_payload`: one (B, nbytes)
-        u8 H2D buffer of blocked nonzero coefficients
+        u8 H2D buffer of blocked split-sparse coefficients
         (ops/jpeg_sparse.py). Row layout matches
-        ``_unpack_jpeg_sparse_batch``: [counts u8 | pos u8 ×cap |
-        val i16 ×cap | qtables f32 | depth_scale f32]."""
+        ``_unpack_jpeg_sparse_batch``: [AC counts u8 | dc i16 |
+        pos u8 ×cap | val i8 ×cap | exc_idx i32 ×exc_cap |
+        exc_val i16 ×exc_cap | qtables f32 | depth_scale f32]. Padding
+        exception slots point at index ``cap`` (the device's
+        sacrificial tail entry)."""
         rows = []
         scales = np.ascontiguousarray(depth_scales, np.float32)
         for j, s in zip(jpegs, scales):
-            counts, pos, val = j.sparse()
+            counts, dc, pos, val, exc_idx, exc_val = j.sparse()
             if len(pos) > cap:
                 raise ValueError(
                     f"nnz {len(pos)} exceeds capacity bucket {cap}"
                 )
+            if len(exc_idx) > exc_cap:
+                raise ValueError(
+                    f"nexc {len(exc_idx)} exceeds exception bucket {exc_cap}"
+                )
             ppos = np.zeros(cap, np.uint8)
             ppos[: len(pos)] = pos
-            pval = np.zeros(cap, np.int16)
+            pval = np.zeros(cap, np.int8)
             pval[: len(val)] = val
+            pei = np.full(exc_cap, cap, np.int32)
+            pei[: len(exc_idx)] = exc_idx
+            pev = np.zeros(exc_cap, np.int16)
+            pev[: len(exc_val)] = exc_val
             rows.append(
                 np.concatenate(
                     [
                         np.ascontiguousarray(counts, np.uint8),
+                        np.ascontiguousarray(dc, np.int16).view(np.uint8),
                         ppos,
                         pval.view(np.uint8),
+                        pei.view(np.uint8),
+                        pev.view(np.uint8),
                         np.ascontiguousarray(j.qtables, np.float32)
                         .view(np.uint8)
                         .ravel(),
@@ -941,22 +1025,18 @@ class DepthPipeline:
             depth_scales = np.concatenate(
                 [depth_scales, depth_scales[-1:].repeat(pad)]
             )
-        # Encoding choice: blocked-sparse wins whenever the batch's
-        # capacity bucket ships fewer bytes than the dense int16 grids
-        # (photographic content: always; quality-100 noise: dense).
-        from image_to_pointcloud_tpu.ops.jpeg_sparse import (
-            capacity_bucket,
-            coeff_layout,
-        )
-
-        _, total = coeff_layout(spec)
-        cap = capacity_bucket(max(len(j.sparse()[1]) for j in jpegs), total)
-        nblocks = total // (spec.k * spec.k)
-        if nblocks + 3 * cap < 2 * total:
+        # Encoding choice: blocked split-sparse wins whenever the
+        # batch's capacity buckets ship fewer bytes than the dense
+        # int16 grids (photographic content: always; q-100 noise:
+        # dense).
+        caps = plan_sparse_batch(jpegs)
+        if caps is not None:
             fn = self.compiled_graph_jpeg(
-                b + pad, spec, options, want_preview, sparse_cap=cap
+                b + pad, spec, options, want_preview, sparse_cap=caps
             )
-            payload = self.pack_jpeg_sparse_payload(jpegs, depth_scales, cap)
+            payload = self.pack_jpeg_sparse_payload(
+                jpegs, depth_scales, *caps
+            )
         else:
             fn = self.compiled_graph_jpeg(b + pad, spec, options, want_preview)
             payload = self.pack_jpeg_payload(jpegs, depth_scales)

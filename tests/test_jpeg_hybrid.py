@@ -359,18 +359,20 @@ class TestHybridPipeline:
         full-scale (k=8) JPEGs engage too: the payload must ship well
         under the raw pixel bytes it replaces."""
         from image_to_pointcloud_tpu.ops.jpeg_sparse import (
-            capacity_bucket,
             coeff_layout,
+            sparse_payload_bytes,
         )
         from image_to_pointcloud_tpu.pipeline.graph import plan_jpeg_input
 
         small = _encode(_photo(w=400, h=300, noise=6.0), quality=88)
         ji = plan_jpeg_input(small)
         assert ji is not None and ji.spec.k == 8
-        counts, pos, val = ji.sparse()
+        _, _, pos, _, exc_idx, _ = ji.sparse()
         _, total = coeff_layout(ji.spec)
-        cap = capacity_bucket(len(pos), total)
-        assert total // 64 + 3 * cap < 0.75 * 400 * 300 * 3
+        assert (
+            sparse_payload_bytes(len(pos), len(exc_idx), total)
+            < 0.75 * 400 * 300 * 3
+        )
 
     def test_plan_gates_non_jpeg_and_dense_content(self):
         from image_to_pointcloud_tpu.pipeline.graph import plan_jpeg_input

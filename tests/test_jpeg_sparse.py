@@ -1,6 +1,7 @@
-"""Sparse coefficient payload (ops/jpeg_sparse.py): pack/scatter
+"""Split sparse coefficient payload (ops/jpeg_sparse.py): pack/scatter
 roundtrip is bit-identical to the dense hybrid payload, padding slots
-are inert, and the byte accounting that gates engagement is honest.
+are inert, the int8-AC exception side channel restores wide values
+exactly, and the byte accounting that gates engagement is honest.
 
 Capability slot: the H2D half of the reference's upload ingest
 (backend/app.py:433) — same fidelity contract as ops/jpeg.py, fewer
@@ -36,17 +37,29 @@ def _random_coeffs(spec, density=0.1, seed=0):
     return out
 
 
-def _pad_and_scatter(counts, pos, val, spec):
-    """Pad to the capacity bucket exactly as the payload packer does,
+def _pad_and_scatter(packed, spec):
+    """Pad to the capacity buckets exactly as the payload packer does,
     then run the device scatter."""
+    counts, dc, pos, val, exc_idx, exc_val = packed
     _, total = sp.coeff_layout(spec)
     cap = sp.capacity_bucket(len(pos), total)
+    ecap = sp.exception_bucket(len(exc_idx))
     ppos = np.zeros(cap, np.uint8)
-    pval = np.zeros(cap, np.int16)
+    pval = np.zeros(cap, np.int8)
     ppos[: len(pos)] = pos
     pval[: len(val)] = val
+    pei = np.full(ecap, cap, np.int32)
+    pei[: len(exc_idx)] = exc_idx
+    pev = np.zeros(ecap, np.int16)
+    pev[: len(exc_val)] = exc_val
     return sp.scatter_from_blocks(
-        counts.astype(np.int32), ppos.astype(np.int32), pval, spec
+        counts.astype(np.int32),
+        dc,
+        ppos.astype(np.int32),
+        pval,
+        pei,
+        pev,
+        spec,
     )
 
 
@@ -55,24 +68,60 @@ class TestPackScatter:
         "w,h,ncomp,k", [(250, 179, 3, 8), (250, 179, 3, 2), (64, 64, 1, 8)]
     )
     def test_roundtrip_bit_identical(self, w, h, ncomp, k):
+        # ±1024 random coefficients: most AC nonzeros are WIDE, so this
+        # also hammers the exception channel.
         spec = _spec(w, h, ncomp, k=k)
         coeffs = _random_coeffs(spec, seed=ncomp * k)
-        counts, pos, val = sp.block_pack(coeffs)
+        packed = sp.block_pack(coeffs)
+        counts, dc, pos, val, exc_idx, exc_val = packed
         _, total = sp.coeff_layout(spec)
         assert total == sum(c.size for c in coeffs)
         assert counts.sum() == len(pos) == len(val)
-        assert len(counts) == total // (k * k)
-        back = _pad_and_scatter(counts, pos, val, spec)
+        assert len(counts) == len(dc) == total // (k * k)
+        assert pos.min() >= 1  # DC never rides the AC stream
+        back = _pad_and_scatter(packed, spec)
         for a, b in zip(coeffs, back):
             np.testing.assert_array_equal(a, np.asarray(b))
 
     def test_all_zero_image(self):
         spec = _spec(64, 48, ncomp=1)
         coeffs = [np.zeros(spec.block_grid(0) + (8, 8), np.int16)]
-        counts, pos, val = sp.block_pack(coeffs)
-        assert pos.size == 0 and val.size == 0
-        back = _pad_and_scatter(counts, pos, val, spec)
+        packed = sp.block_pack(coeffs)
+        assert packed[2].size == 0 and packed[4].size == 0
+        back = _pad_and_scatter(packed, spec)
         assert not np.asarray(back[0]).any()
+
+    def test_narrow_ac_has_no_exceptions(self):
+        # Values inside int8 ride the 1-byte stream alone.
+        spec = _spec(80, 64, ncomp=1)
+        rng = np.random.default_rng(7)
+        c = (
+            rng.integers(-128, 128, spec.block_grid(0) + (8, 8))
+            * (rng.random(spec.block_grid(0) + (8, 8)) < 0.2)
+        ).astype(np.int16)
+        c[..., 0, 0] = rng.integers(-900, 900, spec.block_grid(0))  # wide DC ok
+        packed = sp.block_pack([c])
+        assert packed[4].size == 0  # no exceptions
+        back = _pad_and_scatter(packed, spec)
+        np.testing.assert_array_equal(c, np.asarray(back[0]))
+
+    def test_exception_boundaries(self):
+        # ±128 edge cases: -128 fits int8, +128 and beyond do not.
+        spec = _spec(32, 8, ncomp=1, hv=((1,), (1,)))  # 1x4 blocks
+        c = np.zeros((1, 4, 8, 8), np.int16)
+        c[0, 0, 0, 1] = -128
+        c[0, 1, 0, 1] = 127
+        c[0, 2, 0, 1] = 128
+        c[0, 2, 3, 3] = -129
+        c[0, 3, 7, 7] = 1023
+        c[0, 3, 0, 0] = -1024  # DC: dense i16, never an exception
+        packed = sp.block_pack([c])
+        counts, dc, pos, val, exc_idx, exc_val = packed
+        assert len(exc_idx) == 3
+        np.testing.assert_array_equal(np.sort(exc_val), [-129, 128, 1023])
+        assert dc[3] == -1024
+        back = _pad_and_scatter(packed, spec)
+        np.testing.assert_array_equal(c, np.asarray(back[0]))
 
     def test_dense_fallback_capacity(self):
         # Pathological (all-nonzero) coefficients: the bucket caps at
@@ -80,11 +129,12 @@ class TestPackScatter:
         spec = _spec(40, 40, ncomp=1)
         coeffs = _random_coeffs(spec, density=1.0, seed=3)
         coeffs[0][coeffs[0] == 0] = 1
-        counts, pos, val = sp.block_pack(coeffs)
+        packed = sp.block_pack(coeffs)
+        counts, dc, pos, val, exc_idx, exc_val = packed
         _, total = sp.coeff_layout(spec)
         assert sp.capacity_bucket(len(pos), total) == total
-        assert (counts == 64).all()
-        back = _pad_and_scatter(counts, pos, val, spec)
+        assert (counts == 63).all()  # 64 minus the DC slot
+        back = _pad_and_scatter(packed, spec)
         np.testing.assert_array_equal(coeffs[0], np.asarray(back[0]))
 
 
@@ -97,6 +147,12 @@ class TestByteAccounting:
         assert sp.capacity_bucket(3000, 10**9) == 3072
         assert sp.capacity_bucket(5000, 4096) == 4096
 
+    def test_exception_bucket_steps(self):
+        assert sp.exception_bucket(0) == 16
+        assert sp.exception_bucket(16) == 16
+        assert sp.exception_bucket(17) == 64
+        assert sp.exception_bucket(65) == 256
+
     def test_buckets_bound_padding_waste(self):
         for nnz in range(1024, 300000, 997):
             cap = sp.capacity_bucket(nnz, 10**9)
@@ -104,8 +160,9 @@ class TestByteAccounting:
 
     def test_real_photo_beats_pixels(self):
         # A quality-85 photo-like JPEG at full scale (k=8) must ship
-        # well under half its raw pixel bytes — the whole point of the
-        # sparse path (dense k=8 is ~pixel-sized).
+        # well under 40% of its raw pixel bytes — the point of the
+        # split layout (the previous 3B/nnz layout measured ~0.5x,
+        # dense k=8 is ~pixel-sized).
         if not native.available():
             pytest.skip("native toolchain unavailable")
         from PIL import Image
@@ -118,10 +175,13 @@ class TestByteAccounting:
         r = native.jpeg_coefficients(buf.getvalue())
         spec = _spec(518, 518, hv=(tuple(r["h"]), tuple(r["v"])))
         coeffs = [devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]]
-        _, pos, _ = sp.block_pack(coeffs)
+        _, _, pos, _, exc_idx, _ = sp.block_pack(coeffs)
         _, total = sp.coeff_layout(spec)
         pixel_bytes = 518 * 518 * 3
-        assert sp.sparse_payload_bytes(len(pos), total) < 0.55 * pixel_bytes
+        assert (
+            sp.sparse_payload_bytes(len(pos), len(exc_idx), total)
+            < 0.40 * pixel_bytes
+        )
 
 
 class TestPipelineSparseEqualsDense:
@@ -138,14 +198,11 @@ class TestPipelineSparseEqualsDense:
         from test_jpeg_hybrid import _photo
         from test_model_parity import _build_pair
 
-        from image_to_pointcloud_tpu.ops.jpeg_sparse import (
-            capacity_bucket,
-            coeff_layout,
-        )
         from image_to_pointcloud_tpu.pipeline.graph import (
             DepthPipeline,
             JpegInput,
             PipelineOptions,
+            plan_sparse_batch,
         )
 
         _, model, variables = _build_pair(image_size=56)
@@ -166,18 +223,18 @@ class TestPipelineSparseEqualsDense:
             coeffs=[devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]],
             qtables=r["qtables"].astype(np.float32),
         )
-        _, total = coeff_layout(spec)
-        cap = capacity_bucket(len(ji.sparse()[1]), total)
+        caps = plan_sparse_batch([ji])
+        assert caps is not None
         opts = PipelineOptions()
         scales = np.array([10.0], np.float32)
         fn_d = pipe.compiled_graph_jpeg(1, spec, opts, False)
-        fn_s = pipe.compiled_graph_jpeg(1, spec, opts, False, sparse_cap=cap)
+        fn_s = pipe.compiled_graph_jpeg(1, spec, opts, False, sparse_cap=caps)
         out_d, _ = fn_d(
             pipe.params, jnp.asarray(pipe.pack_jpeg_payload([ji], scales))
         )
         out_s, _ = fn_s(
             pipe.params,
-            jnp.asarray(pipe.pack_jpeg_sparse_payload([ji], scales, cap)),
+            jnp.asarray(pipe.pack_jpeg_sparse_payload([ji], scales, *caps)),
         )
         np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
 
@@ -205,7 +262,7 @@ class TestDecodeEquivalence:
             devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]
         )
         dense = np.asarray(devjpeg.decode_jpeg_to_rgb(coeffs, qt, spec))
-        counts, pos, val = sp.block_pack(list(coeffs))
-        back = _pad_and_scatter(counts, pos, val, spec)
+        packed = sp.block_pack(list(coeffs))
+        back = _pad_and_scatter(packed, spec)
         sparse = np.asarray(devjpeg.decode_jpeg_to_rgb(tuple(back), qt, spec))
         np.testing.assert_array_equal(dense, sparse)
