@@ -145,6 +145,15 @@ def _load_locked() -> ctypes.CDLL | None:
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ipc_reconstruct_ycc420.restype = ctypes.c_int64
+        lib.ipc_reconstruct_ycc420.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.ipc_jpeg_probe.restype = ctypes.c_int32
         lib.ipc_jpeg_probe.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -246,6 +255,49 @@ def reconstruct_points(
         # Results are retained by the job registry; when the keep mask
         # dropped most of the grid, don't let slim views pin the full
         # 24-bytes/pixel base buffers for the job's retention window.
+        return out_xyz[:m].copy(), out_rgb[:m].copy()
+    return out_xyz[:m], out_rgb[:m]
+
+
+def reconstruct_points_ycc420(
+    d16: np.ndarray,
+    keep: np.ndarray,
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    *,
+    step: int,
+    depth_scale: float,
+    f: float,
+    cx: float,
+    cy: float,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """:func:`reconstruct_points` for the hybrid-JPEG 4:2:0 color
+    ride-along: colors come from a (hh, ww) u8 luma plane plus
+    (ceil(hh/2), ceil(ww/2)) u8 chroma planes, converted per kept point
+    (BT.601 full-range inverse, ties-to-even rounding — bit-identical
+    to the numpy fallback in pipeline/graph.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    hh, ww = d16.shape
+    d16 = np.ascontiguousarray(d16, np.uint16)
+    keep_u8 = np.ascontiguousarray(keep, np.uint8)
+    y = np.ascontiguousarray(y, np.uint8)
+    cb = np.ascontiguousarray(cb, np.uint8)
+    cr = np.ascontiguousarray(cr, np.uint8)
+    out_xyz = np.empty((hh * ww, 3), np.float32)
+    out_rgb = np.empty((hh * ww, 3), np.float32)
+    m = lib.ipc_reconstruct_ycc420(
+        d16.ctypes.data, keep_u8.ctypes.data,
+        y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
+        hh, ww, cb.shape[1],
+        step, float(depth_scale), float(f), float(cx), float(cy),
+        out_xyz.ctypes.data, out_rgb.ctypes.data,
+    )
+    if 2 * m <= hh * ww:
+        # Same slim-view rule as reconstruct_points: don't pin the full
+        # base buffers in the job registry when most points dropped.
         return out_xyz[:m].copy(), out_rgb[:m].copy()
     return out_xyz[:m], out_rgb[:m]
 

@@ -232,6 +232,53 @@ int64_t ipc_reconstruct(const uint16_t* d16, const uint8_t* keep,
   return m;
 }
 
+// 4:2:0 variant of ipc_reconstruct for the hybrid-JPEG transfer
+// bundle: colors arrive as a full-res strided luma plane plus 2x2
+// subsampled chroma (the JPEG source stored chroma at half resolution
+// to begin with; see pipeline/graph.py depth16 contract notes). The
+// BT.601 full-range inverse (ITU-T T.871, the constants in
+// ops/jpeg.py _decode_planes) runs per KEPT point only; ties-to-even
+// rounding (nearbyintf) matches np.rint in the numpy fallback so both
+// hosts emit bit-identical PLY/JSON bytes.
+int64_t ipc_reconstruct_ycc420(const uint16_t* d16, const uint8_t* keep,
+                               const uint8_t* yp, const uint8_t* cbp,
+                               const uint8_t* crp, int32_t hh, int32_t ww,
+                               int32_t cw, int32_t step, float depth_scale,
+                               float f, float cx, float cy, float* out_xyz,
+                               float* out_rgb) {
+  const float q = 1.0f / 65535.0f;
+  int64_t m = 0;
+  for (int32_t r = 0; r < hh; r++) {
+    const float y0 = (float)(r * step) - cy;
+    const uint16_t* drow = d16 + (int64_t)r * ww;
+    const uint8_t* krow = keep + (int64_t)r * ww;
+    const uint8_t* yrow = yp + (int64_t)r * ww;
+    const uint8_t* cbrow = cbp + (int64_t)(r >> 1) * cw;
+    const uint8_t* crrow = crp + (int64_t)(r >> 1) * cw;
+    for (int32_t c = 0; c < ww; c++) {
+      if (!krow[c]) continue;
+      float z = ((float)drow[c] * q) * depth_scale;
+      float zs = (z != 0.0f) ? z : 1e-6f;
+      float x0 = (float)(c * step) - cx;
+      out_xyz[3 * m] = (x0 * zs) / f;
+      out_xyz[3 * m + 1] = (y0 * zs) / f;
+      out_xyz[3 * m + 2] = z;
+      float Y = (float)yrow[c];
+      float Cb = (float)cbrow[c >> 1] - 128.0f;
+      float Cr = (float)crrow[c >> 1] - 128.0f;
+      float R = Y + 1.402f * Cr;
+      float G = Y - 0.344136286f * Cb - 0.714136286f * Cr;
+      float B = Y + 1.772f * Cb;
+      R = nearbyintf(R); G = nearbyintf(G); B = nearbyintf(B);
+      out_rgb[3 * m] = R < 0.0f ? 0.0f : (R > 255.0f ? 255.0f : R);
+      out_rgb[3 * m + 1] = G < 0.0f ? 0.0f : (G > 255.0f ? 255.0f : G);
+      out_rgb[3 * m + 2] = B < 0.0f ? 0.0f : (B > 255.0f ? 255.0f : B);
+      m++;
+    }
+  }
+  return m;
+}
+
 // Fast "%.6f %.6f %.6f %d %d %d\n" formatting (reference backend/app.py:387).
 // Returns bytes written (caller sizes out generously: 80 bytes/point).
 int64_t ipc_format_xyz(const double* pts, const int32_t* cols, int32_t n,

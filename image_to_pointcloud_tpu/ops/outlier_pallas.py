@@ -108,8 +108,14 @@ def grid_knn_mean_distances_pallas(
         points_grid = points_grid[None]
     bsz, hh, ww, _ = points_grid.shape
     r = window
-    th = min(tile[0], hh)
-    tw = min(tile[1], ww)
+    # Tile dims must stay hardware-aligned (8 sublanes x 128 lanes for
+    # f32) even when the grid is smaller than the nominal tile: the
+    # kernel's DMA slice starts at (i*th, j*tw), and Mosaic must PROVE
+    # those divisible by the (8, 128) tiling — th=hh or tw=ww from an
+    # odd image size (e.g. 400x300 -> ww=200) fails to compile on TPU.
+    # Overhang centers read sentinel padding and are sliced off below.
+    th = min(tile[0], -(-hh // 8) * 8)
+    tw = min(tile[1], -(-ww // 128) * 128)
     gh = -(-hh // th)
     gw = -(-ww // tw)
 

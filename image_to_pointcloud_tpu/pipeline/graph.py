@@ -142,6 +142,36 @@ def depth16_to_xyz(
     )
 
 
+def ycc420_to_rgb_f32(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> np.ndarray:
+    """Host half of the hybrid-JPEG 4:2:0 color ride-along: (B, hh, ww)
+    u8 luma + (B, ceil(hh/2), ceil(ww/2)) u8 chroma → (B, hh, ww, 3)
+    f32 RGB (integer-valued, BT.601 full-range inverse, ties-to-even).
+    Bit-identical to native.reconstruct_points_ycc420's per-point math
+    (same f32 op order; g++ targets baseline x86-64, no FMA
+    contraction) — the ONE-host-implementation contract of the depth16
+    transfer applies to colors too."""
+    hh, ww = y.shape[1], y.shape[2]
+    yf = y.astype(np.float32)
+    up = lambda p: np.repeat(  # noqa: E731
+        np.repeat(p, 2, axis=1), 2, axis=2
+    )[:, :hh, :ww].astype(np.float32)
+    cbf = up(cb) - np.float32(128.0)
+    crf = up(cr) - np.float32(128.0)
+    rgb = np.stack(
+        [
+            yf + np.float32(1.402) * crf,
+            yf
+            - np.float32(0.344136286) * cbf
+            - np.float32(0.714136286) * crf,
+            yf + np.float32(1.772) * cbf,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0.0, 255.0)
+
+
 def _preview_hw(h: int, w: int) -> tuple[int, int]:
     m = max(h, w)
     if m <= DEPTH_PREVIEW_MAX:
@@ -801,9 +831,33 @@ class DepthPipeline:
                 jax.lax.bitcast_convert_type(d16, jnp.uint8).reshape(bq, -1),
                 keep_bits,
             ]
-            if (h, w) != (h0, w0) or jpeg_spec is not None:
-                # The host has no pixel copy when it was downscaled on
-                # device OR never existed on the host (JPEG mode).
+            if jpeg_spec is not None:
+                # The host never had pixels (hybrid-JPEG mode), so point
+                # colors ride back — as 4:2:0 YCbCr, not RGB: the JPEG
+                # source stored chroma at half resolution to begin with,
+                # and 1.5 bytes/point instead of 3 cuts the largest D2H
+                # item ~2x on this rig's serialized link. BT.601
+                # full-range forward (exact inverse pair of the host's
+                # per-point reconstruction, ties-to-even rounding both
+                # sides); chroma takes the top-left sample of each 2x2
+                # strided cell, the same cell the host's >>1 gather
+                # reads. PARITY.md hybrid-decode deviation covers the
+                # +-1-2 level roundtrip + subsample error.
+                pix = img[:, ::step, ::step, :]
+                r_, g_, b_ = pix[..., 0], pix[..., 1], pix[..., 2]
+                yy = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+                cb = (b_ - yy) * jnp.float32(1.0 / 1.772) + 128.0
+                cr = (r_ - yy) * jnp.float32(1.0 / 1.402) + 128.0
+                to_u8 = lambda p: jnp.clip(  # noqa: E731
+                    jnp.round(p), 0, 255
+                ).astype(jnp.uint8)
+                payload.append(to_u8(yy).reshape(bq, -1))
+                payload.append(to_u8(cb[:, ::2, ::2]).reshape(bq, -1))
+                payload.append(to_u8(cr[:, ::2, ::2]).reshape(bq, -1))
+            elif (h, w) != (h0, w0):
+                # Downscaled-on-device pixel mode: the host's copy is
+                # the ORIGINAL size, so the working-size colors ride
+                # back exactly (u8 RGB).
                 rgb_dev = img[:, ::step, ::step, :].astype(jnp.uint8)
                 payload.append(rgb_dev.reshape(bq, -1))
             return jnp.concatenate(payload, axis=1), prev_out
@@ -1111,6 +1165,12 @@ class DepthPipeline:
                 bitorder="little",
             )[:, :n].astype(bool)
             has_rgb = bundle.shape[1] > n2 + nb
+            # Hybrid-JPEG handles (imgs is None) ride colors back as
+            # 4:2:0 YCbCr: [y (n) | cb | cr], chroma at ceil(hh/2) x
+            # ceil(ww/2). Pixel handles ride exact u8 RGB.
+            ycc = has_rgb and imgs is None
+            ch, cw = -(-hh // 2), -(-ww // 2)
+            nc = ch * cw
             from image_to_pointcloud_tpu.ops.unproject import focal_length
 
             f = focal_length(h, w, options.fov)
@@ -1121,22 +1181,45 @@ class DepthPipeline:
                 from image_to_pointcloud_tpu import native
 
                 if native.available():
-                    rgb_views = (
-                        bundle[:, n2 + nb :].reshape(b, hh, ww, 3)
-                        if has_rgb
-                        else imgs[:, ::step, ::step, :]
-                    )
-                    for i in range(b):
-                        pts, cols = native.reconstruct_points(
-                            d16[i],
-                            keep_all[i].reshape(hh, ww),
-                            rgb_views[i],
-                            step=step,
-                            depth_scale=float(depth_scales[i]),
-                            f=f,
-                            cx=cx,
-                            cy=cy,
+                    if ycc:
+                        o = n2 + nb
+                        y_pl = bundle[:, o : o + n].reshape(b, hh, ww)
+                        cb_pl = bundle[:, o + n : o + n + nc].reshape(
+                            b, ch, cw
                         )
+                        cr_pl = bundle[:, o + n + nc :].reshape(b, ch, cw)
+                        rgb_views = None
+                    else:
+                        rgb_views = (
+                            bundle[:, n2 + nb :].reshape(b, hh, ww, 3)
+                            if has_rgb
+                            else imgs[:, ::step, ::step, :]
+                        )
+                    for i in range(b):
+                        if ycc:
+                            pts, cols = native.reconstruct_points_ycc420(
+                                d16[i],
+                                keep_all[i].reshape(hh, ww),
+                                y_pl[i],
+                                cb_pl[i],
+                                cr_pl[i],
+                                step=step,
+                                depth_scale=float(depth_scales[i]),
+                                f=f,
+                                cx=cx,
+                                cy=cy,
+                            )
+                        else:
+                            pts, cols = native.reconstruct_points(
+                                d16[i],
+                                keep_all[i].reshape(hh, ww),
+                                rgb_views[i],
+                                step=step,
+                                depth_scale=float(depth_scales[i]),
+                                f=f,
+                                cx=cx,
+                                cy=cy,
+                            )
                         results.append(
                             PipelineResult(
                                 points=pts,
@@ -1155,7 +1238,14 @@ class DepthPipeline:
                         )
                     return results
 
-            if has_rgb:
+            if ycc:
+                o = n2 + nb
+                rgb = ycc420_to_rgb_f32(
+                    bundle[:, o : o + n].reshape(b, hh, ww),
+                    bundle[:, o + n : o + n + nc].reshape(b, ch, cw),
+                    bundle[:, o + n + nc :].reshape(b, ch, cw),
+                ).reshape(b, n, 3)
+            elif has_rgb:
                 rgb = bundle[:, n2 + nb :].reshape(b, n, 3).astype(np.float32)
             else:
                 rgb = (

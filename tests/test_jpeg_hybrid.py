@@ -338,6 +338,25 @@ class TestHybridPipeline:
             < 0.5
         )
 
+    def test_native_and_numpy_collect_agree(self, pipe):
+        """The two collect paths over the same hybrid handle — native
+        fused reconstruct (want_packed=False) and the numpy bundle path
+        (want_packed=True) — must produce identical points AND colors
+        (the 4:2:0 ride-along decodes bit-identically on both)."""
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        from image_to_pointcloud_tpu.pipeline.graph import PipelineOptions
+
+        data = _encode(_photo(w=120, h=88, noise=8.0), quality=88)
+        handle = pipe.submit_batch_jpeg(
+            [self._jpeg_input(data, 8)], options=PipelineOptions(),
+            want_preview=False,
+        )
+        fast = pipe.collect(handle, want_preview=False, want_packed=False)[0]
+        full = pipe.collect(handle, want_preview=False, want_packed=True)[0]
+        np.testing.assert_array_equal(fast.points, full.points)
+        np.testing.assert_array_equal(fast.colors, full.colors)
+
     def test_batched_mixed_scales(self, pipe):
         from image_to_pointcloud_tpu.pipeline.graph import PipelineOptions
 

@@ -95,6 +95,39 @@ class TestReconstruct:
         np.testing.assert_array_equal(pts, ref)
         np.testing.assert_array_equal(cols, rgb[keep].astype(np.float32))
 
+    def test_ycc420_matches_numpy_path(self, rng):
+        """The hybrid-JPEG 4:2:0 color reconstruct must be BIT-identical
+        to the numpy fallback (pipeline.graph.ycc420_to_rgb_f32): same
+        inverse constants, same f32 op order, ties-to-even both sides —
+        a g++ host and a fallback host export the same PLY/JSON bytes."""
+        hh, ww, step = 31, 41, 2  # odd dims: chroma ceil-div coverage
+        h, w = 300, 400
+        d16 = rng.integers(0, 65536, (hh, ww)).astype(np.uint16)
+        keep = rng.random((hh, ww)) > 0.3
+        y = rng.integers(0, 256, (hh, ww)).astype(np.uint8)
+        cb = rng.integers(0, 256, (-(-hh // 2), -(-ww // 2))).astype(np.uint8)
+        cr = rng.integers(0, 256, cb.shape).astype(np.uint8)
+        f = max(h, w) * 1.2
+        out = native.reconstruct_points_ycc420(
+            d16, keep, y, cb, cr, step=step, depth_scale=10.0, f=f,
+            cx=w / 2, cy=h / 2,
+        )
+        assert out is not None
+        pts, cols = out
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            depth16_to_xyz,
+            ycc420_to_rgb_f32,
+        )
+
+        xyz = depth16_to_xyz(
+            d16[None], np.asarray([10.0], np.float32),
+            step=step, f=f, cx=w / 2, cy=h / 2,
+        )[0].reshape(3, hh, ww)
+        ref = np.stack([xyz[0][keep], xyz[1][keep], xyz[2][keep]], 1)
+        np.testing.assert_array_equal(pts, ref)
+        rgb = ycc420_to_rgb_f32(y[None], cb[None], cr[None])[0]
+        np.testing.assert_array_equal(cols, rgb[keep].astype(np.float32))
+
     def test_low_keep_rate_returns_compact_copies(self, rng):
         """Sparse keeps must not pin the full-grid base buffers (results
         are retained by the job registry)."""

@@ -273,6 +273,32 @@ class TestGridOutlier:
         )
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-7)
 
+    def test_pallas_odd_grid_alignment_overhang(self, rng):
+        """Grids whose strided width is not a lane multiple (e.g. a
+        400x300 upload -> 150x200) must still match the scan oracle:
+        the kernel rounds its tile dims up to the (8, 128) hardware
+        tiling — Mosaic refuses unaligned DMA slice starts on real
+        TPU — and the sentinel overhang must not perturb real centers."""
+        import jax.numpy as jnp
+
+        from image_to_pointcloud_tpu.ops.outlier import grid_knn_mean_distances
+        from image_to_pointcloud_tpu.ops.outlier_pallas import (
+            grid_knn_mean_distances_pallas,
+        )
+
+        pts = (rng.random((1, 30, 50, 3)) * 3).astype(np.float32)
+        ref = np.asarray(
+            grid_knn_mean_distances(jnp.asarray(pts[0]), k=20, window=4)
+        )[None]
+        # tile larger than the grid: th/tw round up to 32/128 (not 30/50).
+        out = np.asarray(
+            grid_knn_mean_distances_pallas(
+                jnp.asarray(pts), k=20, window=4, tile=(128, 256),
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-7)
+
 
 class TestOrderStatistics:
     """Sort-free exact order statistics (bit-bisection, ops/depthnorm)."""
