@@ -163,6 +163,14 @@ def _load_locked() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ipc_jpeg_sparse_pack.restype = ctypes.c_int32
+        lib.ipc_jpeg_sparse_pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
         return lib
     except Exception as e:  # noqa: BLE001
@@ -593,6 +601,56 @@ def bpa_reconstruct(
     finally:
         lib.ipc_bpa_release(fp)
     return faces
+
+
+def jpeg_sparse_pack(coeffs):
+    """C++ split-sparse pack of truncated JPEG coefficients — the hot
+    loop of :func:`ops.jpeg_sparse.block_pack` (which documents the
+    layout contract and keeps the numpy oracle the tests compare
+    against; this one-pass C++ version is ~15-20x faster on the 1-core
+    host, where the pack was ~37% of per-image JPEG planning).
+
+    ``coeffs``: per-component (BH, BW, k, k) int16 arrays in natural
+    order, blocks numbering consecutively across components in pack
+    order. Returns (counts u8, dc i16, pos u8, val i8, exc_idx i32,
+    exc_val i16) exactly as block_pack does, or None when the native
+    library is unavailable (callers fall back to the numpy pack)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nblocks = sum(c.shape[0] * c.shape[1] for c in coeffs)
+    total_ac = sum(
+        c.shape[0] * c.shape[1] * (c.shape[2] * c.shape[3] - 1)
+        for c in coeffs
+    )
+    counts = np.empty(nblocks, np.uint8)
+    dc = np.empty(nblocks, np.int16)
+    pos = np.empty(total_ac, np.uint8)
+    val = np.empty(total_ac, np.int8)
+    # Worst case every AC nonzero is out of int8 range (synthetic
+    # high-contrast content); np.empty is a plain malloc, untouched
+    # pages cost nothing.
+    exc_idx = np.empty(total_ac, np.int32)
+    exc_val = np.empty(total_ac, np.int16)
+    n_ac = ctypes.c_int64(0)
+    n_exc = ctypes.c_int64(0)
+    boff = 0
+    for c in coeffs:
+        nb = c.shape[0] * c.shape[1]
+        k2 = c.shape[2] * c.shape[3]
+        arr = np.ascontiguousarray(c, np.int16)
+        rc = lib.ipc_jpeg_sparse_pack(
+            arr.ctypes.data, nb, k2,
+            counts.ctypes.data + boff, dc.ctypes.data + 2 * boff,
+            pos.ctypes.data, val.ctypes.data, total_ac,
+            exc_idx.ctypes.data, exc_val.ctypes.data, total_ac,
+            ctypes.byref(n_ac), ctypes.byref(n_exc),
+        )
+        if rc != 0:  # capacity overflow: impossible by construction
+            return None
+        boff += nb
+    na, ne = n_ac.value, n_exc.value
+    return counts, dc, pos[:na], val[:na], exc_idx[:ne], exc_val[:ne]
 
 
 def jpeg_coefficients(data: bytes):

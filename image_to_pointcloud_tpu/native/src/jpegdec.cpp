@@ -662,4 +662,52 @@ int32_t ipc_jpeg_coeffs(const uint8_t* data, int64_t len, int16_t* c0,
   return run(data, len, F, outs, qt, /*want_coeffs=*/true);
 }
 
+// Split-sparse pack of one component's truncated coefficients — the hot
+// loop of ops/jpeg_sparse.block_pack (which keeps the layout contract,
+// the numpy oracle, and the tests). Input: nblocks consecutive
+// k2-int16 blocks in natural order, DC at in-block position 0. Appends
+// to the caller's streams at cursors *n_ac / *n_exc so multi-component
+// images pack consecutively into shared buffers; exc_idx entries index
+// the GLOBAL val stream (ascending). val holds the wrapped int8 image
+// of each AC value; out-of-range entries are listed in (exc_idx,
+// exc_val) and overwrite the wrapped byte device-side. cap / exc_cap
+// are total buffer capacities; returns -1 on overflow (the caller
+// sizes buffers to the dense AC capacity, so overflow is a caller
+// bug), else 0.
+int32_t ipc_jpeg_sparse_pack(const int16_t* coeffs, int64_t nblocks,
+                             int32_t k2, uint8_t* counts, int16_t* dc,
+                             uint8_t* pos, int8_t* val, int64_t cap,
+                             int32_t* exc_idx, int16_t* exc_val,
+                             int64_t exc_cap, int64_t* n_ac,
+                             int64_t* n_exc) {
+  // The zero test is data-dependent and unpredictable (~10-30% nonzero
+  // density), so the loop is branchless: every candidate is staged at
+  // the cursor and the cursor advances by (v != 0). That requires cap
+  // to cover the DENSE AC capacity of the blocks being packed (the
+  // wrapper sizes it so); a tight cap == nnz would false-fail.
+  int64_t na = *n_ac, ne = *n_exc;
+  if (cap - na < nblocks * (k2 - 1)) return -1;
+  for (int64_t b = 0; b < nblocks; b++) {
+    const int16_t* blk = coeffs + b * k2;
+    dc[b] = blk[0];
+    const int64_t na0 = na;
+    for (int32_t j = 1; j < k2; j++) {
+      const int16_t v = blk[j];
+      pos[na] = static_cast<uint8_t>(j);
+      val[na] = static_cast<int8_t>(v);  // wraps; exceptions overwrite
+      if (__builtin_expect(v < -128 || v > 127, 0)) {
+        if (ne >= exc_cap) return -1;
+        exc_idx[ne] = static_cast<int32_t>(na);
+        exc_val[ne] = v;
+        ne++;
+      }
+      na += (v != 0);
+    }
+    counts[b] = static_cast<uint8_t>(na - na0);
+  }
+  *n_ac = na;
+  *n_exc = ne;
+  return 0;
+}
+
 }  // extern "C"

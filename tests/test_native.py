@@ -749,3 +749,61 @@ class TestJpegCoefficients:
             Image.open(io.BytesIO(data)).convert("RGB"), np.float64
         )[..., 0]
         assert np.abs(yplane.clip(0, 255) - ref).max() < 3.0
+
+
+class TestJpegSparsePack:
+    """C++ split-sparse pack vs the numpy oracle it replaces
+    (ops/jpeg_sparse._block_pack_numpy documents the layout contract)."""
+
+    def _packed_cases(self):
+        from image_to_pointcloud_tpu.ops.jpeg import host_truncate_coeffs
+
+        x = np.linspace(0, 4 * np.pi, 160)
+        y = np.linspace(0, 3 * np.pi, 120)
+        rgb = (
+            np.stack(
+                [
+                    127 + 110 * np.sin(x)[None, :] * np.cos(y)[:, None],
+                    127 + 90 * np.cos(2 * x)[None, :] + 0 * y[:, None],
+                    127 + 70 * np.sin(y)[:, None] + 0 * x[None, :],
+                ],
+                -1,
+            )
+            .clip(0, 255)
+            .astype(np.uint8)
+        )
+        r = native.jpeg_coefficients(_jpeg_bytes(rgb, quality=88))
+        assert r is not None
+        cases = [
+            [host_truncate_coeffs(c, k) for c in r["coeffs"]]
+            for k in (8, 4, 1)
+        ]
+        rng = np.random.default_rng(7)
+        wide = rng.integers(-400, 400, (5, 7, 8, 8)).astype(np.int16)
+        wide[rng.random(wide.shape) > 0.2] = 0  # dense-ish, many exceptions
+        cases.append([wide])
+        cases.append([np.zeros((3, 3, 8, 8), np.int16)])  # no AC at all
+        return cases
+
+    def test_matches_numpy_oracle(self):
+        from image_to_pointcloud_tpu.ops.jpeg_sparse import _block_pack_numpy
+
+        for i, coeffs in enumerate(self._packed_cases()):
+            ref = _block_pack_numpy(coeffs)
+            got = native.jpeg_sparse_pack(coeffs)
+            assert got is not None
+            for j, (r, g) in enumerate(zip(ref, got)):
+                assert g.dtype == r.dtype, (i, j)
+                assert np.array_equal(g, r), (i, j)
+
+    def test_block_pack_dispatches_native(self):
+        """block_pack must produce the identical tuple regardless of
+        which implementation serves it."""
+        from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+            _block_pack_numpy,
+            block_pack,
+        )
+
+        coeffs = self._packed_cases()[0]
+        for r, g in zip(_block_pack_numpy(coeffs), block_pack(coeffs)):
+            assert np.array_equal(g, r)
