@@ -46,10 +46,16 @@ struct HuffTable {
   int32_t maxcode[18];
   int32_t valptr[17];
   uint8_t vals[256];
+  // Fast path: 8-bit peek -> (symbol << 8) | code_length for codes of
+  // <= 8 bits (the overwhelming majority by construction — Huffman
+  // assigns short codes to frequent symbols). 0 = miss (length >= 1
+  // makes every real entry nonzero even for symbol 0x00/EOB).
+  uint16_t lut[256];
   bool present = false;
 
   void build(const uint8_t counts[16], const uint8_t* symbols) {
     int code = 0, k = 0;
+    std::memset(lut, 0, sizeof(lut));  // tables can be rebuilt mid-stream
     for (int l = 1; l <= 16; l++) {
       valptr[l] = k;
       mincode[l] = code;
@@ -64,6 +70,15 @@ struct HuffTable {
     }
     maxcode[17] = 0x7fffffff;
     for (int i = 0; i < k && i < 256; i++) vals[i] = symbols[i];
+    int idx = 0;
+    for (int l = 1; l <= 8; l++) {
+      for (int c = 0; c < counts[l - 1] && idx < 256; c++, idx++) {
+        const int prefix = (mincode[l] + c) << (8 - l);
+        const uint16_t entry =
+            static_cast<uint16_t>((vals[idx] << 8) | l);
+        for (int t = 0; t < (1 << (8 - l)); t++) lut[prefix + t] = entry;
+      }
+    }
     present = true;
   }
 };
@@ -71,46 +86,54 @@ struct HuffTable {
 struct BitReader {
   const uint8_t* p;
   const uint8_t* end;
-  uint32_t cur = 0;
+  uint64_t buf = 0;  // MSB-first bit buffer; low `nbits` bits are valid
   int nbits = 0;
   int pending_marker = 0;  // 0xDn (or other) marker hit inside the stream
 
-  // Next entropy-coded byte with 0xFF00 unstuffing; -1 = end of data,
-  // -2 = marker encountered (recorded in pending_marker).
-  int next_byte() {
-    if (pending_marker) return -2;
-    if (p >= end) return -1;
-    uint8_t b = *p++;
-    if (b != 0xFF) return b;
-    // Skip fill bytes (any run of 0xFF).
-    while (p < end && *p == 0xFF) p++;
-    if (p >= end) return -1;
-    uint8_t m = *p++;
-    if (m == 0x00) return 0xFF;
-    pending_marker = m;
-    return -2;
+  // Pull entropy-coded bytes (0xFF00-unstuffed) into the bit buffer
+  // until it holds > 56 bits or the stream ends / hits a marker. Never
+  // reads past a marker, so buffered bits always belong to the current
+  // entropy segment.
+  void refill() {
+    while (nbits <= 56) {
+      if (pending_marker || p >= end) return;
+      uint8_t b = *p++;
+      if (b == 0xFF) {
+        while (p < end && *p == 0xFF) p++;  // fill bytes
+        if (p >= end) return;               // dangling 0xFF: end of data
+        const uint8_t m = *p++;
+        if (m != 0x00) {
+          pending_marker = m;
+          return;
+        }
+        // stuffed 0xFF00: b == 0xFF is entropy data
+      }
+      buf = (buf << 8) | b;
+      nbits += 8;
+    }
   }
 
   int next_bit() {
     if (nbits == 0) {
-      int b = next_byte();
-      if (b < 0) return b;
-      cur = static_cast<uint32_t>(b);
-      nbits = 8;
+      refill();
+      if (nbits == 0) return pending_marker ? -2 : -1;
     }
     nbits--;
-    return (cur >> nbits) & 1;
+    return (buf >> nbits) & 1;
   }
 
-  // Read n bits MSB-first; negative on end/marker.
+  // Read n (<= 16) bits MSB-first; negative on end/marker. The buffer
+  // refill pulls every available byte, so nbits < n after refill means
+  // the stream genuinely cannot supply n more bits (callers abort on
+  // any negative, so partial consumption is irrelevant).
   int receive(int n) {
-    int v = 0;
-    for (int i = 0; i < n; i++) {
-      int b = next_bit();
-      if (b < 0) return b;
-      v = (v << 1) | b;
+    if (n == 0) return 0;
+    if (nbits < n) {
+      refill();
+      if (nbits < n) return pending_marker ? -2 : -1;
     }
-    return v;
+    nbits -= n;
+    return static_cast<int>((buf >> nbits) & ((1u << n) - 1));
   }
 };
 
@@ -120,6 +143,16 @@ inline int extend(int v, int t) {
 }
 
 int huff_decode(BitReader& br, const HuffTable& ht) {
+  // Fast path: one 8-bit peek resolves any code of <= 8 bits.
+  if (br.nbits < 8) br.refill();
+  if (br.nbits >= 8) {
+    const uint16_t e = ht.lut[(br.buf >> (br.nbits - 8)) & 0xFF];
+    if (e) {
+      br.nbits -= e & 15;
+      return e >> 8;
+    }
+  }
+  // Slow path: long codes (9-16 bits) and near-end-of-stream tails.
   int code = br.next_bit();
   if (code < 0) return -100;
   int l = 1;
@@ -337,9 +370,13 @@ struct Scan {
 
 inline int u16be(const uint8_t* p) { return (p[0] << 8) | p[1]; }
 
-// Byte-align and consume the expected RSTn marker mid-scan.
+// Byte-align and consume the expected RSTn marker mid-scan. Discarded
+// buffered bits are the interval's byte-alignment padding: refill never
+// reads past a marker, so the buffer cannot hold the next interval's
+// data.
 int consume_rst(BitReader& br, int& next_rst) {
   br.nbits = 0;
+  br.buf = 0;
   if (!br.pending_marker) {
     while (br.p < br.end && *br.p == 0xFF && br.p + 1 < br.end &&
            br.p[1] == 0xFF)
