@@ -12,6 +12,7 @@ callers fall back to the pure-Python/numpy paths.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import subprocess
 import threading
@@ -42,38 +43,64 @@ def _load() -> ctypes.CDLL | None:
         return _load_locked()
 
 
+def _source_hash(srcs: list[Path], headers: list[Path]) -> str:
+    """SHA-256 over the contents of every source + header, path-ordered.
+
+    This is the staleness criterion for the committed binary: mtimes are
+    useless after a clone (uniform checkout times), so the hash is
+    embedded in the .so at build time (src/version.cpp) and compared to
+    the sources actually on disk at load time.
+    """
+    h = hashlib.sha256()
+    for p in sorted([*srcs, *headers]):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
 def _load_locked() -> ctypes.CDLL | None:
     global _LIB
     so = _BUILD / "libipc_native.so"
     srcs = sorted(_SRC.glob("*.cpp"))
     try:
-        # Staleness includes headers: geom.h carries most of the
-        # reconstruction logic; an edit there must trigger a rebuild.
-        newest_src = max(
-            (s.stat().st_mtime for s in [*srcs, *_SRC.glob("*.h")]),
-            default=0.0,
-        )
-        if not so.exists() or so.stat().st_mtime < newest_src:
+        expected = _source_hash(srcs, sorted(_SRC.glob("*.h")))
+        # The stamp is a plain string literal in the binary: substring
+        # search avoids dlopen-ing a library we may be about to rewrite.
+        stale = not so.exists() or expected.encode() not in so.read_bytes()
+        if stale:
             try:
                 _BUILD.mkdir(exist_ok=True)
                 subprocess.run(
                     [
                         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        f'-DIPC_SOURCE_HASH="{expected}"',
                         *map(str, srcs), "-o", str(so),
                     ],
                     check=True,
                     capture_output=True,
                 )
             except Exception as build_err:  # noqa: BLE001
-                # No toolchain (or stale checkout mtimes): a previously
-                # built library is still better than the Python fallback.
-                if not so.exists():
-                    raise
-                logger.warning(
-                    "native rebuild failed (%s); loading existing library",
+                # No toolchain: a stale binary must NOT silently serve
+                # old code for edited sources — fall back to Python.
+                logger.error(
+                    "native library is stale for the checked-out sources "
+                    "and rebuilding failed (%s); using Python fallbacks. "
+                    "Run g++ per native/__init__.py to restore it.",
                     build_err,
                 )
+                _LIB = False
+                return None
         lib = ctypes.CDLL(str(so))
+        lib.ipc_source_hash.restype = ctypes.c_char_p
+        lib.ipc_source_hash.argtypes = []
+        loaded = lib.ipc_source_hash().decode()
+        if loaded != expected:  # pragma: no cover - build/loader bug guard
+            logger.error(
+                "native library stamp %s != source hash %s; "
+                "using Python fallbacks", loaded[:12], expected[:12],
+            )
+            _LIB = False
+            return None
         lib.ipc_decimate.restype = ctypes.c_int32
         lib.ipc_decimate.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,

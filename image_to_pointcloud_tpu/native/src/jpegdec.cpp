@@ -53,14 +53,21 @@ struct HuffTable {
   uint16_t lut[256];
   bool present = false;
 
-  void build(const uint8_t counts[16], const uint8_t* symbols) {
+  // Returns false (and marks the table absent) when the declared code
+  // counts overflow the canonical Huffman code space — e.g. counts
+  // {255,1}: such a table cannot have been emitted by a conforming
+  // encoder, and building the 8-bit LUT from it would index past
+  // lut[256] (mincode[l]+c can exceed the l-bit space).
+  bool build(const uint8_t counts[16], const uint8_t* symbols) {
     int code = 0, k = 0;
+    present = false;
     std::memset(lut, 0, sizeof(lut));  // tables can be rebuilt mid-stream
     for (int l = 1; l <= 16; l++) {
       valptr[l] = k;
       mincode[l] = code;
       if (counts[l - 1]) {
         code += counts[l - 1];
+        if (code > (1 << l)) return false;  // non-canonical: code space overflow
         maxcode[l] = code - 1;
       } else {
         maxcode[l] = -1;
@@ -80,6 +87,7 @@ struct HuffTable {
       }
     }
     present = true;
+    return true;
   }
 };
 
@@ -567,7 +575,8 @@ int run(const uint8_t* data, int64_t len, Frame& F, int16_t* comp_out[3],
           for (int i = 1; i <= 16; i++) total += q[i];
           if (total > 256 || q + 17 + total > seg + seg_len)
             return IPC_JPEG_CORRUPT;
-          (tc == 0 ? F.dc_tab[th] : F.ac_tab[th]).build(q + 1, q + 17);
+          if (!(tc == 0 ? F.dc_tab[th] : F.ac_tab[th]).build(q + 1, q + 17))
+            return IPC_JPEG_CORRUPT;
           q += 17 + total;
         }
         break;
