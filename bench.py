@@ -307,7 +307,7 @@ def main() -> None:
     last_path = os.path.join(os.path.dirname(__file__), ".last_tpu_bench.json")
     emitted = threading.Event()
 
-    def emit(dev_tp) -> None:
+    def emit(dev_tp, dev_tp_px=None) -> None:
         """Write the best-of TPU record and print the ONE JSON line.
         Callable from the main thread (normal path) or the probe-guard
         thread (probe hung on a relay flap); first caller wins."""
@@ -315,6 +315,14 @@ def main() -> None:
             return
         emitted.set()
         dev_part = f", device_graph_peak={dev_tp:.1f} img/s" if dev_tp else ""
+        if dev_tp_px:
+            # The pixel-ingest graph's peak, probed alongside whenever
+            # the default JPEG ingest is active: the two graphs share
+            # everything after the decode head, so together they bound
+            # the on-device JPEG-decode cost — and the artifact of
+            # record always carries the number the ≥200 img/s north
+            # star is judged against (VERDICT r2 item 1).
+            dev_part += f", device_graph_peak_pixels={dev_tp_px:.1f} img/s"
         if forced_cpu:
             # The TPU relay was unreachable when this run started; this
             # is the CPU fallback, not the chip's number (see
@@ -328,6 +336,8 @@ def main() -> None:
                     last = json.load(f)
                 peak = last.get("device_peak")
                 peak_part = f"/{peak} device-peak" if peak else ""
+                px = last.get("device_peak_pixels")
+                peak_part += f"/{px} device-peak-pixels" if px else ""
                 dev_part += (
                     f", last_good_tpu={last['e2e']} img/s e2e"
                     f"{peak_part} @{last['date']}"
@@ -363,6 +373,9 @@ def main() -> None:
                                 "e2e": round(throughput, 1),
                                 "device_peak": (
                                     round(dev_tp, 1) if dev_tp else None
+                                ),
+                                "device_peak_pixels": (
+                                    round(dev_tp_px, 1) if dev_tp_px else None
                                 ),
                                 "date": datetime.date.today().isoformat(),
                                 "batch": batch,
@@ -424,27 +437,9 @@ def main() -> None:
     # H2D, benchmarks/transfer_probe.py), which a directly-attached TPU
     # host does not have. Zero extra compiles: reuses the e2e graph.
     dev_tp = None
-    try:
-        scales = np.full((batch,), 10.0, np.float32)
-        if jpeg_datas is not None:
-            from image_to_pointcloud_tpu.pipeline.graph import (
-                plan_sparse_batch,
-            )
+    dev_tp_px = None
 
-            jpegs = [plan_jpeg_input(d) for d in jpeg_datas]
-            spec = jpegs[0].spec
-            caps = plan_sparse_batch(jpegs)
-            fn = pipe.compiled_graph_jpeg(
-                batch, spec, opts, False, sparse_cap=caps
-            )
-            if caps is not None:
-                payload = pipe.pack_jpeg_sparse_payload(jpegs, scales, *caps)
-            else:
-                payload = pipe.pack_jpeg_payload(jpegs, scales)
-        else:
-            fn = pipe.compiled_graph(batch, (518, 518), opts, False)
-            payload = pipe.pack_payload(imgs, scales)
-        dev_payload = jax.device_put(payload)
+    def _probe_graph(fn, dev_payload) -> float:
         _, p = fn(pipe.params, dev_payload)
         np.asarray(p)  # warm
         probes: deque = deque()
@@ -467,17 +462,48 @@ def main() -> None:
         # the chip. The window maxes over stalls while still requiring
         # 4 consecutive real executions.
         w = min(4, len(stamps) - 1)
-        dev_tp = max(
+        return max(
             batch * w / (stamps[i + w] - stamps[i])
             for i in range(len(stamps) - w)
         )
+
+    try:
+        scales = np.full((batch,), 10.0, np.float32)
+        if jpeg_datas is not None:
+            from image_to_pointcloud_tpu.pipeline.graph import (
+                plan_sparse_batch,
+            )
+
+            jpegs = [plan_jpeg_input(d) for d in jpeg_datas]
+            spec = jpegs[0].spec
+            caps = plan_sparse_batch(jpegs)
+            fn = pipe.compiled_graph_jpeg(
+                batch, spec, opts, False, sparse_cap=caps
+            )
+            if caps is not None:
+                payload = pipe.pack_jpeg_sparse_payload(jpegs, scales, *caps)
+            else:
+                payload = pipe.pack_jpeg_payload(jpegs, scales)
+        else:
+            fn = pipe.compiled_graph(batch, (518, 518), opts, False)
+            payload = pipe.pack_payload(imgs, scales)
+        dev_tp = _probe_graph(fn, jax.device_put(payload))
+        if jpeg_datas is not None and not short_on_time:
+            # Second probe: the pixel-ingest graph over the same images
+            # (identical post-decode stages) — the dual-reported peak of
+            # record (see emit). Persistent-cache-warm from prior rounds;
+            # skipped when the window already ran short.
+            fn_px = pipe.compiled_graph(batch, (518, 518), opts, False)
+            dev_tp_px = _probe_graph(
+                fn_px, jax.device_put(pipe.pack_payload(imgs, scales))
+            )
     except Exception as e:  # noqa: BLE001
         # Never let the capability probe break the recorded metric — but
         # say why it vanished (the unit string simply omits device_graph).
         sys.stderr.write(f"bench: device_graph probe failed: {e!r}\n")
 
     probe_done.set()
-    emit(dev_tp)
+    emit(dev_tp, dev_tp_px)
 
 
 if __name__ == "__main__":

@@ -48,12 +48,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     from image_to_pointcloud_tpu.models import DepthAnything, preset
-    from image_to_pointcloud_tpu.ops.jpeg import _decode_planes, _idct_plane
+    from image_to_pointcloud_tpu.ops.jpeg import _idct_plane
     from image_to_pointcloud_tpu.ops.jpeg_sparse import scatter_from_blocks
     from image_to_pointcloud_tpu.pipeline.graph import (
         DepthPipeline,
         PipelineOptions,
         _unpack_jpeg_sparse_batch,
+        _unpack_jpeg_sparse_fields,
         plan_jpeg_input,
         plan_sparse_batch,
     )
@@ -90,44 +91,17 @@ def main() -> None:
 
     # --- cumulative stage subgraphs (each jitted standalone) ---------
     cap, exc_cap = caps
-    from image_to_pointcloud_tpu.ops.jpeg_sparse import coeff_layout
-
-    _, total = coeff_layout(spec)
-    nblocks = total // (spec.k * spec.k)
 
     def split(payload_u8):
         """The raw slices+bitcasts of _unpack_jpeg_sparse_batch,
-        without the scatter/decode."""
-        b = payload_u8.shape[0]
-        counts = payload_u8[:, :nblocks].astype(jnp.int32)
-        off = nblocks
-        dc = jax.lax.bitcast_convert_type(
-            payload_u8[:, off : off + 2 * nblocks].reshape(b, nblocks, 2),
-            jnp.int16,
-        )
-        off += 2 * nblocks
-        pos = payload_u8[:, off : off + cap].astype(jnp.int32)
-        off += cap
-        val = jax.lax.bitcast_convert_type(
-            payload_u8[:, off : off + cap].reshape(b, cap, 1), jnp.int8
-        ).reshape(b, cap)
-        off += cap
-        exc_idx = jax.lax.bitcast_convert_type(
-            payload_u8[:, off : off + 4 * exc_cap].reshape(b, exc_cap, 4),
-            jnp.int32,
-        )
-        off += 4 * exc_cap
-        exc_val = jax.lax.bitcast_convert_type(
-            payload_u8[:, off : off + 2 * exc_cap].reshape(b, exc_cap, 2),
-            jnp.int16,
-        )
-        off += 2 * exc_cap
-        nq = spec.ncomp * 64 * 4
-        qt = jax.lax.bitcast_convert_type(
-            payload_u8[:, off : off + nq].reshape(b, spec.ncomp, 64, 4),
-            jnp.float32,
-        )
-        return counts, dc, pos, val, exc_idx, exc_val, qt
+        without the scatter/decode (the product's shared reader)."""
+        return _unpack_jpeg_sparse_fields(payload_u8, spec, cap, exc_cap)[:7]
+
+    def s0_null(payload_u8):
+        # Dispatch floor: one trivial reduction over the resident
+        # payload — everything a stage pays that is NOT its own math
+        # (relay RPC, scalar pull). Subtract this from every row.
+        return jnp.sum(payload_u8[:, ::997].astype(jnp.int32))
 
     def s1_unpack(payload_u8):
         parts = split(payload_u8)
@@ -165,6 +139,7 @@ def main() -> None:
         return jnp.sum(img) + jnp.sum(scales)
 
     stages = [
+        ("null (dispatch floor)", s0_null),
         ("payload unpack (slices+bitcasts)", s1_unpack),
         ("+ sparse coefficient scatter", s2_scatter),
         ("+ dequant + IDCT", s3_idct),

@@ -57,10 +57,56 @@ __all__ = [
     "exception_bucket",
     "scatter_from_blocks",
     "sparse_payload_bytes",
+    "sparse_row_sections",
 ]
 
 _MIN_CAPACITY = 1024
 _MIN_EXC_CAPACITY = 16
+
+# Section alignment of the sparse H2D row (bytes). 512 = 4·128 lanes:
+# every section slice starts on a TPU lane-tile boundary (no lane
+# rotation when XLA slices the row) and every multi-byte bitcast is
+# width-aligned. Costs ≤ 8·511 B padding per ~200 KB row (~2%);
+# unaligned slice starts measured as the single largest stage of the
+# device decode subgraph (benchmarks/jpeg_stage_ablation.py).
+_ROW_ALIGN = 512
+
+
+def sparse_row_sections(
+    spec, cap: int, exc_cap: int
+) -> tuple[dict[str, tuple[int, int]], int]:
+    """Byte layout of one split-sparse H2D payload row: name →
+    (offset, size), plus the total row size. ONE definition —
+    ``DepthPipeline.pack_jpeg_sparse_payload`` (host writer) and
+    ``pipeline.graph._unpack_jpeg_sparse_batch`` (device reader) both
+    consume this, so they cannot drift.
+
+    Wide fields ship as separate byte planes (``dc_lo``/``dc_hi``)
+    rather than interleaved LE pairs: a (B, n, 2)→int16 bitcast forces
+    XLA to relayout the slice into a 2-lane minor dim first, which is
+    the worst possible TPU tiling; two planar slices widen with pure
+    elementwise ops instead."""
+    k2 = spec.k * spec.k
+    sizes, total = coeff_layout(spec)
+    nblocks = total // k2
+    order = [
+        ("counts", nblocks),  # u8 AC count per block
+        ("dc_lo", nblocks),  # low byte of the dense i16 DC plane
+        ("dc_hi", nblocks),  # high (signed) byte of the DC plane
+        ("pos", cap),  # u8 in-block AC position per slot
+        ("val", cap),  # i8 AC value per slot
+        ("exc_idx", 4 * exc_cap),  # i32 LE exception slots
+        ("exc_val", 2 * exc_cap),  # i16 LE exception values
+        ("qt", spec.ncomp * 64 * 4),  # f32 natural-order quant tables
+        ("scale", 4),  # f32 per-image depth scale
+    ]
+    sections: dict[str, tuple[int, int]] = {}
+    off = 0
+    for name, size in order:
+        off = -(-off // _ROW_ALIGN) * _ROW_ALIGN
+        sections[name] = (off, size)
+        off += size
+    return sections, off
 
 
 def coeff_layout(spec) -> tuple[tuple[int, ...], int]:
@@ -181,6 +227,8 @@ def sparse_payload_bytes(
         2 * capacity_bucket(nnz_ac, total)
         + 3 * (total // block)
         + 6 * exception_bucket(nexc)
+        # Worst-case section-alignment padding (sparse_row_sections).
+        + 8 * _ROW_ALIGN
     )
 
 

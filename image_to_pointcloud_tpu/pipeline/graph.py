@@ -228,57 +228,62 @@ def _unpack_jpeg_batch(payload_u8: jax.Array, spec) -> tuple[jax.Array, jax.Arra
     return img, scales
 
 
+def _unpack_jpeg_sparse_fields(
+    payload_u8: jax.Array, spec, cap: int, exc_cap: int
+) -> tuple[jax.Array, ...]:
+    """Slice one batch of split-sparse payload rows into its typed
+    fields: (counts i32, dc i32, pos i32, val i8, exc_idx i32,
+    exc_val i16, qtables f32, scales f32). Layout comes from
+    ``ops.jpeg_sparse.sparse_row_sections`` (the one shared
+    definition with the host packer). Big fields avoid minor-dim
+    reshape+bitcast relayouts entirely: section starts are
+    lane-aligned, DC widens from two byte planes with elementwise
+    ops, and the i8 value stream is a same-width (free) bitcast."""
+    from image_to_pointcloud_tpu.ops.jpeg_sparse import sparse_row_sections
+
+    sections, _ = sparse_row_sections(spec, cap, exc_cap)
+    b = payload_u8.shape[0]
+
+    def sl(name):
+        off, size = sections[name]
+        return payload_u8[:, off : off + size]
+
+    counts = sl("counts").astype(jnp.int32)
+    # Signed i16 DC from planar bytes: signed high byte · 256 + low.
+    dc = (
+        jax.lax.bitcast_convert_type(sl("dc_hi"), jnp.int8).astype(jnp.int32)
+        * 256
+        + sl("dc_lo").astype(jnp.int32)
+    )
+    pos = sl("pos").astype(jnp.int32)
+    val = jax.lax.bitcast_convert_type(sl("val"), jnp.int8)
+    exc_idx = jax.lax.bitcast_convert_type(
+        sl("exc_idx").reshape(b, exc_cap, 4), jnp.int32
+    )
+    exc_val = jax.lax.bitcast_convert_type(
+        sl("exc_val").reshape(b, exc_cap, 2), jnp.int16
+    )
+    qt = jax.lax.bitcast_convert_type(
+        sl("qt").reshape(b, spec.ncomp, 64, 4), jnp.float32
+    )
+    scales = jax.lax.bitcast_convert_type(sl("scale"), jnp.float32).reshape(
+        -1
+    )
+    return counts, dc, pos, val, exc_idx, exc_val, qt, scales
+
+
 def _unpack_jpeg_sparse_batch(
     payload_u8: jax.Array, spec, cap: int, exc_cap: int
 ) -> tuple[jax.Array, jax.Array]:
     """Sparse hybrid-ingest payload rows → ((B, oh, ow, 3) f32 RGB,
-    (B,) f32 depth scales). Row layout (matching
-    ``DepthPipeline.pack_jpeg_sparse_payload``):
-    [per-block u8 AC counts | per-block i16 DC | (cap,) u8 in-block
-    positions | (cap,) i8 AC values | (exc_cap,) i32 exception slots |
-    (exc_cap,) i16 exception values | (ncomp·64) f32 qtables |
-    f32 depth_scale]."""
+    (B,) f32 depth scales); see ``_unpack_jpeg_sparse_fields`` for the
+    row layout contract."""
     from image_to_pointcloud_tpu.ops.jpeg import _decode_planes
-    from image_to_pointcloud_tpu.ops.jpeg_sparse import (
-        coeff_layout,
-        scatter_from_blocks,
-    )
+    from image_to_pointcloud_tpu.ops.jpeg_sparse import scatter_from_blocks
 
-    b = payload_u8.shape[0]
-    _, total = coeff_layout(spec)
-    nblocks = total // (spec.k * spec.k)
-    counts = payload_u8[:, :nblocks].astype(jnp.int32)
-    off = nblocks
-    dc = jax.lax.bitcast_convert_type(
-        payload_u8[:, off : off + 2 * nblocks].reshape(b, nblocks, 2),
-        jnp.int16,
+    counts, dc, pos, val, exc_idx, exc_val, qt, scales = (
+        _unpack_jpeg_sparse_fields(payload_u8, spec, cap, exc_cap)
     )
-    off += 2 * nblocks
-    pos = payload_u8[:, off : off + cap].astype(jnp.int32)
-    off += cap
-    val = jax.lax.bitcast_convert_type(
-        payload_u8[:, off : off + cap].reshape(b, cap, 1), jnp.int8
-    ).reshape(b, cap)
-    off += cap
-    exc_idx = jax.lax.bitcast_convert_type(
-        payload_u8[:, off : off + 4 * exc_cap].reshape(b, exc_cap, 4),
-        jnp.int32,
-    )
-    off += 4 * exc_cap
-    exc_val = jax.lax.bitcast_convert_type(
-        payload_u8[:, off : off + 2 * exc_cap].reshape(b, exc_cap, 2),
-        jnp.int16,
-    )
-    off += 2 * exc_cap
-    nq = spec.ncomp * 64 * 4
-    qt = jax.lax.bitcast_convert_type(
-        payload_u8[:, off : off + nq].reshape(b, spec.ncomp, 64, 4),
-        jnp.float32,
-    )
-    off += nq
-    scales = jax.lax.bitcast_convert_type(
-        payload_u8[:, off : off + 4], jnp.float32
-    ).reshape(-1)
 
     def one(c, d, p, v, ei, ev, q):
         return _decode_planes(
@@ -970,15 +975,26 @@ class DepthPipeline:
     ) -> np.ndarray:
         """Sparse variant of :meth:`pack_jpeg_payload`: one (B, nbytes)
         u8 H2D buffer of blocked split-sparse coefficients
-        (ops/jpeg_sparse.py). Row layout matches
-        ``_unpack_jpeg_sparse_batch``: [AC counts u8 | dc i16 |
-        pos u8 ×cap | val i8 ×cap | exc_idx i32 ×exc_cap |
-        exc_val i16 ×exc_cap | qtables f32 | depth_scale f32]. Padding
-        exception slots point at index ``cap`` (the device's
-        sacrificial tail entry)."""
-        rows = []
+        (ops/jpeg_sparse.py). Section layout (offsets, alignment) comes
+        from ``ops.jpeg_sparse.sparse_row_sections`` — the one shared
+        definition with the device reader
+        (``_unpack_jpeg_sparse_fields``). DC ships as planar lo/hi
+        bytes; padding exception slots point at index ``cap`` (the
+        device's sacrificial tail entry)."""
+        from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+            sparse_row_sections,
+        )
+
+        sections, rowbytes = sparse_row_sections(jpegs[0].spec, cap, exc_cap)
+        out = np.zeros((len(jpegs), rowbytes), np.uint8)
         scales = np.ascontiguousarray(depth_scales, np.float32)
-        for j, s in zip(jpegs, scales):
+
+        def put(row, name, data_u8):
+            off, size = sections[name]
+            row[off : off + len(data_u8)] = data_u8
+            assert len(data_u8) <= size
+
+        for row, j, s in zip(out, jpegs, scales):
             counts, dc, pos, val, exc_idx, exc_val = j.sparse()
             if len(pos) > cap:
                 raise ValueError(
@@ -988,31 +1004,21 @@ class DepthPipeline:
                 raise ValueError(
                     f"nexc {len(exc_idx)} exceeds exception bucket {exc_cap}"
                 )
-            ppos = np.zeros(cap, np.uint8)
-            ppos[: len(pos)] = pos
-            pval = np.zeros(cap, np.int8)
-            pval[: len(val)] = val
+            dcu = np.ascontiguousarray(dc, np.int16).view(np.uint16)
+            put(row, "counts", np.ascontiguousarray(counts, np.uint8))
+            put(row, "dc_lo", (dcu & 0xFF).astype(np.uint8))
+            put(row, "dc_hi", (dcu >> 8).astype(np.uint8))
+            put(row, "pos", pos)  # zero-padded to cap by the zeros row
+            put(row, "val", val.view(np.uint8))
             pei = np.full(exc_cap, cap, np.int32)
             pei[: len(exc_idx)] = exc_idx
-            pev = np.zeros(exc_cap, np.int16)
-            pev[: len(exc_val)] = exc_val
-            rows.append(
-                np.concatenate(
-                    [
-                        np.ascontiguousarray(counts, np.uint8),
-                        np.ascontiguousarray(dc, np.int16).view(np.uint8),
-                        ppos,
-                        pval.view(np.uint8),
-                        pei.view(np.uint8),
-                        pev.view(np.uint8),
-                        np.ascontiguousarray(j.qtables, np.float32)
-                        .view(np.uint8)
-                        .ravel(),
-                        s.reshape(1).view(np.uint8),
-                    ]
-                )
-            )
-        return np.stack(rows)
+            put(row, "exc_idx", pei.view(np.uint8))
+            put(row, "exc_val", np.ascontiguousarray(
+                exc_val, np.int16).view(np.uint8))
+            put(row, "qt", np.ascontiguousarray(j.qtables, np.float32)
+                .view(np.uint8).ravel())
+            put(row, "scale", s.reshape(1).view(np.uint8))
+        return out
 
     def submit_batch(
         self,
