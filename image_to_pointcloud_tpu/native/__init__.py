@@ -169,7 +169,7 @@ def _load_locked() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
-            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.ipc_reconstruct_ycc420.restype = ctypes.c_int64
@@ -178,7 +178,7 @@ def _load_locked() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_float,
-            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.ipc_jpeg_probe.restype = ctypes.c_int32
@@ -258,11 +258,13 @@ def reconstruct_points(
     f: float,
     cx: float,
     cy: float,
+    denom: float = 65535.0,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Fused dequantize+unproject+color-gather+compact; None if unavailable.
 
     Args:
-      d16: (hh, ww) uint16 quantized normalized depth.
+      d16: (hh, ww) uint16 quantized normalized depth (values in
+        [0, denom] — the 12-bit packed transfer passes denom=4095).
       keep: (hh, ww) bool/uint8 keep mask.
       rgb: (hh, ww, 3) uint8 color source — may be a strided view.
     """
@@ -284,6 +286,7 @@ def reconstruct_points(
         d16.ctypes.data, keep_u8.ctypes.data, rgb.ctypes.data,
         rgb.strides[0], rgb.strides[1],
         hh, ww, step, float(depth_scale), float(f), float(cx), float(cy),
+        float(np.float32(1.0 / denom)),
         out_xyz.ctypes.data, out_rgb.ctypes.data,
     )
     if 2 * m <= hh * ww:
@@ -306,6 +309,7 @@ def reconstruct_points_ycc420(
     f: float,
     cx: float,
     cy: float,
+    denom: float = 65535.0,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """:func:`reconstruct_points` for the hybrid-JPEG 4:2:0 color
     ride-along: colors come from a (hh, ww) u8 luma plane plus
@@ -328,6 +332,7 @@ def reconstruct_points_ycc420(
         y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
         hh, ww, cb.shape[1],
         step, float(depth_scale), float(f), float(cx), float(cy),
+        float(np.float32(1.0 / denom)),
         out_xyz.ctypes.data, out_rgb.ctypes.data,
     )
     if 2 * m <= hh * ww:

@@ -200,14 +200,17 @@ int32_t ipc_decimate(double* verts, double* cols, int32_t nv, int32_t* faces,
 int64_t ipc_reconstruct(const uint16_t* d16, const uint8_t* keep,
                         const uint8_t* rgb, int64_t rgb_rs, int64_t rgb_cs,
                         int32_t hh, int32_t ww, int32_t step, float depth_scale,
-                        float f, float cx, float cy, float* out_xyz,
-                        float* out_rgb) {
+                        float f, float cx, float cy, float inv_q,
+                        float* out_xyz, float* out_rgb) {
   // Operation order matches pipeline/graph.py depth16_to_xyz EXACTLY —
-  // (d16 * (1/65535)) * scale and (u*zs) / f, each rounded in float32 —
-  // so a host with the native kernel and one on the numpy fallback
-  // produce bit-identical PLY/JSON bytes (the documented contract of
-  // the ONE host implementation).
-  const float q = 1.0f / 65535.0f;
+  // (d * inv_q) * scale and (u*zs) / f, each rounded in float32 — so a
+  // host with the native kernel and one on the numpy fallback produce
+  // bit-identical PLY/JSON bytes (the documented contract of the ONE
+  // host implementation). inv_q is the f32 reciprocal of the
+  // quantization denominator (1/65535 for the u16 contract, 1/4095 for
+  // the 12-bit packed transfer), computed by the Python caller so both
+  // hosts multiply by the identical float.
+  const float q = inv_q;
   int64_t m = 0;
   for (int32_t r = 0; r < hh; r++) {
     const float y0 = (float)(r * step) - cy;
@@ -244,9 +247,10 @@ int64_t ipc_reconstruct_ycc420(const uint16_t* d16, const uint8_t* keep,
                                const uint8_t* yp, const uint8_t* cbp,
                                const uint8_t* crp, int32_t hh, int32_t ww,
                                int32_t cw, int32_t step, float depth_scale,
-                               float f, float cx, float cy, float* out_xyz,
-                               float* out_rgb) {
-  const float q = 1.0f / 65535.0f;
+                               float f, float cx, float cy, float inv_q,
+                               float* out_xyz, float* out_rgb) {
+  const float q = inv_q;  // see ipc_reconstruct
+
   int64_t m = 0;
   for (int32_t r = 0; r < hh; r++) {
     const float y0 = (float)(r * step) - cy;

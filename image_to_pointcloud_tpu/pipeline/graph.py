@@ -99,6 +99,46 @@ def default_quantized_transfer() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def pack_depth12(dn_s: jax.Array) -> jax.Array:
+    """Device half of the 12-bit depth transfer: (B, hh, ww) normalized
+    depth in [0, 1] → (B, 3·ceil(n/2)) u8 planar pack
+    ``[lo_a | lo_b | hi]`` — the flat grid splits into halves a/b, the
+    low bytes ship as two planes and ``hi`` carries both 4-bit high
+    nibbles (a in bits 0-3, b in bits 4-7). Planar (not interleaved)
+    so the pack is three contiguous elementwise stores on TPU — no
+    minor-dim-2 relayouts (same lesson as the sparse JPEG payload).
+    1.5 bytes/point instead of 2; quantization RMSE depth_scale/4095/√12
+    ≈ 7·10⁻⁴·(scale/10), inside the <1e-3 parity budget (PARITY.md
+    deviation 12). ``IPC_TPU_DEPTH16=1`` restores the u16 contract."""
+    bq = dn_s.shape[0]
+    d12 = jnp.round(dn_s * 4095.0).astype(jnp.uint16).reshape(bq, -1)
+    n = d12.shape[1]
+    half = -(-n // 2)
+    d12 = jnp.pad(d12, ((0, 0), (0, 2 * half - n)))
+    da, db = d12[:, :half], d12[:, half:]
+    return jnp.concatenate(
+        [
+            (da & 0xFF).astype(jnp.uint8),
+            (db & 0xFF).astype(jnp.uint8),
+            ((da >> 8) | ((db >> 8) << 4)).astype(jnp.uint8),
+        ],
+        axis=1,
+    )
+
+
+def unpack_depth12(sec: np.ndarray, n: int) -> np.ndarray:
+    """Host half of :func:`pack_depth12`: (B, 3·ceil(n/2)) u8 → (B, n)
+    u16 with values in [0, 4095] (dequantize with denom=4095)."""
+    b = sec.shape[0]
+    half = -(-n // 2)
+    lo_a = sec[:, :half].astype(np.uint16)
+    lo_b = sec[:, half : 2 * half].astype(np.uint16)
+    hi = sec[:, 2 * half : 3 * half].astype(np.uint16)
+    da = lo_a | ((hi & 0xF) << 8)
+    db = lo_b | ((hi >> 4) << 8)
+    return np.concatenate([da, db], axis=1)[:, :n]
+
+
 def pack_keep_bits(mask: jax.Array) -> jax.Array:
     """Bit-pack a boolean keep mask along its last axis (8 points/byte,
     little-endian bit order — ``np.unpackbits(..., bitorder="little")``
@@ -119,15 +159,18 @@ def depth16_to_xyz(
     f: float,
     cx: float,
     cy: float,
+    denom: float = 65535.0,
 ) -> np.ndarray:
     """Host half of the depth16 contract: (B, hh, ww) u16 quantized
     normalized depth → (B, 3, hh·ww) f32 XYZ, exact reference math
     (backend/app.py:218-244 incl. the z==0 epsilon asymmetry). ONE
     implementation — DepthPipeline.collect and VideoPipeline both call
-    this; keep it bit-identical to ops.unproject's device math."""
+    this; keep it bit-identical to ops.unproject's device math.
+    ``denom`` is the quantization denominator (65535 for the u16
+    contract; the 12-bit packed transfer passes 4095)."""
     b, hh, ww = d16.shape
     n = hh * ww
-    dn = d16.astype(np.float32) * np.float32(1.0 / 65535.0)
+    dn = d16.astype(np.float32) * np.float32(1.0 / denom)
     z = dn * np.asarray(depth_scales, np.float32).reshape(b, 1, 1)
     zs = np.where(z != 0.0, z, np.float32(1e-6))
     u = (np.arange(ww, dtype=np.float32) * step - np.float32(cx))[None, None, :]
@@ -515,6 +558,14 @@ class DepthPipeline:
         if quantized_transfer is None:
             quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
+        # Quantized-transfer depth precision: 12-bit packed (1.5 B/pt)
+        # by default; IPC_TPU_DEPTH16=1 restores the u16 contract (see
+        # pack_depth12 / PARITY.md deviation 12).
+        import os as _os
+
+        self.depth_bits = (
+            16 if _os.environ.get("IPC_TPU_DEPTH16") == "1" else 12
+        )
         self._compiled: dict[tuple, Callable] = {}
         self._build_lock = threading.Lock()
         # Multi-chip serving: place params per the megatron TP rules over
@@ -828,14 +879,17 @@ class DepthPipeline:
             # makes a single device→host transfer — the relay serializes
             # transfers and charges ~25 ms latency per round-trip.
             dn_s = dn_all[:, ::step, ::step]
-            d16 = jnp.round(dn_s * 65535.0).astype(jnp.uint16)
-            bq = d16.shape[0]
+            bq = dn_s.shape[0]
             keep_mask = packed[:, 6, :] > 0.5
             keep_bits = pack_keep_bits(keep_mask)
-            payload = [
-                jax.lax.bitcast_convert_type(d16, jnp.uint8).reshape(bq, -1),
-                keep_bits,
-            ]
+            if self.depth_bits == 12:
+                depth_sec = pack_depth12(dn_s)
+            else:
+                d16 = jnp.round(dn_s * 65535.0).astype(jnp.uint16)
+                depth_sec = jax.lax.bitcast_convert_type(
+                    d16, jnp.uint8
+                ).reshape(bq, -1)
+            payload = [depth_sec, keep_bits]
             if jpeg_spec is not None:
                 # The host never had pixels (hybrid-JPEG mode), so point
                 # colors ride back — as 4:2:0 YCbCr, not RGB: the JPEG
@@ -1155,22 +1209,28 @@ class DepthPipeline:
                     prev_np = None
         results = []
         if self.quantized_transfer:
-            bundle = np.asarray(out)  # one transfer: [d16 | keep bits | rgb?]
+            bundle = np.asarray(out)  # one transfer: [depth | keep bits | rgb?]
             hh, ww = grid_hw
             n = hh * ww
-            n2 = n * 2
             nb = -(-n // 8)
-            d16 = (
-                np.ascontiguousarray(bundle[:, :n2])
-                .view(np.uint16)
-                .reshape(b, hh, ww)
-            )
+            if self.depth_bits == 12:
+                dsec = 3 * (-(-n // 2))
+                denom = 4095.0
+                d16 = unpack_depth12(bundle[:, :dsec], n).reshape(b, hh, ww)
+            else:
+                dsec = n * 2
+                denom = 65535.0
+                d16 = (
+                    np.ascontiguousarray(bundle[:, :dsec])
+                    .view(np.uint16)
+                    .reshape(b, hh, ww)
+                )
             keep_all = np.unpackbits(
-                np.ascontiguousarray(bundle[:, n2 : n2 + nb]),
+                np.ascontiguousarray(bundle[:, dsec : dsec + nb]),
                 axis=-1,
                 bitorder="little",
             )[:, :n].astype(bool)
-            has_rgb = bundle.shape[1] > n2 + nb
+            has_rgb = bundle.shape[1] > dsec + nb
             # Hybrid-JPEG handles (imgs is None) ride colors back as
             # 4:2:0 YCbCr: [y (n) | cb | cr], chroma at ceil(hh/2) x
             # ceil(ww/2). Pixel handles ride exact u8 RGB.
@@ -1188,7 +1248,7 @@ class DepthPipeline:
 
                 if native.available():
                     if ycc:
-                        o = n2 + nb
+                        o = dsec + nb
                         y_pl = bundle[:, o : o + n].reshape(b, hh, ww)
                         cb_pl = bundle[:, o + n : o + n + nc].reshape(
                             b, ch, cw
@@ -1197,7 +1257,7 @@ class DepthPipeline:
                         rgb_views = None
                     else:
                         rgb_views = (
-                            bundle[:, n2 + nb :].reshape(b, hh, ww, 3)
+                            bundle[:, dsec + nb :].reshape(b, hh, ww, 3)
                             if has_rgb
                             else imgs[:, ::step, ::step, :]
                         )
@@ -1214,6 +1274,7 @@ class DepthPipeline:
                                 f=f,
                                 cx=cx,
                                 cy=cy,
+                                denom=denom,
                             )
                         else:
                             pts, cols = native.reconstruct_points(
@@ -1225,6 +1286,7 @@ class DepthPipeline:
                                 f=f,
                                 cx=cx,
                                 cy=cy,
+                                denom=denom,
                             )
                         results.append(
                             PipelineResult(
@@ -1245,14 +1307,14 @@ class DepthPipeline:
                     return results
 
             if ycc:
-                o = n2 + nb
+                o = dsec + nb
                 rgb = ycc420_to_rgb_f32(
                     bundle[:, o : o + n].reshape(b, hh, ww),
                     bundle[:, o + n : o + n + nc].reshape(b, ch, cw),
                     bundle[:, o + n + nc :].reshape(b, ch, cw),
                 ).reshape(b, n, 3)
             elif has_rgb:
-                rgb = bundle[:, n2 + nb :].reshape(b, n, 3).astype(np.float32)
+                rgb = bundle[:, dsec + nb :].reshape(b, n, 3).astype(np.float32)
             else:
                 rgb = (
                     imgs[:, ::step, ::step, :]
@@ -1261,7 +1323,7 @@ class DepthPipeline:
                 )
 
             xyz = depth16_to_xyz(
-                d16, depth_scales, step=step, f=f, cx=cx, cy=cy
+                d16, depth_scales, step=step, f=f, cx=cx, cy=cy, denom=denom
             )
             for i in range(b):
                 keep = keep_all[i]

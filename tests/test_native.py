@@ -95,6 +95,32 @@ class TestReconstruct:
         np.testing.assert_array_equal(pts, ref)
         np.testing.assert_array_equal(cols, rgb[keep].astype(np.float32))
 
+    def test_denom_4095_matches_numpy_path(self, rng):
+        """The 12-bit packed transfer dequantizes with denom=4095; the
+        native kernel must stay BIT-identical to depth16_to_xyz for
+        that contract too (both multiply by the caller-computed f32
+        reciprocal)."""
+        hh, ww, step = 17, 23, 2
+        h, w = hh * step, ww * step
+        d12 = rng.integers(0, 4096, (hh, ww)).astype(np.uint16)
+        keep = rng.random((hh, ww)) > 0.3
+        rgb = rng.integers(0, 256, (hh, ww, 3)).astype(np.uint8)
+        f = max(h, w) * 1.2
+        out = native.reconstruct_points(
+            d12, keep, rgb, step=step, depth_scale=10.0, f=f,
+            cx=w / 2, cy=h / 2, denom=4095.0,
+        )
+        assert out is not None
+        pts, _ = out
+        from image_to_pointcloud_tpu.pipeline.graph import depth16_to_xyz
+
+        xyz = depth16_to_xyz(
+            d12[None], np.asarray([10.0], np.float32),
+            step=step, f=f, cx=w / 2, cy=h / 2, denom=4095.0,
+        )[0].reshape(3, hh, ww)
+        ref = np.stack([xyz[0][keep], xyz[1][keep], xyz[2][keep]], 1)
+        np.testing.assert_array_equal(pts, ref)
+
     def test_ycc420_matches_numpy_path(self, rng):
         """The hybrid-JPEG 4:2:0 color reconstruct must be BIT-identical
         to the numpy fallback (pipeline.graph.ycc420_to_rgb_f32): same

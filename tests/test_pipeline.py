@@ -151,7 +151,10 @@ class TestFullPipeline:
 class TestQuantizedTransfer:
     @pytest.mark.parametrize("density", ["medium", "high"])
     def test_depth16_matches_f32_path(self, rng, density):
-        """The depth16 transfer mode reconstructs the same cloud (±2e-4).
+        """The quantized transfer mode reconstructs the same cloud
+        within its quantization budget: the default 12-bit packed depth
+        bounds |Δz| by depth_scale/4095/2 ≈ 1.3e-3 at scale 10 (RMSE
+        ≈ 7e-4, inside the <1e-3 parity budget; PARITY.md deviation 12).
 
         density=medium gives a point count divisible by 8; density=high
         (70·63 = 4410 points) exercises the keep-bit padding lanes of the
@@ -177,8 +180,54 @@ class TestQuantizedTransfer:
         ).run(img, depth_scale=10.0, options=opts)
         assert a.raw_point_count == b.raw_point_count
         assert a.kept_point_count == b.kept_point_count
+        np.testing.assert_allclose(a.points, b.points, atol=1.5e-3)
+        np.testing.assert_array_equal(a.colors, b.colors)
+
+    def test_depth16_env_restores_u16_contract(self, rng, monkeypatch):
+        """IPC_TPU_DEPTH16=1 ships u16 depth (2 B/pt) and tightens the
+        reconstruction to the historical ±2e-4 u16 budget."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        opts = PipelineOptions(density="medium")
+        img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
+        a = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=False,
+        ).run(img, depth_scale=10.0, options=opts)
+        monkeypatch.setenv("IPC_TPU_DEPTH16", "1")
+        pipe16 = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        )
+        assert pipe16.depth_bits == 16
+        b = pipe16.run(img, depth_scale=10.0, options=opts)
+        assert a.kept_point_count == b.kept_point_count
         np.testing.assert_allclose(a.points, b.points, atol=2e-4)
         np.testing.assert_array_equal(a.colors, b.colors)
+
+    def test_depth12_pack_roundtrip_exact(self, rng):
+        """unpack_depth12 is the exact inverse of pack_depth12 at the
+        12-bit grid, for even and odd point counts (the odd tail pads)."""
+        import jax.numpy as jnp
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            pack_depth12,
+            unpack_depth12,
+        )
+
+        for hh, ww in [(7, 9), (8, 8), (1, 1)]:
+            dn = rng.random((3, hh, ww)).astype(np.float32)
+            sec = np.asarray(pack_depth12(jnp.asarray(dn)))
+            assert sec.shape == (3, 3 * (-(-hh * ww // 2)))
+            d12 = unpack_depth12(sec, hh * ww)
+            expect = np.round(dn * 4095.0).astype(np.uint16).reshape(3, -1)
+            np.testing.assert_array_equal(d12, expect)
 
     def test_downscaled_input_quantized_transfer(self, rng, monkeypatch):
         """Inputs over MAX_IMAGE_DIM take the device-downscale branch of
