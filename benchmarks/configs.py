@@ -135,6 +135,17 @@ def main() -> None:
             pts, cols = pipe.run(img, intr)
             lat.append(time.perf_counter() - t0)
         _emit("3_zoedepth_metric_intrinsics", lat)
+        # Batched (the throughput configuration, mirroring config 2):
+        # one fused batch-8 dispatch, per-image intrinsics.
+        imgs = rng.integers(0, 255, (8, 518, 518, 3)).astype(np.uint8)
+        intrs = [intr] * 8
+        pipe.run_batch(imgs, intrs)  # compile
+        lat = []
+        for _ in range(max(3, reps // 2)):
+            t0 = time.perf_counter()
+            pipe.run_batch(imgs, intrs)
+            lat.append(time.perf_counter() - t0)
+        _emit("3_zoedepth_metric_intrinsics_batch8", lat, unit_n=8)
 
     if "4" in which:
         cfg = preset("depth-anything-v2-small")

@@ -105,10 +105,17 @@ class MetricPipeline:
         if quantized_transfer is None:
             quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
+        # Same 12-bit packed depth default (and IPC_TPU_DEPTH16=1
+        # escape hatch) as DepthPipeline; PARITY.md deviation 12.
+        import os as _os
+
+        self.depth_bits = (
+            16 if _os.environ.get("IPC_TPU_DEPTH16") == "1" else 12
+        )
         self._compiled: dict = {}
 
-    def _fn(self, h: int, w: int, step: int):
-        key = (h, w, step)
+    def _fn(self, b: int, h: int, w: int, step: int):
+        key = (b, h, w, step)
         if key in self._compiled:
             return self._compiled[key]
         from image_to_pointcloud_tpu.pipeline.preprocess import (
@@ -123,8 +130,8 @@ class MetricPipeline:
         )
 
         @jax.jit
-        def fn(params, img_u8, fx, fy, cx, cy):
-            img = img_u8.astype(jnp.float32)[None]
+        def fn(params, imgs_u8, fx, fy, cx, cy):
+            img = imgs_u8.astype(jnp.float32)  # (B, h, w, 3)
             img_in = img
             if pad_h or pad_w:
                 # ZoeDepth reflect pad + post-process crop (boundary
@@ -138,46 +145,139 @@ class MetricPipeline:
                 img_in, (mh, mw), mean=self.pixel_mean, std=self.pixel_std,
                 method=self.resize_method,
             )
-            depth = self.model.apply({"params": params}, x)  # (1, mh, mw)
+            depth = self.model.apply({"params": params}, x)  # (B, mh, mw)
             if pad_h or pad_w:
                 d4 = resize_batched(
                     depth[..., None], (hp, wp), "bicubic_torch"
                 )
-                d = d4[0, pad_h : hp - pad_h, pad_w : wp - pad_w, 0]
+                d = d4[:, pad_h : hp - pad_h, pad_w : wp - pad_w, 0]
             else:
                 d = resize_batched(
                     depth[:, :, :, None], (h, w), "linear"
-                )[0, :, :, 0]
+                )[:, :, :, 0]
             if not self.quantized_transfer:
-                return unproject_intrinsics(
-                    d, img[0], fx=fx, fy=fy, cx=cx, cy=cy, step=step
-                )
-            # depth16 metric bundle: [d16 LE bytes | keep bits | maxd f32
-            # bytes] in one u8 row (the relay charges ~25 ms latency per
-            # serialized transfer — see DepthPipeline's bundle).
+                return jax.vmap(
+                    lambda dd, im, a, g, c, e: unproject_intrinsics(
+                        dd, im, fx=a, fy=g, cx=c, cy=e, step=step
+                    )
+                )(d, img, fx, fy, cx, cy)  # (B, 8, N)
+            # Quantized metric bundle, one u8 row per image (the relay
+            # charges ~25 ms latency per serialized transfer — see
+            # DepthPipeline's bundle): [packed depth | keep bits |
+            # per-image maxd f32 bytes]. Depth is normalized per image
+            # by its own max and packed at depth_bits precision.
             from image_to_pointcloud_tpu.pipeline.graph import (
+                pack_depth12,
                 pack_keep_bits,
             )
 
-            ds = d[::step, ::step]
-            keep = ds > 0.0
-            maxd = jnp.maximum(jnp.max(ds), 1e-12)
-            d16 = jnp.round(
-                jnp.clip(ds / maxd, 0.0, 1.0) * 65535.0
-            ).astype(jnp.uint16)
-            keep_bits = pack_keep_bits(keep.reshape(-1))
+            ds = d[:, ::step, ::step]
+            bq = ds.shape[0]
+            keep = (ds > 0.0).reshape(bq, -1)
+            maxd = jnp.maximum(
+                jnp.max(ds.reshape(bq, -1), axis=1), 1e-12
+            )  # (B,)
+            dn = jnp.clip(ds / maxd[:, None, None], 0.0, 1.0)
+            if self.depth_bits == 12:
+                depth_sec = pack_depth12(dn)
+            else:
+                d16 = jnp.round(dn * 65535.0).astype(jnp.uint16)
+                depth_sec = jax.lax.bitcast_convert_type(
+                    d16, jnp.uint8
+                ).reshape(bq, -1)
             return jnp.concatenate(
                 [
-                    jax.lax.bitcast_convert_type(d16, jnp.uint8).reshape(-1),
-                    keep_bits,
+                    depth_sec,
+                    pack_keep_bits(keep),
                     jax.lax.bitcast_convert_type(
-                        maxd.astype(jnp.float32), jnp.uint8
-                    ).reshape(-1),
-                ]
+                        maxd.astype(jnp.float32)[:, None], jnp.uint8
+                    ).reshape(bq, 4),
+                ],
+                axis=1,
             )
 
         self._compiled[key] = fn
         return fn
+
+    def run_batch(
+        self,
+        images_rgb_u8: "np.ndarray | list[np.ndarray]",
+        intrinsics: "CameraIntrinsics | list[CameraIntrinsics]",
+        *,
+        step: int = 1,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Batched metric conversion (BASELINE config 3, batched): one
+        fused dispatch for B same-size images with per-image intrinsics
+        → [(points (M,3) metric, colors (M,3)), ...]."""
+        imgs = np.stack(images_rgb_u8)
+        b, h, w = imgs.shape[:3]
+        if isinstance(intrinsics, CameraIntrinsics):
+            intrinsics = [intrinsics] * b
+        fx = np.asarray([i.fx for i in intrinsics], np.float32)
+        fy = np.asarray([i.fy for i in intrinsics], np.float32)
+        cx = np.asarray([i.cx for i in intrinsics], np.float32)
+        cy = np.asarray([i.cy for i in intrinsics], np.float32)
+        fn = self._fn(b, h, w, step)
+        out = np.asarray(
+            fn(
+                self.params, jnp.asarray(imgs), jnp.asarray(fx),
+                jnp.asarray(fy), jnp.asarray(cx), jnp.asarray(cy),
+            )
+        )
+        results: list[tuple[np.ndarray, np.ndarray]] = []
+        if not self.quantized_transfer:
+            for i in range(b):
+                packed = out[i]
+                keep = packed[6] > 0.5
+                results.append((packed[:3].T[keep], packed[3:6].T[keep]))
+            return results
+        hh = -(-h // step)
+        ww = -(-w // step)
+        n = hh * ww
+        nb = -(-n // 8)
+        if self.depth_bits == 12:
+            from image_to_pointcloud_tpu.pipeline.graph import unpack_depth12
+
+            dsec = 3 * (-(-n // 2))
+            denom = 4095.0
+            dq = unpack_depth12(out[:, :dsec], n)
+        else:
+            dsec = n * 2
+            denom = 65535.0
+            dq = np.ascontiguousarray(out[:, :dsec]).view(np.uint16)
+        keep_all = np.unpackbits(
+            np.ascontiguousarray(out[:, dsec : dsec + nb]),
+            axis=-1,
+            bitorder="little",
+        )[:, :n].astype(bool)
+        maxd = (
+            np.ascontiguousarray(out[:, dsec + nb : dsec + nb + 4])
+            .view(np.float32)
+            .reshape(b)
+        )
+        for i in range(b):
+            keep = keep_all[i]
+            z = dq[i].astype(np.float32).reshape(hh, ww) * np.float32(
+                float(maxd[i]) / denom
+            )
+            u = (
+                np.arange(ww, dtype=np.float32) * step - np.float32(cx[i])
+            )[None, :]
+            v = (
+                np.arange(hh, dtype=np.float32) * step - np.float32(cy[i])
+            )[:, None]
+            x = (u * z / np.float32(fx[i])).reshape(n)
+            y = (v * z / np.float32(fy[i])).reshape(n)
+            # Filter each 1-D column before stacking — skips the (n,3)
+            # temporary and stack's output is already contiguous.
+            pts = np.stack([x[keep], y[keep], z.reshape(n)[keep]], axis=1)
+            cols = (
+                imgs[i, ::step, ::step, :]
+                .reshape(n, 3)[keep]
+                .astype(np.float32)
+            )
+            results.append((pts, cols))
+        return results
 
     def run(
         self,
@@ -187,54 +287,7 @@ class MetricPipeline:
         step: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """→ (points (M,3) metric, colors (M,3))."""
-        h, w = image_rgb_u8.shape[:2]
-        fn = self._fn(h, w, step)
-        out = np.asarray(
-            fn(
-                self.params,
-                jnp.asarray(image_rgb_u8),
-                jnp.float32(intrinsics.fx),
-                jnp.float32(intrinsics.fy),
-                jnp.float32(intrinsics.cx),
-                jnp.float32(intrinsics.cy),
-            )
-        )
-        if not self.quantized_transfer:
-            packed = out
-            keep = packed[6] > 0.5
-            return packed[:3].T[keep], packed[3:6].T[keep]
-        hh = -(-h // step)
-        ww = -(-w // step)
-        n = hh * ww
-        n2 = n * 2
-        nb = -(-n // 8)
-        d16 = np.ascontiguousarray(out[:n2]).view(np.uint16).reshape(hh, ww)
-        keep = np.unpackbits(
-            np.ascontiguousarray(out[n2 : n2 + nb]), bitorder="little"
-        )[:n].astype(bool)
-        maxd = float(
-            np.ascontiguousarray(out[n2 + nb : n2 + nb + 4]).view(np.float32)[0]
-        )
-        z = d16.astype(np.float32) * np.float32(maxd / 65535.0)
-        u = (
-            np.arange(ww, dtype=np.float32) * step - np.float32(intrinsics.cx)
-        )[None, :]
-        v = (
-            np.arange(hh, dtype=np.float32) * step - np.float32(intrinsics.cy)
-        )[:, None]
-        x = (u * z / np.float32(intrinsics.fx)).reshape(n)
-        y = (v * z / np.float32(intrinsics.fy)).reshape(n)
-        # Filter each 1-D column before stacking — skips the (n,3)
-        # temporary and stack's output is already contiguous.
-        pts = np.stack(
-            [x[keep], y[keep], z.reshape(n)[keep]], axis=1
-        )
-        cols = (
-            np.asarray(image_rgb_u8)[::step, ::step, :]
-            .reshape(n, 3)[keep]
-            .astype(np.float32)
-        )
-        return pts, cols
+        return self.run_batch(image_rgb_u8[None], [intrinsics], step=step)[0]
 
 
 class HighResPipeline:

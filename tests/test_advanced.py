@@ -43,9 +43,9 @@ class TestMetric:
         assert np.isfinite(pts).all()
 
     def test_metric_quantized_transfer_matches_f32(self, rng):
-        """The metric depth16 bundle reconstructs the same cloud: same
-        keep set (computed pre-quantization on device), z within
-        max_depth/2^16, x/y scaled accordingly."""
+        """The quantized metric bundle reconstructs the same cloud: same
+        keep set (computed pre-quantization on device), z within the
+        default 12-bit budget max_depth/2·4095, x/y scaled accordingly."""
         from image_to_pointcloud_tpu.pipeline.advanced import (
             CameraIntrinsics,
             MetricPipeline,
@@ -61,10 +61,59 @@ class TestMetric:
             cfg, params, model_target=56, quantized_transfer=True
         ).run(img, intr, step=2)
         assert len(a[0]) == len(b[0])
-        # Metric head is sigmoid×5 → max depth ≤ 5; tol = 5/65535 plus
-        # the |u-cx|/fx ≤ ~1 x/y magnification.
-        np.testing.assert_allclose(a[0], b[0], atol=2e-4)
+        # Metric head is sigmoid×5 → max depth ≤ 5; tol = 5/2·4095 plus
+        # the |u-cx|/fx ≤ ~1 x/y magnification (PARITY.md deviation 12).
+        np.testing.assert_allclose(a[0], b[0], atol=1.5e-3)
         np.testing.assert_array_equal(a[1], b[1])
+
+    def test_metric_u16_env_tightens_budget(self, rng, monkeypatch):
+        """IPC_TPU_DEPTH16=1 restores the u16 metric bundle (±2e-4)."""
+        from image_to_pointcloud_tpu.pipeline.advanced import (
+            CameraIntrinsics,
+            MetricPipeline,
+        )
+
+        cfg, params = _metric_pair()
+        img = rng.integers(0, 256, (70, 84, 3), dtype=np.uint8)
+        intr = CameraIntrinsics(fx=100.0, fy=110.0, cx=42.0, cy=35.0)
+        a = MetricPipeline(
+            cfg, params, model_target=56, quantized_transfer=False
+        ).run(img, intr, step=2)
+        monkeypatch.setenv("IPC_TPU_DEPTH16", "1")
+        b = MetricPipeline(
+            cfg, params, model_target=56, quantized_transfer=True
+        ).run(img, intr, step=2)
+        assert len(a[0]) == len(b[0])
+        np.testing.assert_allclose(a[0], b[0], atol=2e-4)
+
+    def test_metric_run_batch_matches_run(self, rng):
+        """run_batch (BASELINE config 3, batched) equals per-image run
+        for mixed per-image intrinsics — one dispatch, same clouds."""
+        from image_to_pointcloud_tpu.pipeline.advanced import (
+            CameraIntrinsics,
+            MetricPipeline,
+        )
+
+        cfg, params = _metric_pair()
+        pipe = MetricPipeline(
+            cfg, params, model_target=56, quantized_transfer=True
+        )
+        imgs = rng.integers(0, 256, (3, 70, 84, 3), dtype=np.uint8)
+        intrs = [
+            CameraIntrinsics(fx=100.0, fy=110.0, cx=42.0, cy=35.0),
+            CameraIntrinsics(fx=90.0, fy=90.0, cx=40.0, cy=30.0),
+            CameraIntrinsics(fx=120.0, fy=100.0, cx=44.0, cy=36.0),
+        ]
+        batched = pipe.run_batch(imgs, intrs, step=2)
+        for i in range(3):
+            pts, cols = pipe.run(imgs[i], intrs[i], step=2)
+            # Both paths run the model batched (B=3 vs B=1) — XLA may
+            # reassociate reductions across batch layouts, so allow
+            # float-level wiggle on top of the shared quantization.
+            np.testing.assert_allclose(
+                batched[i][0], pts, atol=2e-3, rtol=1e-4
+            )
+            assert len(batched[i][0]) == len(batched[i][1])
 
     def test_fov_constructor(self):
         from image_to_pointcloud_tpu.pipeline.advanced import CameraIntrinsics
