@@ -187,11 +187,16 @@ def _block_pack_numpy(
 
 
 def capacity_bucket(nnz: int, total: int) -> int:
-    """Padding bucket for an AC nonzero count: powers of two plus one
-    midpoint step (x1.5), so padding waste stays under ~33% while the
-    number of distinct compiled signatures stays small (every distinct
-    capacity is a distinct compile, exactly like the serving batcher's
-    batch-size buckets). Capped at the dense size."""
+    """Padding bucket for an AC nonzero count. Every distinct capacity
+    is a distinct compile (like the serving batcher's batch-size
+    buckets), so small counts use coarse powers-of-two-plus-midpoint
+    steps; above 16384 the bucket is the next multiple of 8192 —
+    bounding padding to 8191 slots (≤16 KB of H2D bytes) where the
+    x1.5 scheme wasted up to a third of the payload (measured 50 KB/img
+    on q88 518² photos: nnz ~73k padded to 98304). Capped at the dense
+    size."""
+    if nnz > 16384:
+        return min(-(-nnz // 8192) * 8192, total)
     cap = _MIN_CAPACITY
     while cap < nnz:
         if cap + cap // 2 >= nnz:
