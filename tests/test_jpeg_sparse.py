@@ -184,7 +184,75 @@ class TestByteAccounting:
         )
 
 
-class TestPipelineSparseEqualsDense:
+class TestRowSections:
+    def test_alignment_and_no_overlap(self):
+        """Every section starts on the 512-byte lane-tile boundary the
+        device reader relies on, sections never overlap, and sizes
+        match the typed-field byte widths."""
+        for w, h, ncomp, k, cap, ecap in [
+            (518, 518, 3, 8, 73728, 16),
+            (250, 179, 3, 2, 1024, 16),
+            (64, 64, 1, 8, 1536, 64),
+        ]:
+            spec = _spec(w, h, ncomp, k=k) if ncomp == 3 else _spec(
+                w, h, ncomp, hv=((1,), (1,)), k=k
+            )
+            sections, total_bytes = sp.sparse_row_sections(spec, cap, ecap)
+            _, total = sp.coeff_layout(spec)
+            nblocks = total // (k * k)
+            expect_sizes = {
+                "counts": nblocks, "dc_lo": nblocks, "dc_hi": nblocks,
+                "pos": cap, "val": cap, "exc_idx": 4 * ecap,
+                "exc_val": 2 * ecap, "qt": ncomp * 256, "scale": 4,
+            }
+            prev_end = 0
+            for name, (off, size) in sections.items():
+                assert off % 512 == 0, (name, off)
+                assert off >= prev_end, (name, off, prev_end)
+                assert size == expect_sizes[name], name
+                prev_end = off + size
+            assert total_bytes == prev_end
+
+    def test_pack_respects_sections(self):
+        """pack_jpeg_sparse_payload writes every field inside its
+        declared section (zero bytes everywhere else in the gaps)."""
+        import io
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        from PIL import Image
+
+        from test_jpeg_hybrid import _photo
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            JpegInput,
+            plan_sparse_batch,
+        )
+
+        buf = io.BytesIO()
+        Image.fromarray(_photo(120, 88, seed=3)).save(buf, "JPEG", quality=85)
+        r = native.jpeg_coefficients(buf.getvalue())
+        spec = devjpeg.JpegSpec(
+            r["width"], r["height"], r["ncomp"], tuple(r["h"]),
+            tuple(r["v"]), 8,
+        )
+        ji = JpegInput(
+            spec=spec,
+            coeffs=[devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]],
+            qtables=r["qtables"].astype(np.float32),
+        )
+        caps = plan_sparse_batch([ji])
+        assert caps is not None
+        row = DepthPipeline.pack_jpeg_sparse_payload(
+            [ji], np.asarray([10.0], np.float32), *caps
+        )[0]
+        sections, total_bytes = sp.sparse_row_sections(spec, *caps)
+        assert len(row) == total_bytes
+        covered = np.zeros(total_bytes, bool)
+        for off, size in sections.values():
+            covered[off : off + size] = True
+        assert not row[~covered].any()  # alignment gaps are all zero
     def test_graph_outputs_bit_identical(self):
         """The full fused serving graph produces bit-identical packed
         points from the sparse payload and the dense payload of the
