@@ -256,15 +256,15 @@ def test_zoedepth_full_hf_processor_chain_parity(rng):
     ref_depth = ref[0]["predicted_depth"].numpy()  # (h, w)
 
     mp = MetricPipeline(model.cfg, variables["params"], model_target=64)
-    fn = mp._fn(h, w, 1)
+    fn = mp._fn(1, h, w, 1)  # batched graph: B=1 row
     packed = np.asarray(
         fn(
             mp.params,
-            jnp.asarray(img),
-            jnp.float32(50.0), jnp.float32(50.0),
-            jnp.float32(w / 2), jnp.float32(h / 2),
+            jnp.asarray(img)[None],
+            jnp.asarray([50.0], jnp.float32), jnp.asarray([50.0], jnp.float32),
+            jnp.asarray([w / 2], jnp.float32), jnp.asarray([h / 2], jnp.float32),
         )
-    )
+    )[0]
     ours_depth = packed[2].reshape(h, w)  # z == metric depth at step=1
     scale = max(np.abs(ref_depth).max(), 1e-6)
     np.testing.assert_allclose(
