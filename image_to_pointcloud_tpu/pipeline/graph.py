@@ -568,6 +568,18 @@ class DepthPipeline:
         )
         self._compiled: dict[tuple, Callable] = {}
         self._build_lock = threading.Lock()
+        # Per-spec sparse-capacity floor (hysteresis): a batch never
+        # selects a smaller (cap, exc_cap) than this spec has already
+        # used. Without it, mixed-content traffic through the serving
+        # batcher makes every (batch bucket × capacity bucket)
+        # combination its own minutes-long remote XLA compile — the
+        # observed long-poll serving collapse (benchmarks/RESULTS.md
+        # round 3). With it, capacities only ratchet up (O(log) growth
+        # steps per spec) and the serving warmup's capacity covers all
+        # less-dense uploads. Cost: some batches pad to a larger cap
+        # than their own max nnz (bytes the 8192-granular buckets just
+        # saved several times over).
+        self._sparse_caps: dict[Any, tuple[int, int]] = {}
         # Multi-chip serving: place params per the megatron TP rules over
         # the 'model' axis (replicated elsewhere) and shard request
         # batches over 'data' — XLA propagates the shardings through the
@@ -1144,6 +1156,11 @@ class DepthPipeline:
         # int16 grids (photographic content: always; q-100 noise:
         # dense).
         caps = plan_sparse_batch(jpegs)
+        if caps is not None:
+            floor = self._sparse_caps.get(spec)
+            if floor is not None:
+                caps = (max(caps[0], floor[0]), max(caps[1], floor[1]))
+            self._sparse_caps[spec] = caps
         if caps is not None:
             fn = self.compiled_graph_jpeg(
                 b + pad, spec, options, want_preview, sparse_cap=caps

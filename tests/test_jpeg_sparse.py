@@ -307,6 +307,55 @@ class TestRowSections:
         np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
 
 
+class TestCapacityHysteresis:
+    def test_smaller_batches_reuse_the_largest_cap(self):
+        """submit_batch_jpeg never selects a smaller capacity than the
+        spec has already used: without the ratchet, mixed-density
+        traffic through the serving batcher makes every (batch bucket ×
+        capacity bucket) pair its own minutes-long remote compile
+        (observed as the round-3 long-poll serving collapse)."""
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        import io
+
+        from PIL import Image
+
+        from test_jpeg_hybrid import _photo
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            plan_jpeg_input,
+        )
+
+        _, model, variables = _build_pair(image_size=56)
+        pipe = DepthPipeline(model.cfg, variables["params"], model_target=56)
+
+        def plan(quality):
+            buf = io.BytesIO()
+            Image.fromarray(_photo(250, 180, seed=1)).save(
+                buf, "JPEG", quality=quality, subsampling=2
+            )
+            return plan_jpeg_input(buf.getvalue())
+
+        dense = plan(95)  # more nonzeros
+        sparse = plan(60)  # fewer nonzeros
+        assert dense is not None and sparse is not None
+        assert dense.spec == sparse.spec
+        assert len(dense.pos) > len(sparse.pos)
+
+        h1 = pipe.submit_batch_jpeg([dense], want_preview=False)
+        cap_after_dense = pipe._sparse_caps[dense.spec]
+        h2 = pipe.submit_batch_jpeg([sparse], want_preview=False)
+        assert pipe._sparse_caps[sparse.spec] == cap_after_dense
+        # One compiled signature serves both batches (no second build).
+        jpeg_keys = [k for k in pipe._compiled if k[0] == "depth-jpeg"]
+        assert len(jpeg_keys) == 1
+        for h in (h1, h2):
+            res = pipe.collect(h, want_preview=False, want_packed=False)
+            assert res[0].kept_point_count > 0
+
+
 class TestDecodeEquivalence:
     def test_sparse_equals_dense_decode(self):
         """decode via blocked scatter == decode via dense coeffs,
