@@ -117,17 +117,38 @@ def _idct_plane(coeffs_kk: jax.Array, qtable_kk: jax.Array, k: int) -> jax.Array
     return px.transpose(0, 2, 1, 3).reshape(bh * k, bw * k) + 128.0
 
 
+@functools.lru_cache(maxsize=32)
+def _fancy_upsample_matrix(n: int) -> np.ndarray:
+    """(n, 2n) matrix form of libjpeg's "fancy" 2× triangular filter:
+    out[2i] = (3·c[i] + c[i-1])/4, out[2i+1] = (3·c[i] + c[i+1])/4 with
+    edge replication (jdsample.c h2v1/h2v2). Two nonzeros per output —
+    as a matmul the whole upsample rides the MXU instead of the
+    lane-interleave relayouts an explicit stack/reshape costs
+    (benchmarks/jpeg_stage_ablation.py)."""
+    m = np.zeros((n, 2 * n), np.float32)
+    idx = np.arange(n)
+    m[idx, 2 * idx] += 0.75
+    m[np.maximum(idx - 1, 0), 2 * idx] += 0.25
+    m[idx, 2 * idx + 1] += 0.75
+    m[np.minimum(idx + 1, n - 1), 2 * idx + 1] += 0.25
+    return m
+
+
 def _fancy_upsample_axis(p: jax.Array, axis: int) -> jax.Array:
-    """libjpeg "fancy" 2× upsampling along one axis: out[2i] =
-    (3·c[i] + c[i-1])/4, out[2i+1] = (3·c[i] + c[i+1])/4 with edge
-    replication (jdsample.c h2v1/h2v2 triangular filter)."""
-    p = jnp.moveaxis(p, axis, 0)
-    left = jnp.concatenate([p[:1], p[:-1]], 0)
-    right = jnp.concatenate([p[1:], p[-1:]], 0)
-    even = 0.75 * p + 0.25 * left
-    odd = 0.75 * p + 0.25 * right
-    out = jnp.stack([even, odd], 1).reshape((-1,) + p.shape[1:])
-    return jnp.moveaxis(out, 0, axis)
+    """libjpeg "fancy" 2× upsampling along one axis, as one small
+    constant matmul (see _fancy_upsample_matrix). Exact same two-term
+    0.75/0.25 blends as the explicit formulation — each output is one
+    dot with two nonzeros, so the float result is identical up to FMA
+    contraction (inside the ±3-level decode tolerance, and identical
+    between the sparse and dense ingest paths, which share this code)."""
+    n = p.shape[axis]
+    m = jnp.asarray(_fancy_upsample_matrix(n))
+    if axis == 0:
+        return jnp.einsum("no,n...->o...", m, p)
+    if axis == p.ndim - 1:
+        return p @ m
+    p = jnp.moveaxis(p, axis, -1)
+    return jnp.moveaxis(p @ m, -1, axis)
 
 
 def _upsample_to(
