@@ -248,7 +248,15 @@ def main() -> None:
     plan_box: list = []
 
     def _plan():
-        return [plan_jpeg_input(d) for d in jpeg_datas]
+        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
+
+        jps = [plan_jpeg_input(d) for d in jpeg_datas]
+        for j in jps:
+            # Pre-reconstruct grid colors on this planner thread (cached
+            # in the JpegInput) so submit's host-colors bundle diet never
+            # pays the ~2 ms/img on the serialized main-thread path.
+            j.grid_colors(DENSITY_STRIDES[opts.density])
+        return jps
 
     def _submit():
         if jpeg_datas is None:

@@ -198,6 +198,12 @@ def _load_locked() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ipc_jpeg_grid_colors.restype = ctypes.c_int32
+        lib.ipc_jpeg_grid_colors.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
         _LIB = lib
         return lib
     except Exception as e:  # noqa: BLE001
@@ -738,3 +744,52 @@ def jpeg_coefficients(data: bytes):
         "coeffs": coeffs,
         "qtables": qt[:ncomp].copy(),
     }
+
+
+def jpeg_grid_colors(
+    coeffs: "list[np.ndarray]",
+    qtables: np.ndarray,
+    spec,
+    step: int,
+) -> "np.ndarray | None":
+    """Strided-grid RGB colors of the hybrid-JPEG pipeline, computed on
+    the host from the entropy-decoded coefficients (src/colorgrid.cpp)
+    instead of riding the D2H bundle as 4:2:0 YCbCr. Returns
+    (ceil(h/step), ceil(w/step), 3) uint8, or None when the native
+    library is unavailable or the layout is unsupported (k<8, exotic
+    sampling factors, strides outside {1,2,4}) — callers then keep the
+    device color ride-along (pipeline/graph.py).
+
+    ``spec`` is an ops.jpeg.JpegSpec at k=8 whose out_hw equals the
+    working size (no device resize — the caller gates that)."""
+    lib = _load()
+    if lib is None or spec.k != 8:
+        return None
+    out_h, out_w = spec.out_hw
+    arrs = []
+    dims = np.zeros(12, np.int32)
+    for c in range(spec.ncomp):
+        a = np.ascontiguousarray(coeffs[c], np.int16)
+        bh, bw = spec.block_grid(c)
+        if a.shape != (bh, bw, 8, 8):
+            return None
+        arrs.append(a)
+        dims[4 * c : 4 * c + 4] = (
+            bh, bw, spec.vmax // spec.v[c], spec.hmax // spec.h[c],
+        )
+    qt = np.ascontiguousarray(qtables, np.float32)
+    if qt.shape != (spec.ncomp, 64):
+        return None
+    if spec.ncomp == 3 and qt.shape[0] < 3:
+        return None
+    gh = -(-out_h // step)
+    gw = -(-out_w // step)
+    out = np.empty((gh, gw, 3), np.uint8)
+    ptrs = [a.ctypes.data for a in arrs] + [0] * (3 - spec.ncomp)
+    rc = lib.ipc_jpeg_grid_colors(
+        ptrs[0], ptrs[1], ptrs[2], qt.ctypes.data, spec.ncomp,
+        dims.ctypes.data, out_h, out_w, int(step), out.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    return out

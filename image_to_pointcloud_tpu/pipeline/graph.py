@@ -353,10 +353,39 @@ class JpegInput:
     val: "np.ndarray | None" = None  # (nnz_ac,) i8
     exc_idx: "np.ndarray | None" = None  # (nexc,) i32 slots into pos/val
     exc_val: "np.ndarray | None" = None  # (nexc,) i16
+    # Host-reconstructed grid colors per stride (lazy, see grid_colors).
+    _gc_cache: dict = dataclasses.field(default_factory=dict)
 
     @property
     def orig_hw(self) -> tuple[int, int]:
         return self.spec.height, self.spec.width
+
+    def grid_colors(self, step: int) -> "np.ndarray | None":
+        """(ceil(h/step), ceil(w/step), 3) u8 RGB at the strided grid,
+        reconstructed on the host straight from the coefficients
+        (native/src/colorgrid.cpp) — replaces the D2H 4:2:0 color
+        ride-along, the largest item of the device→host bundle
+        (benchmarks/e2e_breakdown.py). None when the layout is
+        unsupported (k<8, pending device resize, exotic sampling
+        factors, no native lib) — the graph then keeps the ride-along.
+
+        Cached per step; call from the planner/executor thread
+        (serving's upload handler, bench's planner) so the ~1-3 ms/img
+        hides under the serialized link waits."""
+        if step not in self._gc_cache:
+            from image_to_pointcloud_tpu import native
+
+            colors = None
+            # The device path samples colors AFTER its area resize to
+            # the working size; host reconstruction only matches when
+            # no resize happens (ordinary ≤3072 px uploads at k=8).
+            if self.spec.out_hw == _proc_hw(self.spec.height,
+                                            self.spec.width):
+                colors = native.jpeg_grid_colors(
+                    self.coeffs, self.qtables, self.spec, step
+                )
+            self._gc_cache[step] = colors
+        return self._gc_cache[step]
 
     def sparse(
         self,
@@ -566,6 +595,13 @@ class DepthPipeline:
         self.depth_bits = (
             16 if _os.environ.get("IPC_TPU_DEPTH16") == "1" else 12
         )
+        # Hybrid-JPEG color policy: reconstruct grid colors on the host
+        # from the coefficients (drops the largest D2H bundle item)
+        # whenever every item in a batch supports it; IPC_TPU_HOST_COLORS=0
+        # restores the device 4:2:0 ride-along unconditionally.
+        self.host_colors_enabled = (
+            _os.environ.get("IPC_TPU_HOST_COLORS", "1") != "0"
+        )
         self._compiled: dict[tuple, Callable] = {}
         self._build_lock = threading.Lock()
         # Per-spec sparse-capacity floor (hysteresis): a batch never
@@ -681,6 +717,7 @@ class DepthPipeline:
         preview: bool = True,
         jpeg_spec=None,
         jpeg_sparse_cap: "tuple[int, int] | None" = None,
+        jpeg_host_colors: bool = False,
     ):
         """Compile the full fused graph for one (input size, batch) signature.
 
@@ -690,6 +727,10 @@ class DepthPipeline:
         device at ``spec.out_hw`` (k/8 scale) before the usual area
         resize to the working size. ``in_hw`` stays the ORIGINAL image
         dims so the working size matches the reference's downscale rule.
+        ``jpeg_host_colors`` drops the 4:2:0 color ride-along from the
+        D2H bundle — the host reconstructs grid colors from its own
+        coefficients (JpegInput.grid_colors); submit_batch_jpeg selects
+        it per batch.
         """
         h0, w0 = in_hw
         h, w = _proc_hw(h0, w0)
@@ -902,7 +943,13 @@ class DepthPipeline:
                     d16, jnp.uint8
                 ).reshape(bq, -1)
             payload = [depth_sec, keep_bits]
-            if jpeg_spec is not None:
+            if jpeg_spec is not None and jpeg_host_colors:
+                # Colors reconstructed host-side from the coefficients
+                # (JpegInput.grid_colors): nothing rides along — the
+                # bundle is depth + keep bits only (~1/2 the D2H bytes
+                # of the ride-along layout at stride 2).
+                pass
+            elif jpeg_spec is not None:
                 # The host never had pixels (hybrid-JPEG mode), so point
                 # colors ride back — as 4:2:0 YCbCr, not RGB: the JPEG
                 # source stored chroma at half resolution to begin with,
@@ -991,12 +1038,15 @@ class DepthPipeline:
         options: PipelineOptions,
         want_preview: bool,
         sparse_cap: "tuple[int, int] | None" = None,
+        host_colors: bool = False,
     ):
         """Hybrid-ingest variant of :meth:`compiled_graph`; the JpegSpec
         (frozen dataclass) is the shape part of the signature, plus the
         (AC capacity, exception capacity) buckets when the payload is
-        nonzero-packed (see :func:`plan_sparse_batch`)."""
-        key = ("depth-jpeg", batch, spec, options, want_preview, sparse_cap)
+        nonzero-packed (see :func:`plan_sparse_batch`) and the
+        host-colors bundle layout flag."""
+        key = ("depth-jpeg", batch, spec, options, want_preview, sparse_cap,
+               host_colors)
         return self._get(
             key,
             lambda: self._build(
@@ -1006,6 +1056,7 @@ class DepthPipeline:
                 preview=want_preview,
                 jpeg_spec=spec,
                 jpeg_sparse_cap=sparse_cap,
+                jpeg_host_colors=host_colors,
             ),
         )
 
@@ -1120,7 +1171,7 @@ class DepthPipeline:
         grid_hw = (-(-h // step), -(-w // step))
         return (
             out, prev, b, grid_hw, imgs, np.asarray(depth_scales),
-            options, (h, w), step, want_preview,
+            options, (h, w), step, want_preview, None,
         )
 
     def submit_batch_jpeg(
@@ -1151,6 +1202,20 @@ class DepthPipeline:
             depth_scales = np.concatenate(
                 [depth_scales, depth_scales[-1:].repeat(pad)]
             )
+        h, w = _proc_hw(spec.height, spec.width)
+        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
+
+        step = DENSITY_STRIDES[options.density]
+        # Host-colors mode: every item must reconstruct (one unsupported
+        # layout falls the whole batch back to the device ride-along —
+        # mixing bundle layouts within a batch would need two graphs).
+        # grid_colors is cached: serving/bench planner threads precompute
+        # it, so this is a dict hit on the submit path.
+        host_rgb = None
+        if self.quantized_transfer and self.host_colors_enabled:
+            cols = [j.grid_colors(step) for j in jpegs]
+            if all(c is not None for c in cols):
+                host_rgb = np.stack(cols)
         # Encoding choice: blocked split-sparse wins whenever the
         # batch's capacity buckets ship fewer bytes than the dense
         # int16 grids (photographic content: always; q-100 noise:
@@ -1163,23 +1228,23 @@ class DepthPipeline:
             self._sparse_caps[spec] = caps
         if caps is not None:
             fn = self.compiled_graph_jpeg(
-                b + pad, spec, options, want_preview, sparse_cap=caps
+                b + pad, spec, options, want_preview, sparse_cap=caps,
+                host_colors=host_rgb is not None,
             )
             payload = self.pack_jpeg_sparse_payload(
                 jpegs, depth_scales, *caps
             )
         else:
-            fn = self.compiled_graph_jpeg(b + pad, spec, options, want_preview)
+            fn = self.compiled_graph_jpeg(
+                b + pad, spec, options, want_preview,
+                host_colors=host_rgb is not None,
+            )
             payload = self.pack_jpeg_payload(jpegs, depth_scales)
         out, prev = fn(self.params, self._place_batch(jnp.asarray(payload)))
-        h, w = _proc_hw(spec.height, spec.width)
-        from image_to_pointcloud_tpu.ops.unproject import DENSITY_STRIDES
-
-        step = DENSITY_STRIDES[options.density]
         grid_hw = (-(-h // step), -(-w // step))
         return (
             out, prev, b, grid_hw, None, np.asarray(depth_scales),
-            options, (h, w), step, want_preview,
+            options, (h, w), step, want_preview, host_rgb,
         )
 
     def collect(
@@ -1198,7 +1263,7 @@ class DepthPipeline:
         path renders paletted PNGs from gray (app_v1.py), so the RGB
         materialization there is pure waste."""
         (out, prev, b, grid_hw, imgs, depth_scales, options, (h, w), step,
-         had_preview) = handle
+         had_preview, host_rgb) = handle
         # The graph only computed a preview if submit_batch asked for
         # one; a collect-side want_preview=True against a previewless
         # handle would misread the (1,) placeholder (IndexError for
@@ -1250,8 +1315,10 @@ class DepthPipeline:
             has_rgb = bundle.shape[1] > dsec + nb
             # Hybrid-JPEG handles (imgs is None) ride colors back as
             # 4:2:0 YCbCr: [y (n) | cb | cr], chroma at ceil(hh/2) x
-            # ceil(ww/2). Pixel handles ride exact u8 RGB.
-            ycc = has_rgb and imgs is None
+            # ceil(ww/2) — unless the host reconstructed them from the
+            # coefficients (host_rgb; nothing rides along). Pixel
+            # handles ride exact u8 RGB.
+            ycc = has_rgb and imgs is None and host_rgb is None
             ch, cw = -(-hh // 2), -(-ww // 2)
             nc = ch * cw
             from image_to_pointcloud_tpu.ops.unproject import focal_length
@@ -1272,12 +1339,14 @@ class DepthPipeline:
                         )
                         cr_pl = bundle[:, o + n + nc :].reshape(b, ch, cw)
                         rgb_views = None
-                    else:
-                        rgb_views = (
-                            bundle[:, dsec + nb :].reshape(b, hh, ww, 3)
-                            if has_rgb
-                            else imgs[:, ::step, ::step, :]
+                    elif has_rgb:
+                        rgb_views = bundle[:, dsec + nb :].reshape(
+                            b, hh, ww, 3
                         )
+                    elif host_rgb is not None:
+                        rgb_views = host_rgb[:b]
+                    else:
+                        rgb_views = imgs[:, ::step, ::step, :]
                     for i in range(b):
                         if ycc:
                             pts, cols = native.reconstruct_points_ycc420(
@@ -1332,6 +1401,8 @@ class DepthPipeline:
                 ).reshape(b, n, 3)
             elif has_rgb:
                 rgb = bundle[:, dsec + nb :].reshape(b, n, 3).astype(np.float32)
+            elif host_rgb is not None:
+                rgb = host_rgb[:b].reshape(b, n, 3).astype(np.float32)
             else:
                 rgb = (
                     imgs[:, ::step, ::step, :]

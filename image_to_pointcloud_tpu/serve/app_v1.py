@@ -348,12 +348,27 @@ class V1Service:
                 # on device. Returns None for non-JPEGs, unsupported
                 # streams, or images too small to benefit — those take
                 # the classic host decode below.
+                from image_to_pointcloud_tpu.ops.unproject import (
+                    DENSITY_STRIDES,
+                )
                 from image_to_pointcloud_tpu.pipeline.graph import (
                     plan_jpeg_input,
                 )
 
+                _step = DENSITY_STRIDES[req["point_density"]]
+
+                def _plan_with_colors(d=data, s=_step):
+                    j = plan_jpeg_input(d)
+                    if j is not None:
+                        # Pre-reconstruct host grid colors here on the
+                        # executor (cached in the JpegInput): the
+                        # batcher's drain then takes the D2H bundle diet
+                        # without paying the ~2 ms/img on its own path.
+                        j.grid_colors(s)
+                    return j
+
                 image = await loop.run_in_executor(
-                    self.executor, plan_jpeg_input, data
+                    self.executor, _plan_with_colors
                 )
             if image is None:
                 image = await loop.run_in_executor(

@@ -579,3 +579,125 @@ class TestBatchingMixed:
         np.testing.assert_array_equal(
             r1.packed[6] > 0.5, r3.packed[6] > 0.5
         )
+
+
+class TestHostGridColors:
+    """Host-side grid-color reconstruction (native/src/colorgrid.cpp):
+    the D2H color ride-along's replacement must reproduce the device
+    decode's colors at the strided grid positions."""
+
+    @pytest.mark.skipif(not native.available(), reason="no native lib")
+    @pytest.mark.parametrize(
+        "kw,mode",
+        [
+            ({"quality": 88, "subsampling": 2}, "RGB"),  # 4:2:0
+            ({"quality": 90, "subsampling": 1}, "RGB"),  # 4:2:2
+            ({"quality": 90, "subsampling": 0}, "RGB"),  # 4:4:4
+            ({"quality": 88}, "L"),  # grayscale
+        ],
+    )
+    @pytest.mark.parametrize("step", [1, 2, 4])
+    def test_matches_device_decode_at_grid(self, kw, mode, step):
+        from PIL import Image
+
+        img = _photo(w=205, h=133, noise=8.0, seed=4)
+        if mode == "L":
+            img = img[..., 0]
+        buf = io.BytesIO()
+        Image.fromarray(img, mode=mode).save(buf, "JPEG", **kw)
+        dev, r, spec = _device_decode(buf.getvalue(), k=8)
+        host = native.jpeg_grid_colors(
+            [devjpeg.host_truncate_coeffs(c, 8) for c in r["coeffs"]],
+            r["qtables"].astype(np.float32),
+            spec,
+            step,
+        )
+        assert host is not None
+        ref = np.asarray(dev).astype(np.int32)[::step, ::step]
+        assert host.shape == ref.shape
+        # Same math, different float summation order: ≤1 level after
+        # ties-to-even rounding.
+        assert np.abs(host.astype(np.int32) - ref).max() <= 1
+
+    @pytest.mark.skipif(not native.available(), reason="no native lib")
+    def test_unsupported_layouts_return_none(self):
+        from image_to_pointcloud_tpu.pipeline.graph import plan_jpeg_input
+
+        data = _encode(_photo(w=160, h=120), quality=88)
+        j = plan_jpeg_input(data)
+        assert j is not None
+        # Scaled decode (k<8): basis unsupported, must decline.
+        spec_k4 = devjpeg.JpegSpec(
+            j.spec.width, j.spec.height, j.spec.ncomp, j.spec.h, j.spec.v, 4
+        )
+        co4 = [c[:, :, :4, :4] for c in j.coeffs]
+        assert (
+            native.jpeg_grid_colors(co4, j.qtables, spec_k4, 2) is None
+        )
+        # Stride outside {1,2,4}: decline.
+        assert native.jpeg_grid_colors(j.coeffs, j.qtables, j.spec, 3) is None
+
+    def test_pipeline_host_colors_vs_ridealong(self):
+        """End-to-end: the host-colors bundle layout must produce the
+        SAME points and near-identical colors as the device 4:2:0
+        ride-along (which is itself lossy vs the decoded RGB), while
+        shipping a strictly smaller bundle."""
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            PipelineOptions,
+            plan_jpeg_input,
+        )
+
+        _, model, variables = _build_pair(image_size=56)
+        # quantized_transfer drives the bundle layouts under test (it is
+        # the TPU default; the CPU test default keeps packed f32 rows).
+        pipe = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        )
+        data = _encode(_photo(w=140, h=96, noise=8.0), quality=88)
+        j = plan_jpeg_input(data)
+        assert j is not None
+        assert j.grid_colors(2) is not None
+        opts = PipelineOptions()
+
+        assert pipe.host_colors_enabled  # default on
+        h_on = pipe.submit_batch_jpeg([j], options=opts, want_preview=False)
+        assert h_on[-1] is not None  # host_rgb engaged
+        r_on = pipe.collect(h_on, want_preview=False, want_packed=True)[0]
+
+        pipe.host_colors_enabled = False
+        h_off = pipe.submit_batch_jpeg([j], options=opts, want_preview=False)
+        assert h_off[-1] is None
+        r_off = pipe.collect(h_off, want_preview=False, want_packed=True)[0]
+        pipe.host_colors_enabled = True
+
+        # Depth/geometry path is untouched by the color layout.
+        np.testing.assert_array_equal(r_on.points, r_off.points)
+        # Ground truth: the device-decoded RGB sampled at the grid.
+        truth = _device_decode(data, k=8)[0].astype(np.float64)[::2, ::2]
+        keep = r_on.packed[6] > 0.5
+        truth_kept = truth.reshape(-1, 3)[keep]
+        # Host reconstruction is decode-exact (±1 level, float order);
+        # the ride-along's 4:2:0 grid-chroma subsample is lossier on
+        # steep gradients (several tens of levels) — host colors must be
+        # at least as faithful, not merely close to the ride-along.
+        err_on = np.abs(r_on.colors.astype(np.float64) - truth_kept)
+        err_off = np.abs(r_off.colors.astype(np.float64) - truth_kept)
+        assert err_on.max() <= 1.0
+        assert err_on.mean() <= err_off.mean()
+        # And the bundle is strictly smaller: depth+keep only.
+        assert h_on[0].shape[1] < h_off[0].shape[1]
+
+        # Native fast path and numpy bundle path agree on the new layout.
+        h2 = pipe.submit_batch_jpeg([j], options=opts, want_preview=False)
+        fast = pipe.collect(h2, want_preview=False, want_packed=False)[0]
+        np.testing.assert_array_equal(fast.points, r_on.points)
+        np.testing.assert_array_equal(fast.colors, r_on.colors)
