@@ -34,12 +34,16 @@ def main() -> None:
     # The remote TPU backend on this rig can hang outright — at backend
     # init, at the first compile, or mid-run when the relay flaps. Arm a
     # staged watchdog BEFORE touching jax so the round always records a
-    # labeled number inside the driver's 590 s budget:
-    #   attempt 1 (TPU): warmup deadline ~170 s, then re-exec a fresh
-    #   attempt 2 (TPU): relay stalls often clear within minutes, so one
-    #     retry converts a transient flap into a recorded TPU number;
-    #   CPU fallback last, only after both TPU attempts stalled (or a
-    #     post-warmup stall ate the remaining headroom).
+    # labeled number inside the driver's 590 s budget. Policy (round 4):
+    # **retry TPU attempts for as long as the budget allows** — a relay
+    # that flaps back up at ANY point in the window must still produce a
+    # TPU number. Each attempt gets a bounded backend-init deadline; a
+    # hung attempt re-execs a fresh one (execve replaces the whole
+    # process, so hung runtime threads die with it). Only when the
+    # remaining time can no longer fit attempt+CPU-fallback does the
+    # chain commit to CPU — and the CPU artifact then carries the full
+    # timed retry log plus the last recorded TPU measurement as parsed
+    # JSON fields.
     warmed = threading.Event()
     backend_up = threading.Event()
     done = threading.Event()
@@ -51,15 +55,25 @@ def main() -> None:
     start_ts = float(os.environ.get("IPC_BENCH_START_TS", str(time.time())))
     budget = float(os.environ.get("IPC_BENCH_BUDGET_S", "560"))
     cpu_reserve = 170.0  # CPU fallback measures ~80 s; keep 2x margin
+    # Timed event log carried across re-execs ("t+NNNs:event" entries):
+    # a CPU fallback must be able to PROVE the window was covered by
+    # real TPU retries, not just assert it.
+    retry_log = [e for e in os.environ.get("IPC_BENCH_RETRY_LOG", "").split(
+        ";") if e]
 
     def remaining() -> float:
         return budget - (time.time() - start_ts)
 
+    def log_event(ev: str) -> None:
+        retry_log.append(f"t+{time.time() - start_ts:.0f}s:{ev}")
+
     def reexec(to_cpu: bool, why: str) -> None:
+        log_event("cpu_fallback" if to_cpu else f"retry{attempt + 1}")
         sys.stderr.write(f"bench: {why}\n")
         sys.stderr.flush()
         env = dict(os.environ)
         env["IPC_BENCH_START_TS"] = str(start_ts)
+        env["IPC_BENCH_RETRY_LOG"] = ";".join(retry_log)
         if to_cpu:
             env["JAX_PLATFORMS"] = "cpu"
             env["IPC_BENCH_FORCED_CPU"] = "1"
@@ -72,38 +86,46 @@ def main() -> None:
 
     if not forced_cpu and not no_fallback:
         warm_deadline = float(
-            os.environ.get("IPC_BENCH_COMPILE_DEADLINE_S", "170")
+            os.environ.get("IPC_BENCH_COMPILE_DEADLINE_S", "0")
         )
 
         def watchdog():
             # Phase A — backend init. A dead relay hangs here and shows
-            # up fast; restarting only helps in this phase (re-exec
-            # throws away an ~80s init on a merely-degraded relay).
-            if attempt == 1:
-                d1 = max(5.0, min(warm_deadline, remaining() - cpu_reserve))
-            else:
-                d1 = max(5.0, remaining() - cpu_reserve)
+            # up fast. Attempt 1 gets 100 s (a merely-degraded relay has
+            # measured ~80 s inits on this rig); retries get 60 s each —
+            # enough for a healthy init (~5-15 s), short enough that the
+            # retry loop keeps polling the relay across the whole window
+            # (~6-8 timed attempts when it is down all round).
+            init_deadline = 100.0 if attempt == 1 else 60.0
+            d1 = max(5.0, min(init_deadline, remaining() - cpu_reserve))
             if not backend_up.wait(d1):
-                if attempt == 1 and remaining() > cpu_reserve + 60:
+                log_event(f"attempt{attempt}_init_hung_{d1:.0f}s")
+                # Keep retrying TPU while a fresh attempt (init deadline
+                # + ~15 s interpreter/jax startup) still fits above the
+                # CPU reserve; only then commit to the fallback.
+                if remaining() > cpu_reserve + 75:
                     reexec(
                         False,
-                        f"TPU attempt 1: backend init hung for {d1:.0f}s "
-                        "— re-exec TPU attempt 2",
+                        f"TPU attempt {attempt}: backend init hung for "
+                        f"{d1:.0f}s — re-exec TPU attempt {attempt + 1}",
                     )
                 reexec(
                     True,
                     f"TPU attempt {attempt}: backend init hung for "
-                    f"{d1:.0f}s — re-exec CPU fallback",
+                    f"{d1:.0f}s and no budget for another attempt — "
+                    "re-exec CPU fallback",
                 )
+            log_event(f"attempt{attempt}_backend_up")
             # Phase B — compile/warmup with a LIVE backend: never
             # restart (that would re-pay init); give it every second
             # above the CPU reserve, floor 60. An explicitly-set
-            # IPC_BENCH_COMPILE_DEADLINE_S also caps THIS phase (it is
-            # the compile phase; the knob must bound compile hangs).
+            # IPC_BENCH_COMPILE_DEADLINE_S caps THIS phase (it is the
+            # compile phase; the knob must bound compile hangs).
             pb = max(60.0, remaining() - cpu_reserve)
-            if "IPC_BENCH_COMPILE_DEADLINE_S" in os.environ:
+            if warm_deadline:
                 pb = min(pb, warm_deadline)
             if not warmed.wait(pb):
+                log_event(f"attempt{attempt}_warmup_stalled_{pb:.0f}s")
                 _fallback_or_ride(
                     "TPU warmup stalled after backend init (compile "
                     "helper hung)",
@@ -115,6 +137,7 @@ def main() -> None:
             # dispatch stalls — a late warmup must not strangle a
             # healthy run that is making progress between stalls.
             if not done.wait(max(90.0, remaining() - cpu_reserve)):
+                log_event(f"attempt{attempt}_midrun_stall")
                 _fallback_or_ride(
                     "TPU run stalled after warmup (relay flap mid-run)",
                     done,
@@ -429,32 +452,38 @@ def main() -> None:
             # Off-record configurations (short window, non-default
             # batch/model/int8) quote the flagship record too.
             _quote_last_good()
-        print(
-            json.dumps(
-                {
-                    "metric": "img_to_pointcloud_conversions_per_sec_518",
-                    "value": round(throughput, 2),
-                    "unit": (
-                        # Label the window actually searched: short
-                        # CPU-fallback runs have fewer steady batches
-                        # than the 4 the TPU method uses, and claiming
-                        # best-4 for a best-2 peak would make records
-                        # incomparable.
-                        f"img/s/chip e2e "
-                        f"{f'best-{e2e_w}-batch-window' if e2e_w > 0 else 'mean'} "
-                        f"(batch={batch}, "
-                        f"full-run mean={mean_throughput:.1f} img/s"
-                        f"{' incl. relay stalls' if on_tpu else ''}, "
-                        f"p50={p50_ms:.1f}ms/img"
-                        f"{dev_part}, input="
-                        f"{'jpeg-q88-sparse' if jpeg_datas is not None else 'pixels'}"
-                        f", backend={jax.default_backend()})"
-                    ),
-                    "vs_baseline": round(throughput / baseline_img_s, 1),
-                }
+        record = {
+            "metric": "img_to_pointcloud_conversions_per_sec_518",
+            "value": round(throughput, 2),
+            "unit": (
+                # Label the window actually searched: short
+                # CPU-fallback runs have fewer steady batches
+                # than the 4 the TPU method uses, and claiming
+                # best-4 for a best-2 peak would make records
+                # incomparable.
+                f"img/s/chip e2e "
+                f"{f'best-{e2e_w}-batch-window' if e2e_w > 0 else 'mean'} "
+                f"(batch={batch}, "
+                f"full-run mean={mean_throughput:.1f} img/s"
+                f"{' incl. relay stalls' if on_tpu else ''}, "
+                f"p50={p50_ms:.1f}ms/img"
+                f"{dev_part}, input="
+                f"{'jpeg-q88-sparse' if jpeg_datas is not None else 'pixels'}"
+                f", backend={jax.default_backend()})"
             ),
-            flush=True,
-        )
+            "vs_baseline": round(throughput / baseline_img_s, 1),
+        }
+        # Parsed (machine-readable) companions to the unit-string prose:
+        # the best recorded TPU measurement, and — on a fallback — the
+        # timed TPU retry log proving the 590 s window was covered.
+        try:
+            with open(last_path) as f:
+                record["last_tpu"] = json.load(f)
+        except Exception:  # noqa: BLE001
+            pass
+        if retry_log:
+            record["tpu_retry_log"] = ";".join(retry_log)
+        print(json.dumps(record), flush=True)
 
     probe_done = threading.Event()
     if on_tpu and not no_fallback:
@@ -514,15 +543,27 @@ def main() -> None:
     try:
         scales = np.full((batch,), 10.0, np.float32)
         if jpeg_datas is not None:
-            from image_to_pointcloud_tpu.pipeline.graph import (
-                plan_sparse_batch,
-            )
-
             jpegs = [plan_jpeg_input(d) for d in jpeg_datas]
             spec = jpegs[0].spec
-            caps = plan_sparse_batch(jpegs)
+            # Match the e2e loop's graph EXACTLY: the ratcheted capacity
+            # buckets (select_sparse_caps is the one shared chooser) and
+            # the same host-colors bundle layout submit_batch_jpeg
+            # selected — so the probe reuses the already-compiled graph
+            # (zero extra remote compiles inside the driver's window)
+            # and its peak measures the layout the e2e number used.
+            caps = pipe.select_sparse_caps(jpegs)
+            from image_to_pointcloud_tpu.ops.unproject import (
+                DENSITY_STRIDES,
+            )
+
+            step = DENSITY_STRIDES[opts.density]
+            hc = (
+                pipe.quantized_transfer
+                and pipe.host_colors_enabled
+                and all(j.grid_colors(step) is not None for j in jpegs)
+            )
             fn = pipe.compiled_graph_jpeg(
-                batch, spec, opts, False, sparse_cap=caps
+                batch, spec, opts, False, sparse_cap=caps, host_colors=hc
             )
             if caps is not None:
                 payload = pipe.pack_jpeg_sparse_payload(jpegs, scales, *caps)

@@ -66,7 +66,20 @@ def _load_locked() -> ctypes.CDLL | None:
         expected = _source_hash(srcs, sorted(_SRC.glob("*.h")))
         # The stamp is a plain string literal in the binary: substring
         # search avoids dlopen-ing a library we may be about to rewrite.
-        stale = not so.exists() or expected.encode() not in so.read_bytes()
+        # Chunked scan (overlap = stamp length) instead of read_bytes():
+        # loading the whole .so into memory once per process is waste.
+        def _contains(path, needle: bytes, chunk=1 << 20) -> bool:
+            tail = b""
+            with open(path, "rb") as f:
+                while True:
+                    block = f.read(chunk)
+                    if not block:
+                        return False
+                    if needle in tail + block:
+                        return True
+                    tail = block[-(len(needle) - 1):]
+
+        stale = not so.exists() or not _contains(so, expected.encode())
         if stale:
             try:
                 _BUILD.mkdir(exist_ok=True)
@@ -779,8 +792,6 @@ def jpeg_grid_colors(
         )
     qt = np.ascontiguousarray(qtables, np.float32)
     if qt.shape != (spec.ncomp, 64):
-        return None
-    if spec.ncomp == 3 and qt.shape[0] < 3:
         return None
     gh = -(-out_h // step)
     gw = -(-out_w // step)

@@ -1108,8 +1108,16 @@ class DepthPipeline:
 
         def put(row, name, data_u8):
             off, size = sections[name]
+            # Bounds check BEFORE the write: an oversized field (e.g. a
+            # counts/dc/qt length drift vs sparse_row_sections) must not
+            # corrupt the next aligned section — and a plain assert would
+            # vanish under `python -O`.
+            if len(data_u8) > size:
+                raise ValueError(
+                    f"sparse payload field {name!r}: {len(data_u8)} bytes "
+                    f"exceeds its {size}-byte section"
+                )
             row[off : off + len(data_u8)] = data_u8
-            assert len(data_u8) <= size
 
         for row, j, s in zip(out, jpegs, scales):
             counts, dc, pos, val, exc_idx, exc_val = j.sparse()
@@ -1136,6 +1144,28 @@ class DepthPipeline:
                 .view(np.uint8).ravel())
             put(row, "scale", s.reshape(1).view(np.uint8))
         return out
+
+    def select_sparse_caps(self, jpegs: "list[JpegInput]"):
+        """(AC, exception) capacity buckets for one hybrid batch with
+        the per-spec hysteresis floor applied (and ratcheted up), or
+        None when the dense payload wins. The ONE cap chooser — serving
+        and the bench probes share it, so a probed graph is always the
+        already-compiled product graph, never a duplicate remote
+        compile. The read-modify-write of the floor is atomic: with
+        pipelined drains (IPC_TPU_DRAIN_DEPTH>1) two concurrent submits
+        for one spec could otherwise each read a stale floor, pick
+        different caps, and trigger exactly the duplicate minutes-long
+        compiles the ratchet exists to prevent."""
+        caps = plan_sparse_batch(jpegs)
+        if caps is None:
+            return None
+        spec = jpegs[0].spec
+        with self._build_lock:
+            floor = self._sparse_caps.get(spec)
+            if floor is not None:
+                caps = (max(caps[0], floor[0]), max(caps[1], floor[1]))
+            self._sparse_caps[spec] = caps
+        return caps
 
     def submit_batch(
         self,
@@ -1220,12 +1250,7 @@ class DepthPipeline:
         # batch's capacity buckets ship fewer bytes than the dense
         # int16 grids (photographic content: always; q-100 noise:
         # dense).
-        caps = plan_sparse_batch(jpegs)
-        if caps is not None:
-            floor = self._sparse_caps.get(spec)
-            if floor is not None:
-                caps = (max(caps[0], floor[0]), max(caps[1], floor[1]))
-            self._sparse_caps[spec] = caps
+        caps = self.select_sparse_caps(jpegs)
         if caps is not None:
             fn = self.compiled_graph_jpeg(
                 b + pad, spec, options, want_preview, sparse_cap=caps,

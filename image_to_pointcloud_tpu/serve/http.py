@@ -368,9 +368,27 @@ class HttpServer:
             raise HTTPError(400, "Malformed request line") from None
         headers: dict[str, str] = {}
         for line in lines[1:]:
-            if ":" in line:
-                k, v = line.split(":", 1)
-                headers[k.strip().lower()] = v.strip()
+            if not line:
+                continue
+            if line[0] in " \t":
+                # Obsolete line folding (RFC 9112 §5.2): proxies disagree
+                # on whether the folded text belongs to the previous
+                # field — a classic smuggling ambiguity. Refuse.
+                raise HTTPError(400, "Obsolete header line folding")
+            if ":" not in line:
+                raise HTTPError(400, "Malformed header line")
+            k, v = line.split(":", 1)
+            if k != k.rstrip():
+                # RFC 9112 §5.1: no whitespace between field name and
+                # colon ("Content-Length : 5" is the canonical
+                # request-smuggling probe). Refuse rather than normalize.
+                raise HTTPError(400, "Whitespace before header colon")
+            key = k.strip().lower()
+            if key == "content-length" and headers.get(key, v.strip()) != v.strip():
+                # Two different Content-Length values desync any
+                # intermediary that picks the other one (RFC 9110 §8.6).
+                raise HTTPError(400, "Conflicting Content-Length headers")
+            headers[key] = v.strip()
         if "chunked" in headers.get("transfer-encoding", "").lower():
             # Treating a chunked body as zero-length would leave the
             # chunk stream in the buffer to be misparsed as pipelined
