@@ -75,6 +75,16 @@ class ServiceConfig:
     # payload and host decode CPU several-fold for big photos; off by
     # default for byte-level decode parity (PARITY.md deviation).
     jpeg_device_decode: bool = False
+    # Lazy artifact export: /process completes without writing the
+    # point-cloud file; the bytes are packed and written on the first
+    # GET /download/{id} instead. The v1 contract only promises the
+    # file exists when fetched (backend/app.py:681-700), and most jobs'
+    # artifacts are never downloaded (the frontend renders the inline
+    # preview; downloads are user-initiated, App.jsx:1036-1044).
+    # Bounded RAM: pending clouds above lazy_export_max_bytes spill to
+    # disk oldest-first. PARITY.md deviation 11.
+    lazy_export: bool = True
+    lazy_export_max_bytes: int = 256 * 1024 * 1024
     batch_window_ms: float = 5.0
     # Micro-batch cap: batch-16 halves per-image device+transfer cost
     # vs batch-8 on the measured chip (bench.py batch sweep); buckets

@@ -26,17 +26,38 @@ __all__ = ["multi_head_attention", "flash_attention"]
 
 
 def _attention_xla(q, k, v, scale):
-    """Plain fused-by-XLA attention; reference implementation and fallback."""
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    """Plain fused-by-XLA attention; reference implementation and fallback.
+
+    The (B, H, N, N) score tensor is the depth net's dominant HBM term at
+    518² (N=1370: 721 MB/layer in f32 at batch 16, written once and read
+    twice by XLA's two-pass softmax fusions — profiled memory-bound at
+    ~730 GB/s, benchmarks/mfu_profile.py). Scores are therefore STORED at
+    the input precision (bf16 on TPU — halves that traffic; f32 inputs
+    are unchanged, so the CPU parity suite sees identical math) while the
+    softmax statistics and normalization still accumulate in f32.
+    """
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * scale
+    ).astype(q.dtype)
+    m = jnp.max(logits.astype(jnp.float32), axis=-1, keepdims=True)
+    p = jnp.exp(logits.astype(jnp.float32) - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    probs = (p / l).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *, scale, block_k, kv_len):
-    """One program: a (block_q, d) query tile vs the full K/V stream."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+    """One program: a (block_q, d) query tile vs the full K/V stream.
+
+    MXU dtype discipline: both dots run in the INPUT dtype (bf16 on TPU,
+    4× the f32 MXU rate) with f32 accumulation via
+    ``preferred_element_type`` — upcasting q/k/v to f32 before the dots
+    quartered the matmul rate and made the kernel lose its round-2 A/B
+    vs XLA's (HBM-bound) materialized path. The scale, softmax and the
+    online-softmax state all stay f32.
+    """
+    q = q_ref[0]  # (block_q, d), input dtype
     n_valid = len_ref[0]
 
     block_q, d = q.shape
@@ -46,9 +67,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *, scale, block_k, kv_len
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
         s = jnp.where(col < n_valid, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -56,7 +77,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *, scale, block_k, kv_len
         correction = jnp.exp(m - m_new)
         l_new = l * correction + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * correction + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
 

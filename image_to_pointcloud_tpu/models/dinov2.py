@@ -47,9 +47,12 @@ class DinoV2Config:
     # block — the right remat granularity for a 12-24 block ViT.
     remat_blocks: bool = False
     # Sequences shorter than this use XLA's fused attention even with
-    # use_flash_attention on (below ~2k tokens the materialized-score
-    # path has been on par on TPU; benchmarks/flash_ab.py A/Bs it).
-    flash_min_seq: int = 2048
+    # use_flash_attention on. Was 2048 through round 3 (the f32-upcast
+    # kernel lost below ~2k tokens); with the kernel's bf16 MXU dots
+    # (models/attention.py) flash wins the full-graph A/B at 1370 tokens
+    # 313.4 vs 250.7 img/s (benchmarks/flash_ab.py, 2026-08-20), so the
+    # gate now admits the flagship 518² sequence.
+    flash_min_seq: int = 1024
     dtype: jnp.dtype = jnp.float32  # compute dtype (bfloat16 on TPU)
     quantized: bool = False  # int8 W8A8 block matmuls (models/quantize.py)
 

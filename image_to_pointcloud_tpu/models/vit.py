@@ -55,7 +55,9 @@ class ViTConfig:
     use_flash_attention: bool = False
     # Rematerialize encoder blocks on the backward pass (training).
     remat_blocks: bool = False
-    flash_min_seq: int = 2048  # below this, XLA fused attention wins
+    # Below this, XLA fused attention wins; 1024 matches DinoV2Config
+    # (full-graph A/B at 1370 tokens: benchmarks/flash_ab.py).
+    flash_min_seq: int = 1024
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False  # int8 W8A8 block matmuls (models/quantize.py)
 

@@ -52,6 +52,11 @@ def main() -> None:
         "(ops/jpeg.py; documented decode deviation in PARITY.md)",
     )
     parser.add_argument(
+        "--eager-export", action="store_true", default=not cfg.lazy_export,
+        help="write point-cloud artifacts during the job instead of on "
+        "first GET /download (lazy is the default; PARITY.md dev. 11)",
+    )
+    parser.add_argument(
         "--warmup", default=cfg.warmup,
         help="comma-separated HxW sizes to pre-compile at startup, e.g. '518x518,480x640'",
     )
@@ -137,6 +142,8 @@ def main() -> None:
                 max_file_size=cfg.max_file_size,
                 max_preview_points=cfg.max_preview_points,
                 mesh_preview_tris=cfg.mesh_preview_tris,
+                lazy_export=not args.eager_export,
+                lazy_export_max_bytes=cfg.lazy_export_max_bytes,
             )
             server = HttpServer(
                 app.router, args.host, args.port,

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -147,6 +148,8 @@ class V1Service:
         max_preview_points: int = MAX_PREVIEW_POINTS,
         mesh_preview_tris: int = 20000,
         jpeg_device_decode: bool = False,
+        lazy_export: bool = True,
+        lazy_export_max_bytes: int = 256 * 1024 * 1024,
     ):
         from image_to_pointcloud_tpu.core.config import ProcessingDefaults
 
@@ -169,9 +172,18 @@ class V1Service:
         # deviation 2) | "poisson" | "bpa" (the reference's actual
         # Open3D algorithms, backend/app.py:283-305, via native/).
         self.mesh_method = mesh_method
+        # Lazy export (PARITY.md deviation 11): point-format artifacts
+        # are packed+written on first GET /download, not during the job.
+        # Entries: job_id -> {fmt, base, points, colors, nbytes, future}.
+        # FIFO spill keeps pending RAM under lazy_export_max_bytes.
+        self.lazy_export = bool(lazy_export)
+        self.lazy_export_max_bytes = int(lazy_export_max_bytes)
+        self._pending_exports: "OrderedDict[str, dict]" = OrderedDict()
+        self._pending_export_bytes = 0
         # Durable registry: finished jobs (and their /download URLs)
         # survive restarts — the reference loses all jobs (SURVEY.md §5).
         def _evict_artifacts(job):
+            self._discard_pending_export(job.job_id)
             fp = ((job.results or {}).get("pointCloud") or {}).get("filepath")
             if fp and Path(fp).exists():
                 Path(fp).unlink()
@@ -207,6 +219,12 @@ class V1Service:
         for batcher in self._batchers.values():
             await batcher.close()
         self._batchers.clear()
+        if self._pending_exports:
+            # Blocking on the loop is fine here: the listener is already
+            # closed, and keeping this on the loop thread preserves the
+            # "pending-exports state is loop-only" invariant.
+            n = self.drain_pending_exports()
+            logger.info("shutdown: wrote %d deferred artifacts", n)
         self.executor.shutdown(wait=False, cancel_futures=True)
 
     def warmup(self, model_name: str = "depth-anything-v2") -> None:
@@ -491,6 +509,12 @@ class V1Service:
                 filepath, mesh_preview = await loop.run_in_executor(
                     self.executor, self._export_mesh, base, req, packed, points, colors
                 )
+            elif self.lazy_export:
+                # Deferred: pack+write happens on the first GET /download
+                # (PARITY.md deviation 11). The mesh path stays eager —
+                # its reconstruction also feeds the meshPreview key of
+                # the completed-status contract.
+                filepath = self._defer_export(job_id, fmt, points, colors, base)
             else:
                 filepath = await loop.run_in_executor(
                     self.executor, self._export_points, base, fmt, points, colors
@@ -543,6 +567,107 @@ class V1Service:
             await jobs.update(
                 job_id, status=JobStatus.ERROR, message=f"Error: {e}"
             )
+
+    @staticmethod
+    def _artifact_path(base: str, fmt: str) -> str:
+        """Planned artifact path for a point format (mirrors the
+        _export_points dispatch; 'laz' writes uncompressed .las —
+        bug-compatible, reference backend/app.py:319/345)."""
+        ext = {"ply": ".ply", "las": ".las", "laz": ".las", "xyz": ".xyz"}.get(fmt)
+        if ext is None:
+            raise ValueError(f"Unsupported format: {fmt}")
+        return base + ext
+
+    def _defer_export(self, job_id, fmt, points, colors, base) -> str:
+        """Register a pending lazy export; returns the planned filepath.
+
+        Event-loop-only state (no locks needed: _process_job, the
+        download route and eviction hooks all run on the loop thread).
+        """
+        filepath = self._artifact_path(base, fmt)  # validates fmt now
+        nbytes = int(
+            getattr(points, "nbytes", 0) + getattr(colors, "nbytes", 0)
+        )
+        self._pending_exports[job_id] = {
+            "fmt": fmt,
+            "base": base,
+            "points": points,
+            "colors": colors,
+            "nbytes": nbytes,
+            "future": None,
+        }
+        self._pending_export_bytes += nbytes
+        # FIFO spill: keep pending RAM bounded by writing the oldest
+        # un-started entries out now.
+        while self._pending_export_bytes > self.lazy_export_max_bytes:
+            oldest = next(
+                (
+                    jid
+                    for jid, e in self._pending_exports.items()
+                    if e["future"] is None
+                ),
+                None,
+            )
+            if oldest is None or oldest == job_id:
+                break
+            self._start_export(oldest)
+        return filepath
+
+    def _start_export(self, job_id: str):
+        """Kick the executor export for a pending entry (idempotent);
+        returns the asyncio future, or None if nothing is pending."""
+        entry = self._pending_exports.get(job_id)
+        if entry is None:
+            return None
+        if entry["future"] is None:
+            loop = asyncio.get_running_loop()
+            fut = loop.run_in_executor(
+                self.executor,
+                self._export_points,
+                entry["base"],
+                entry["fmt"],
+                entry["points"],
+                entry["colors"],
+            )
+
+            def _done(_f):
+                if self._pending_exports.pop(job_id, None) is not None:
+                    self._pending_export_bytes -= entry["nbytes"]
+
+            fut.add_done_callback(_done)
+            entry["future"] = fut
+        return entry["future"]
+
+    async def _ensure_exported(self, job_id: str) -> None:
+        """Materialize a lazily-deferred artifact (first /download)."""
+        fut = self._start_export(job_id)
+        if fut is not None:
+            await asyncio.shield(fut)
+
+    def _discard_pending_export(self, job_id: str) -> None:
+        entry = self._pending_exports.pop(job_id, None)
+        if entry is not None:
+            self._pending_export_bytes -= entry["nbytes"]
+
+    def drain_pending_exports(self) -> int:
+        """Write every pending artifact now (graceful shutdown: lazy
+        entries live only in RAM, and the durable journal's completed
+        jobs promise a working /download after restart). Blocking;
+        returns the number written."""
+        n = 0
+        for job_id in list(self._pending_exports):
+            entry = self._pending_exports.get(job_id)
+            if entry is None or entry["future"] is not None:
+                continue  # in-flight exports finish in the executor
+            try:
+                self._export_points(
+                    entry["base"], entry["fmt"], entry["points"], entry["colors"]
+                )
+                n += 1
+            except Exception:  # noqa: BLE001
+                logger.exception("drain: export for %s failed", job_id)
+            self._discard_pending_export(job_id)
+        return n
 
     def _export_points(self, base, fmt, points, colors) -> str:
         if fmt == "ply":
@@ -638,7 +763,13 @@ class V1Service:
         svc = self
         # v2's static artifact mount folded into the unified v1 service
         # (SURVEY.md §0; reference backend/main.py:397).
-        r.mount_static("/outputs", self.output_dir)
+        async def _prepare_output(rel: str) -> None:
+            # v1 artifacts are flat "{job_id}.{ext}": materialize a
+            # lazily-deferred export before the static handler's
+            # existence check (PARITY.md deviation 11).
+            await svc._ensure_exported(Path(rel).stem)
+
+        r.mount_static("/outputs", self.output_dir, prepare=_prepare_output)
 
         @r.post("/process")
         async def process(req: Request):
@@ -704,6 +835,9 @@ class V1Service:
             if job.status != JobStatus.COMPLETED:
                 raise HTTPError(400, "Job not completed")
             filepath = job.results["pointCloud"]["filepath"]
+            # Lazy export: first download writes the artifact
+            # (PARITY.md deviation 11).
+            await svc._ensure_exported(job.job_id)
             if not Path(filepath).exists():
                 raise HTTPError(404, "File not found")
             return await file_response(
@@ -789,6 +923,7 @@ class V1Service:
             job = svc.jobs.get(job_id)
             if not await svc.jobs.delete(job_id):
                 raise HTTPError(404, "Job not found")
+            svc._discard_pending_export(job_id)
             if job is not None and job.results:
                 fp = (job.results.get("pointCloud") or {}).get("filepath")
                 if fp and Path(fp).exists():

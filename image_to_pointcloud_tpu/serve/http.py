@@ -280,13 +280,19 @@ class Router:
     def delete(self, t: str):
         return self.route("DELETE", t)
 
-    def mount_static(self, prefix: str, directory: str | Path) -> None:
-        self._static.append((prefix.rstrip("/") + "/", Path(directory)))
+    def mount_static(
+        self, prefix: str, directory: str | Path, prepare=None
+    ) -> None:
+        """Serve files under ``directory`` at ``prefix``. ``prepare``,
+        if given, is awaited with the relative path before the existence
+        check — a hook for lazily-materialized artifacts (app_v1's
+        deferred exports)."""
+        self._static.append((prefix.rstrip("/") + "/", Path(directory), prepare))
 
     async def dispatch(self, req: Request) -> Response:
         if req.method == "OPTIONS":  # CORS preflight
             return Response(status=204)
-        for prefix, directory in self._static:
+        for prefix, directory, prepare in self._static:
             stripped = prefix.rstrip("/")
             if req.method == "GET" and req.path == stripped:
                 # Redirect so relative asset URLs in index.html resolve
@@ -306,6 +312,8 @@ class Router:
                 # outputs-archive) must not pass containment.
                 if not target.is_relative_to(directory.resolve()):
                     raise HTTPError(404, "Not found")
+                if prepare is not None:
+                    await prepare(rel)
                 if rel == "" or target.is_dir():
                     target = target / "index.html"
                 # UI assets render inline; anything else (e.g. /outputs

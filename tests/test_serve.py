@@ -9,6 +9,7 @@ import asyncio
 import json
 import threading
 import time
+from pathlib import Path
 
 import httpx
 import numpy as np
@@ -873,3 +874,145 @@ class TestOpenApi:
         # Clamp ranges mirror backend/main.py:258-267.
         assert form["texture_resolution"]["minimum"] == 512
         assert form["target_count"]["maximum"] == 20000
+
+
+class TestLazyExport:
+    """Deferred artifact export (PARITY.md deviation 11): /process
+    completes without touching disk; the first GET /download writes the
+    file. The v1 contract only promises the artifact exists when fetched
+    (reference backend/app.py:681-700)."""
+
+    @pytest.fixture(scope="class")
+    def lazy_server(self, tmp_path_factory):
+        out = tmp_path_factory.mktemp("outputs_lazy")
+
+        def make():
+            from image_to_pointcloud_tpu.serve.app_v1 import create_v1_app
+
+            return (
+                create_v1_app(
+                    output_dir=str(out),
+                    models=_tiny_model_manager(),
+                    durable_jobs=False,
+                ),
+                "*",
+            )
+
+        srv = _ServerThread(make)
+        yield srv, out
+        srv.stop()
+
+    def _submit(self, base, fmt="ply"):
+        files = {"file": ("t.png", _test_image_png(), "image/png")}
+        r = httpx.post(
+            f"{base}/process",
+            params={"output_format": fmt},
+            files=files,
+            timeout=60,
+        )
+        assert r.status_code == 200
+        jid = r.json()["job_id"]
+        final = _poll(base, jid)
+        assert final["status"] == "completed", final["message"]
+        return jid, final
+
+    def test_no_file_until_download_then_valid(self, lazy_server):
+        srv, out = lazy_server
+        base = f"http://127.0.0.1:{srv.port}"
+        jid, final = self._submit(base, "ply")
+        fp = Path(final["results"]["pointCloud"]["filepath"])
+        assert not fp.exists(), "lazy export must not write during the job"
+        assert srv.app._pending_export_bytes > 0
+
+        d = httpx.get(f"{base}/download/{jid}", timeout=30)
+        assert d.status_code == 200
+        assert fp.exists()
+        from image_to_pointcloud_tpu.io import read_ply
+
+        vert = read_ply(d.content)["vertex"]
+        assert len(vert) == final["results"]["pointCloud"]["points"]
+        # Entry released after materialization; re-download serves the file.
+        assert jid not in srv.app._pending_exports
+        d2 = httpx.get(f"{base}/download/{jid}", timeout=30)
+        assert d2.status_code == 200 and d2.content == d.content
+
+    def test_las_lazy_roundtrip(self, lazy_server):
+        srv, _ = lazy_server
+        base = f"http://127.0.0.1:{srv.port}"
+        jid, final = self._submit(base, "las")
+        fp = Path(final["results"]["pointCloud"]["filepath"])
+        assert fp.suffix == ".las" and not fp.exists()
+        d = httpx.get(f"{base}/download/{jid}", timeout=30)
+        assert d.status_code == 200 and d.content[:4] == b"LASF"
+
+    def test_delete_discards_pending(self, lazy_server):
+        srv, _ = lazy_server
+        base = f"http://127.0.0.1:{srv.port}"
+        jid, final = self._submit(base, "ply")
+        assert jid in srv.app._pending_exports
+        before = srv.app._pending_export_bytes
+        r = httpx.delete(f"{base}/jobs/{jid}", timeout=30)
+        assert r.status_code == 200
+        assert jid not in srv.app._pending_exports
+        assert srv.app._pending_export_bytes < before
+        assert not Path(final["results"]["pointCloud"]["filepath"]).exists()
+
+    def test_spill_bounds_pending_ram(self, lazy_server):
+        srv, _ = lazy_server
+        base = f"http://127.0.0.1:{srv.port}"
+        jid1, final1 = self._submit(base, "ply")
+        # Shrink the budget below one entry: the NEXT defer spills the
+        # older pending entry to disk (FIFO), never the newest.
+        srv.app.lazy_export_max_bytes = 1
+        try:
+            jid2, final2 = self._submit(base, "ply")
+            fp1 = Path(final1["results"]["pointCloud"]["filepath"])
+            deadline = time.time() + 30
+            while not fp1.exists() and time.time() < deadline:
+                time.sleep(0.1)
+            assert fp1.exists(), "older entry should spill to disk"
+            assert jid2 in srv.app._pending_exports
+        finally:
+            srv.app.lazy_export_max_bytes = 256 * 1024 * 1024
+
+    def test_drain_writes_all_pending(self, lazy_server):
+        srv, _ = lazy_server
+        base = f"http://127.0.0.1:{srv.port}"
+        jid, final = self._submit(base, "xyz")
+        fp = Path(final["results"]["pointCloud"]["filepath"])
+        assert not fp.exists()
+        fut = asyncio.run_coroutine_threadsafe(
+            _as_coro(srv.app.drain_pending_exports), srv.loop
+        )
+        n = fut.result(timeout=30)
+        assert n >= 1 and fp.exists()
+        assert jid not in srv.app._pending_exports
+
+    def test_eager_mode_writes_during_job(self, tmp_path_factory):
+        out = tmp_path_factory.mktemp("outputs_eager")
+
+        def make():
+            from image_to_pointcloud_tpu.serve.app_v1 import create_v1_app
+
+            return (
+                create_v1_app(
+                    output_dir=str(out),
+                    models=_tiny_model_manager(),
+                    durable_jobs=False,
+                    lazy_export=False,
+                ),
+                "*",
+            )
+
+        srv = _ServerThread(make)
+        try:
+            base = f"http://127.0.0.1:{srv.port}"
+            jid, final = self._submit(base, "ply")
+            assert Path(final["results"]["pointCloud"]["filepath"]).exists()
+            assert not srv.app._pending_exports
+        finally:
+            srv.stop()
+
+
+async def _as_coro(fn, *a):
+    return fn(*a)
