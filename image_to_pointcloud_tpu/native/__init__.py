@@ -211,6 +211,11 @@ def _load_locked() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ipc_voxel_downsample.restype = ctypes.c_int64
+        lib.ipc_voxel_downsample.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.ipc_jpeg_grid_colors.restype = ctypes.c_int32
         lib.ipc_jpeg_grid_colors.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -227,6 +232,39 @@ def _load_locked() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return _load() is not None
+
+
+def voxel_downsample(
+    points: np.ndarray, colors: np.ndarray, voxel_size: float
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Average points/colors per occupied voxel (Open3D
+    voxel_down_sample semantics, same grid rule and output order as
+    ops/voxel.py's XLA kernel); None if the native lib is unavailable
+    or the index range exceeds the packed-key bound (±2²¹ cells/axis —
+    caller falls back to the device path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(points, np.float32)
+    c = np.ascontiguousarray(colors, np.float32)
+    if p.ndim != 2 or p.shape[1] != 3 or c.shape != p.shape:
+        raise ValueError(
+            f"expected (N, 3) points/colors, got {p.shape}/{c.shape}"
+        )
+    n = len(p)
+    if n == 0:
+        return p.copy(), c.copy()
+    out_p = np.empty((n, 3), np.float32)
+    out_c = np.empty((n, 3), np.float32)
+    m = lib.ipc_voxel_downsample(
+        p.ctypes.data, c.ctypes.data, n, float(voxel_size),
+        out_p.ctypes.data, out_c.ctypes.data,
+    )
+    if m < 0:
+        return None
+    if 2 * m <= n:
+        return out_p[:m].copy(), out_c[:m].copy()
+    return out_p[:m], out_c[:m]
 
 
 def decimate_mesh(

@@ -293,12 +293,18 @@ class MetricPipeline:
 class HighResPipeline:
     """Tiled high-resolution depth → blended cloud → voxel budget.
 
-    With ``quantized_transfer`` (default on accelerators, mirroring
-    DepthPipeline's depth16 path) the budgeted cloud crosses the
-    device→host link as bbox-normalized u16 XYZ + u8 RGB (9 B/point
-    instead of 24, and the bbox reduction replaces the full-cloud pull
-    the host-side voxel sizing used to need — ~4× fewer bytes end to
-    end; position error ≤ extent/2¹⁶, color error ≤ 0.5/255).
+    With ``quantized_transfer`` (default on accelerators) and the native
+    library available, only the 12-bit packed blended DEPTH GRID crosses
+    the device→host link (1.5 B/pixel — ~1.6 MB at 1024² instead of the
+    ~9 MB u16-xyz voxel payload or the 33 MB f32 cloud); the host
+    reconstructs points exactly (z error ≤ depth_scale/4095), gathers
+    colors from its own copy of the image, and voxel-averages in C++
+    (native/src/voxel.cpp, same Open3D grid rule and output order as the
+    device kernel). Quantization error is ≤ budget^⅓/4095 of a voxel —
+    ~2.4 % at a 1M budget — so voxel assignment is effectively
+    unchanged. Without native, the prior device path runs: on-device
+    voxel downsample + bbox-normalized u16 XYZ + u8 RGB payload
+    (9 B/point; position error ≤ extent/2¹⁶).
     """
 
     def __init__(
@@ -332,10 +338,17 @@ class HighResPipeline:
 
             quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
+        # Same 12-bit packed depth default (and IPC_TPU_DEPTH16=1
+        # escape hatch) as DepthPipeline; PARITY.md deviation 12.
+        import os as _os
+
+        self.depth_bits = (
+            16 if _os.environ.get("IPC_TPU_DEPTH16") == "1" else 12
+        )
         self._compiled: dict = {}
 
-    def _fn(self, h: int, w: int, step: int):
-        key = (h, w, step)
+    def _fn(self, h: int, w: int, step: int, grid: bool = False):
+        key = (h, w, step, grid)
         if key in self._compiled:
             return self._compiled[key]
         # Clamp to the image: a 640x480 photo with the default 518 tile
@@ -380,6 +393,22 @@ class HighResPipeline:
 
             depth = blend_tiles(td, corners, (h, w), anchor=anchor)
             dn = normalize_depth(depth, True)
+            if grid:
+                # Depth-grid transfer: ship the normalized blended depth
+                # itself (12-bit packed, 1.5 B/px) and let the host
+                # rebuild points + colors + run the voxel average
+                # (native/src/voxel.cpp). Nothing else crosses the link.
+                dn_s = dn[::step, ::step]
+                if self.depth_bits == 12:
+                    from image_to_pointcloud_tpu.pipeline.graph import (
+                        pack_depth12,
+                    )
+
+                    return pack_depth12(dn_s[None])
+                d16 = jnp.round(dn_s * 65535.0).astype(jnp.uint16)
+                return jax.lax.bitcast_convert_type(d16, jnp.uint8).reshape(
+                    1, -1
+                )
             packed = unproject(
                 dn, img, depth_scale=depth_scale, step=step, h=h, w=w
             )
@@ -416,6 +445,16 @@ class HighResPipeline:
         voxel_budget: int | None = 1_000_000,
     ) -> tuple[np.ndarray, np.ndarray]:
         h, w = image_rgb_u8.shape[:2]
+        if self.quantized_transfer:
+            from image_to_pointcloud_tpu import native
+
+            if native.available():
+                out = self._run_depth_grid(
+                    image_rgb_u8, depth_scale=depth_scale, step=step,
+                    voxel_budget=voxel_budget,
+                )
+                if out is not None:
+                    return out
         fn = self._fn(h, w, step)
         packed, bbox = fn(
             self.params, jnp.asarray(image_rgb_u8), jnp.float32(depth_scale)
@@ -453,17 +492,73 @@ class HighResPipeline:
             return np.asarray(vp[:cnt]), np.asarray(vc[:cnt])
         return np.asarray(pts), np.asarray(cols)
 
+    def _run_depth_grid(
+        self,
+        image_rgb_u8: np.ndarray,
+        *,
+        depth_scale: float,
+        step: int,
+        voxel_budget: int | None,
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Depth-grid transfer path (native host half); None → caller
+        falls back to the device-voxel path."""
+        from image_to_pointcloud_tpu import native
+        from image_to_pointcloud_tpu.ops.unproject import focal_length
+        from image_to_pointcloud_tpu.pipeline.graph import unpack_depth12
+
+        h, w = image_rgb_u8.shape[:2]
+        fn = self._fn(h, w, step, grid=True)
+        sec = np.asarray(
+            fn(self.params, jnp.asarray(image_rgb_u8), jnp.float32(depth_scale))
+        )  # (1, L) u8 — the only device→host transfer
+        hh, ww = -(-h // step), -(-w // step)
+        n = hh * ww
+        if self.depth_bits == 12:
+            d16 = unpack_depth12(sec, n).reshape(hh, ww)
+            denom = 4095.0
+        else:
+            d16 = (
+                np.ascontiguousarray(sec).view(np.uint16).reshape(hh, ww)
+            )
+            denom = 65535.0
+        # ONE intrinsics rule (ops.unproject.focal_length) — identical
+        # to the device unproject the non-grid path runs.
+        f = float(focal_length(h, w, None))
+        rec = native.reconstruct_points(
+            d16,
+            np.ones((hh, ww), bool),
+            image_rgb_u8[::step, ::step, :],
+            step=step,
+            depth_scale=float(depth_scale),
+            f=f,
+            cx=float(w / 2.0),
+            cy=float(h / 2.0),
+            denom=denom,
+        )
+        if rec is None:
+            return None
+        pts, cols = rec
+        if voxel_budget is None or len(pts) <= voxel_budget:
+            return pts, cols
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        extent = np.maximum(hi - lo, 1e-6)
+        vol = float(np.prod(extent))
+        voxel = (vol / voxel_budget) ** (1.0 / 3.0)
+        return native.voxel_downsample(pts, cols, voxel)  # None → fallback
+
 
 class VideoPipeline:
     """Temporal batches of frames → fused multi-frame cloud.
 
     With ``quantized_transfer`` (default on accelerators) the unfused
-    path ships only the u16-quantized strided depth (T, ⌈h/step⌉,
-    ⌈w/step⌉) over the device→host link — 2 B per point instead of a
-    32 B packed column — and the host reconstructs points exactly
-    (z error ≤ depth_scale/2¹⁶) with colors taken from its own frames,
-    the same trick as DepthPipeline's depth16 bundle. Voxel-fused runs
-    (``fuse_voxel``) keep the full on-device path.
+    path ships only the 12-bit packed strided depth (1.5 B per point
+    instead of a 32 B packed column; ``IPC_TPU_DEPTH16=1`` restores the
+    2 B u16 contract) over the device→host link, and the host
+    reconstructs points exactly (z error ≤ depth_scale/4095, u16:
+    /2¹⁶) with colors taken from its own frames — the same contract as
+    DepthPipeline's bundle. Voxel-fused runs (``fuse_voxel``) keep the
+    full on-device path.
     """
 
     def __init__(
@@ -493,6 +588,13 @@ class VideoPipeline:
 
             quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
+        # Same 12-bit packed depth default (and IPC_TPU_DEPTH16=1
+        # escape hatch) as DepthPipeline; PARITY.md deviation 12.
+        import os as _os
+
+        self.depth_bits = (
+            16 if _os.environ.get("IPC_TPU_DEPTH16") == "1" else 12
+        )
         self._compiled: dict = {}
 
     def _fn(self, t: int, h: int, w: int, step: int, quant: bool = False):
@@ -516,6 +618,12 @@ class VideoPipeline:
             dn = jax.vmap(lambda dd: normalize_depth(dd, True))(d)
             if quant:
                 dn_s = dn[:, ::step, ::step]
+                if self.depth_bits == 12:
+                    from image_to_pointcloud_tpu.pipeline.graph import (
+                        pack_depth12,
+                    )
+
+                    return pack_depth12(dn_s)  # (T, 3·ceil(n/2)) u8
                 return jnp.round(dn_s * 65535.0).astype(jnp.uint16)
             packed = jax.vmap(
                 lambda dd, im: unproject(
@@ -539,15 +647,27 @@ class VideoPipeline:
         t, h, w = frames_rgb_u8.shape[:3]
         if fuse_voxel is None and self.quantized_transfer:
             fn = self._fn(t, h, w, step, quant=True)
-            d16 = np.asarray(
+            out = np.asarray(
                 fn(
                     self.params,
                     jnp.asarray(frames_rgb_u8),
                     jnp.float32(depth_scale),
                 )
-            )  # (T, hh, ww) u16 — the only device→host transfer
-            tt, hh, ww = d16.shape
+            )  # 12-bit packed (T, 3·⌈n/2⌉) u8, or (T, hh, ww) u16 —
+            #    either way the only device→host transfer
+            hh, ww = -(-h // step), -(-w // step)
             n = hh * ww
+            if self.depth_bits == 12:
+                from image_to_pointcloud_tpu.pipeline.graph import (
+                    unpack_depth12,
+                )
+
+                d16 = unpack_depth12(out, n).reshape(-1, hh, ww)
+                denom = 4095.0
+            else:
+                d16 = out
+                denom = 65535.0
+            tt = d16.shape[0]
             from image_to_pointcloud_tpu.ops.unproject import focal_length
 
             # ONE intrinsics rule (ops.unproject.focal_length), same as
@@ -575,6 +695,7 @@ class VideoPipeline:
                         f=float(f),
                         cx=float(cx),
                         cy=float(cy),
+                        denom=denom,
                     )
                     for i in range(tt)
                 ]
@@ -594,6 +715,7 @@ class VideoPipeline:
                 f=float(f),
                 cx=float(cx),
                 cy=float(cy),
+                denom=denom,
             )
             pts = xyz.transpose(0, 2, 1).reshape(tt * n, 3)
             cols = (

@@ -195,7 +195,9 @@ class TestQuantizedAdvancedTransfer:
     (configs 4/5): quantized paths must match the f32 paths to the
     documented tolerances (u16 over depth range / bbox)."""
 
-    def test_video_depth16_matches_f32(self, rng):
+    def test_video_depth12_matches_f32(self, rng):
+        """Default video transfer is the 12-bit packed depth grid:
+        z error ≤ depth_scale/2·4095, x/y scaled by |u-cx|/f < 1."""
         from test_model_parity import _build_pair
 
         from image_to_pointcloud_tpu.pipeline.advanced import VideoPipeline
@@ -211,10 +213,33 @@ class TestQuantizedAdvancedTransfer:
             quantized_transfer=True,  # forced (default only on TPU)
         ).run(clip, step=2)
         assert a[0].shape == b[0].shape
-        np.testing.assert_allclose(a[0], b[0], atol=2e-4)
+        np.testing.assert_allclose(a[0], b[0], atol=10.0 / 2 / 4095 + 1e-6)
         np.testing.assert_array_equal(a[1], b[1])
 
-    def test_highres_voxel_quantized_matches_f32(self, rng):
+    def test_video_u16_env_tightens_budget(self, rng, monkeypatch):
+        """IPC_TPU_DEPTH16=1 restores the u16 video contract (±2e-4)."""
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.advanced import VideoPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        clip = rng.integers(0, 256, (2, 56, 70, 3), dtype=np.uint8)
+        a = VideoPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=False,
+        ).run(clip, step=2)
+        monkeypatch.setenv("IPC_TPU_DEPTH16", "1")
+        b = VideoPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        ).run(clip, step=2)
+        assert a[0].shape == b[0].shape
+        np.testing.assert_allclose(a[0], b[0], atol=2e-4)
+
+    def test_highres_depth_grid_full_cloud_matches_f32(self, rng):
+        """The depth-grid transfer path (native host reconstruct) must
+        rebuild the same full cloud as the device unprojection, within
+        the 12-bit depth budget, with byte-identical colors."""
         from test_model_parity import _build_pair
 
         from image_to_pointcloud_tpu.pipeline.advanced import HighResPipeline
@@ -224,15 +249,45 @@ class TestQuantizedAdvancedTransfer:
         kw = dict(tile=56, overlap=14, model_target=56)
         a = HighResPipeline(
             model.cfg, variables["params"], quantized_transfer=False, **kw
-        ).run(img, step=1, voxel_budget=500)
+        ).run(img, step=1, voxel_budget=None)
         b = HighResPipeline(
             model.cfg, variables["params"], quantized_transfer=True, **kw
-        ).run(img, step=1, voxel_budget=500)
-        # Same voxel selection (identical bbox → identical voxel size);
-        # positions differ only by u16 quantization over the bbox.
+        ).run(img, step=1, voxel_budget=None)
         assert a[0].shape == b[0].shape
-        extent = a[0].max(axis=0) - a[0].min(axis=0)
-        np.testing.assert_allclose(
-            a[0], b[0], atol=float(extent.max()) / 65535.0 + 1e-6
-        )
+        # z err ≤ scale/2·4095; x/y scale by |u-cx|/f ≤ ~0.42.
+        np.testing.assert_allclose(a[0], b[0], atol=10.0 / 2 / 4095 + 1e-6)
         np.testing.assert_allclose(a[1], b[1], atol=0.5 + 1e-6)
+
+    def test_highres_budget_native_voxel_matches_xla_op(self, rng):
+        """The budgeted depth-grid path voxel-averages on the host
+        (native/src/voxel.cpp); its output must equal ops.voxel_downsample
+        applied to the same reconstructed cloud — same voxel count, same
+        (z, y, x) emission order, averaged values to float tolerance."""
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu import native
+        from image_to_pointcloud_tpu.ops import voxel_downsample
+        from image_to_pointcloud_tpu.pipeline.advanced import HighResPipeline
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        _, model, variables = _build_pair(image_size=56)
+        img = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+        kw = dict(tile=56, overlap=14, model_target=56)
+        pipe = HighResPipeline(
+            model.cfg, variables["params"], quantized_transfer=True, **kw
+        )
+        budget = 500
+        full = pipe.run(img, step=1, voxel_budget=None)
+        got = pipe.run(img, step=1, voxel_budget=budget)
+        assert len(got[0]) < 4 * budget and len(got[0]) < len(full[0])
+        # Oracle: the XLA voxel kernel over the same host-reconstructed
+        # cloud with the same bbox-derived voxel size.
+        lo, hi = full[0].min(axis=0), full[0].max(axis=0)
+        vol = float(np.prod(np.maximum(hi - lo, 1e-6)))
+        voxel = (vol / budget) ** (1.0 / 3.0)
+        vp, vc, _, cnt = voxel_downsample(full[0], full[1], voxel)
+        cnt = int(cnt)
+        assert len(got[0]) == cnt
+        np.testing.assert_allclose(got[0], np.asarray(vp[:cnt]), atol=1e-4)
+        np.testing.assert_allclose(got[1], np.asarray(vc[:cnt]), atol=1e-3)

@@ -949,3 +949,55 @@ class TestJpegSparsePack:
         coeffs = self._packed_cases()[0]
         for r, g in zip(_block_pack_numpy(coeffs), block_pack(coeffs)):
             assert np.array_equal(g, r)
+
+
+class TestVoxelDownsample:
+    """native/src/voxel.cpp vs the XLA kernel (ops/voxel.py, itself
+    oracle-tested against the Open3D voxel_down_sample definition):
+    same grid rule (origin half a voxel below min bound), same
+    (z, y, x)-lexicographic emission order, averaged values equal to
+    float tolerance."""
+
+    def _check(self, pts, cols, voxel):
+        from image_to_pointcloud_tpu.ops import voxel_downsample as xla_voxel
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        got = native.voxel_downsample(pts, cols, voxel)
+        assert got is not None
+        vp, vc, _, cnt = xla_voxel(pts, cols, voxel)
+        cnt = int(cnt)
+        assert len(got[0]) == cnt
+        np.testing.assert_allclose(got[0], np.asarray(vp[:cnt]), atol=1e-5)
+        np.testing.assert_allclose(got[1], np.asarray(vc[:cnt]), atol=1e-4)
+
+    def test_random_cloud_matches_xla(self, rng):
+        pts = rng.normal(0, 3.0, (2000, 3)).astype(np.float32)
+        cols = rng.uniform(0, 255, (2000, 3)).astype(np.float32)
+        self._check(pts, cols, 0.7)
+
+    def test_dense_duplicates_average(self, rng):
+        # Many points per voxel, including exact duplicates.
+        base = rng.normal(0, 1.0, (50, 3)).astype(np.float32)
+        pts = np.repeat(base, 20, axis=0)
+        pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
+        cols = rng.uniform(0, 255, (len(pts), 3)).astype(np.float32)
+        self._check(pts, cols, 0.5)
+
+    def test_negative_coords_and_tiny_voxel(self, rng):
+        pts = (rng.uniform(-40, -10, (500, 3))).astype(np.float32)
+        cols = rng.uniform(0, 255, (500, 3)).astype(np.float32)
+        self._check(pts, cols, 0.05)
+
+    def test_single_point_and_empty(self):
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        one = np.asarray([[1.0, 2.0, 3.0]], np.float32)
+        c = np.asarray([[9.0, 8.0, 7.0]], np.float32)
+        got = native.voxel_downsample(one, c, 0.5)
+        np.testing.assert_allclose(got[0], one)
+        np.testing.assert_allclose(got[1], c)
+        empty = native.voxel_downsample(
+            np.empty((0, 3), np.float32), np.empty((0, 3), np.float32), 0.5
+        )
+        assert empty[0].shape == (0, 3)
