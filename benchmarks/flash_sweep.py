@@ -1,0 +1,121 @@
+"""Block-size sweep for the Pallas flash-attention kernel.
+
+The flagship attention shape (DA-V2-Small 518²: B·H=96, N=1370 padded
+to 1536, D=64) spends ~1.9 ms/layer in the kernel at the round-4
+default blocks (256, 256) — ~15% MXU for d_head=64 dots. This sweeps
+(block_q, block_k) on the BARE op (small graphs → fast remote
+compiles) with the pipelined-peak method, plus the XLA fused path as
+the reference arm, and prints one JSON line per arm.
+
+Usage: PYTHONPATH=... python benchmarks/flash_sweep.py [batch] [heads]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def measure(fn, *args, iters=24):
+    import jax
+
+    out = fn(*args)
+    np.asarray(out)  # compile + settle
+    from collections import deque
+
+    probes: deque = deque()
+    stamps = [time.perf_counter()]
+    for _ in range(iters):
+        probes.append(fn(*args))
+        if len(probes) > 2:
+            np.asarray(probes.popleft()[0, 0, 0, :1])
+            stamps.append(time.perf_counter())
+    while probes:
+        np.asarray(probes.popleft()[0, 0, 0, :1])
+        stamps.append(time.perf_counter())
+    w = min(6, len(stamps) - 1)
+    best = min(
+        (stamps[i + w] - stamps[i]) / w for i in range(len(stamps) - w)
+    )
+    return best
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from image_to_pointcloud_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from image_to_pointcloud_tpu.models.attention import (
+        _attention_xla,
+        flash_attention,
+    )
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    n, d = 1370, 64
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), dt)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), dt)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), dt)
+    scale = 1.0 / math.sqrt(d)
+
+    # Attention FLOPs (two dots over the true N, ignoring padding).
+    flops = 2 * 2 * b * h * n * n * d
+
+    import functools
+
+    xla = jax.jit(functools.partial(_attention_xla, scale=scale))
+    t = measure(xla, q, k, v)
+    print(
+        json.dumps(
+            {
+                "arm": "xla_fused",
+                "ms": round(t * 1e3, 3),
+                "tflops": round(flops / t / 1e12, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    for bq, bk in [
+        (256, 256),
+        (512, 512),
+        (512, 1536),
+        (256, 1536),
+        (1536, 512),
+    ]:
+        fn = jax.jit(
+            functools.partial(flash_attention, block_q=bq, block_k=bk)
+        )
+        try:
+            t = measure(fn, q, k, v)
+        except Exception as e:  # noqa: BLE001
+            print(
+                json.dumps(
+                    {"arm": f"flash_{bq}x{bk}", "error": repr(e)[:120]}
+                ),
+                flush=True,
+            )
+            continue
+        print(
+            json.dumps(
+                {
+                    "arm": f"flash_{bq}x{bk}",
+                    "ms": round(t * 1e3, 3),
+                    "tflops": round(flops / t / 1e12, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
