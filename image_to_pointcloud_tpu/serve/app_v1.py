@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -298,6 +299,16 @@ class V1Service:
                 variants = [("pixel", None)]
                 if jpeg_plan is not None:
                     variants.append(("jpeg", jpeg_plan))
+                    if os.environ.get("IPC_TPU_WARMUP_JPEG_ONLY") == "1":
+                        # Halve the warmup compile bill when the
+                        # deployment serves (or is being benched with)
+                        # JPEG uploads only: pixel-path graphs compile
+                        # on first PNG upload instead, and the
+                        # persistent cache keeps either set across
+                        # restarts. On this rig's remote compile helper
+                        # a full two-path warmup is ~10 multi-minute
+                        # compiles.
+                        variants = [("jpeg", jpeg_plan)]
                 for kind, plan in variants:
                     total += 1
                     logger.info(
