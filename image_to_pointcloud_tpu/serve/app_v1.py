@@ -221,6 +221,17 @@ class V1Service:
             await batcher.close()
         self._batchers.clear()
         if self._pending_exports:
+            # First let any in-flight (download-triggered) exports
+            # finish: executor.shutdown(cancel_futures=True) below
+            # would cancel a queued-but-not-started future and lose an
+            # artifact the durable journal promises across restarts.
+            inflight = [
+                e["future"]
+                for e in self._pending_exports.values()
+                if e["future"] is not None
+            ]
+            if inflight:
+                await asyncio.gather(*inflight, return_exceptions=True)
             # Blocking on the loop is fine here: the listener is already
             # closed, and keeping this on the loop thread preserves the
             # "pending-exports state is loop-only" invariant.

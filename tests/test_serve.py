@@ -988,6 +988,26 @@ class TestLazyExport:
         assert n >= 1 and fp.exists()
         assert jid not in srv.app._pending_exports
 
+    def test_concurrent_downloads_one_export(self, lazy_server):
+        """Two simultaneous first-downloads of a pending artifact must
+        both succeed with identical bytes (idempotent _start_export —
+        one executor write, second awaiter shields on the same future)."""
+        import concurrent.futures as cf
+
+        srv, _ = lazy_server
+        base = f"http://127.0.0.1:{srv.port}"
+        jid, final = self._submit(base, "ply")
+        assert jid in srv.app._pending_exports
+
+        def dl():
+            return httpx.get(f"{base}/download/{jid}", timeout=30)
+
+        with cf.ThreadPoolExecutor(2) as pool:
+            r1, r2 = list(pool.map(lambda _: dl(), range(2)))
+        assert r1.status_code == 200 and r2.status_code == 200
+        assert r1.content == r2.content
+        assert jid not in srv.app._pending_exports
+
     def test_eager_mode_writes_during_job(self, tmp_path_factory):
         out = tmp_path_factory.mktemp("outputs_eager")
 
