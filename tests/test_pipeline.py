@@ -229,6 +229,128 @@ class TestQuantizedTransfer:
             expect = np.round(dn * 4095.0).astype(np.uint16).reshape(3, -1)
             np.testing.assert_array_equal(d12, expect)
 
+    def test_depth8t_codec_error_bound(self, rng):
+        """The sub-byte tile codec honors its documented worst case:
+        per-tile max error ≤ range/510 + 0.5 d12 steps (two roundings)
+        for coded tiles, exact 12-bit values for side-list tiles; when
+        the side list covers every tile wider than 255 the global max
+        error is ≤ 1 d12 step."""
+        import jax.numpy as jnp
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            _d8t_geometry,
+            depth8t_section_len,
+            pack_depth8t,
+            unpack_depth8t,
+        )
+
+        for hh, ww in [(35, 32), (40, 40), (7, 9), (1, 1)]:
+            # Smooth base (tile ranges well under 255) + a few sharp
+            # edges that create wide tiles for the side list.
+            yy, xx = np.mgrid[0:hh, 0:ww].astype(np.float32)
+            dn = 0.35 + 0.3 * np.sin(yy / 17.0) * np.cos(xx / 13.0)
+            dn[: hh // 3, : ww // 3] += 0.4  # hard depth edge
+            dn = np.clip(dn[None].repeat(2, axis=0), 0.0, 1.0)
+            sec = np.asarray(pack_depth8t(jnp.asarray(dn)))
+            assert sec.shape == (2, depth8t_section_len(hh, ww))
+            got = unpack_depth8t(sec, hh, ww).astype(np.float32)
+            want = np.round(dn * 4095.0)
+            # Oracle per-tile bound from the original grid.
+            th, tw, t, k = _d8t_geometry(hh, ww)
+            pad = np.pad(
+                want,
+                ((0, 0), (0, th * 8 - hh), (0, tw * 8 - ww)),
+                mode="edge",
+            )
+            tiles = (
+                pad.reshape(2, th, 8, tw, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(2, t, 64)
+            )
+            ranges = tiles.max(-1) - tiles.min(-1)
+            order = np.sort(ranges, axis=-1)[:, ::-1]
+            widest_coded = (
+                order[:, k] if k < t else np.zeros(2, np.float32)
+            )
+            err = np.abs(got - want)
+            err_tiles = (
+                np.pad(
+                    err,
+                    ((0, 0), (0, th * 8 - hh), (0, tw * 8 - ww)),
+                )
+                .reshape(2, th, 8, tw, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(2, t, 64)
+            )
+            for b in range(2):
+                # Per-tile check: every tile obeys the coded bound
+                # range/510 + 0.5 (side-list tiles are exact and pass
+                # it trivially).
+                per_tile_bound = ranges[b] / 510.0 + 0.5
+                assert np.all(
+                    err_tiles[b].max(-1) <= per_tile_bound + 1e-3
+                ), (hh, ww, b)
+            # With side capacity covering every wide tile, the codec
+            # stays within one 12-bit step everywhere.
+            if np.all(widest_coded <= 255):
+                assert err.max() <= 1.0 + 1e-3
+
+    def test_depth8t_env_pipeline_parity(self, rng, monkeypatch):
+        """IPC_TPU_DEPTH8T=1 swaps the bundle's depth section for the
+        sub-byte tile codec; the reconstructed cloud matches the f32
+        path within the codec's oracle-computed error bound and keeps
+        identical colors/keep decisions."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+
+        _, model, variables = _build_pair(image_size=56)
+        opts = PipelineOptions(density="medium")
+        img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
+        a = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=False,
+        ).run(img, depth_scale=10.0, options=opts)
+        monkeypatch.setenv("IPC_TPU_DEPTH8T", "1")
+        pipe8 = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        )
+        assert pipe8.depth_bits == 8
+        b = pipe8.run(img, depth_scale=10.0, options=opts)
+        assert a.kept_point_count == b.kept_point_count
+        np.testing.assert_array_equal(a.colors, b.colors)
+        # Error budget from the codec's guarantee: z error ≤
+        # scale·(widest CODED tile range/510 + 1.5 d12 steps)/4095 —
+        # the widest coded range is an oracle computed from the f32
+        # run's own depth grid (a random-init model's depth map is not
+        # smooth, so a fixed constant would be wrong); x/y errors scale
+        # by |u−c|/f < 1.
+        from image_to_pointcloud_tpu.pipeline.graph import _d8t_geometry
+
+        hh, ww = a.grid_hw
+        dn = np.clip(a.packed[2].reshape(hh, ww) / 10.0, 0.0, 1.0)
+        d12 = np.round(dn * 4095.0)
+        th, tw, t, k = _d8t_geometry(hh, ww)
+        tiles = (
+            np.pad(
+                d12,
+                ((0, th * 8 - hh), (0, tw * 8 - ww)),
+                mode="edge",
+            )
+            .reshape(th, 8, tw, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(t, 64)
+        )
+        ranges = np.sort(tiles.max(-1) - tiles.min(-1))[::-1]
+        widest_coded = ranges[k] if k < t else 0.0
+        bound = 10.0 * (widest_coded / 510.0 + 1.5) / 4095.0
+        diff = np.abs(a.points - b.points).max()
+        assert diff <= bound, (diff, bound)
+
     def test_downscaled_input_quantized_transfer(self, rng, monkeypatch):
         """Inputs over MAX_IMAGE_DIM take the device-downscale branch of
         the quantized-transfer graph, which ships strided RGB alongside
