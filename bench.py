@@ -67,6 +67,41 @@ def main() -> None:
     def log_event(ev: str) -> None:
         retry_log.append(f"t+{time.time() - start_ts:.0f}s:{ev}")
 
+    # Preflight — exclusive chip access as a MECHANISM (VERDICT r4 item
+    # 1): the TPU on this rig is single-holder, and a resident serving
+    # process (ours) starved the round-4 driver bench for 378 s on a
+    # fully warm cache. Before touching jax, enumerate the framework's
+    # own registered TPU holders (utils/chiplock.py pidfile registry —
+    # exact pids, never patterns, never the relay) and evict them. The
+    # eviction is logged into the retry log the artifact carries.
+    if not forced_cpu:
+        try:
+            from image_to_pointcloud_tpu.utils.chiplock import (
+                evict_tpu_holders,
+                list_tpu_holders,
+            )
+
+            for h in evict_tpu_holders():
+                log_event(f"evicted_{h.role}_pid{h.pid}")
+        except Exception as e:  # noqa: BLE001 — advisory, never fatal
+            sys.stderr.write(f"bench: holder preflight failed: {e!r}\n")
+
+            def list_tpu_holders():  # type: ignore[no-redef]
+                return []
+
+            def evict_tpu_holders():  # type: ignore[no-redef]
+                return []
+
+    # A warm persistent cache means a healthy warmup takes seconds, so
+    # a long warmup stall signals chip contention or a hung helper
+    # connection — grounds for an early fresh attempt instead of riding
+    # out the full phase-B budget (the round-4 failure mode).
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        cache_warm = len(os.listdir(_cache_dir)) >= 4
+    except OSError:
+        cache_warm = False
+
     def reexec(to_cpu: bool, why: str) -> None:
         log_event("cpu_fallback" if to_cpu else f"retry{attempt + 1}")
         sys.stderr.write(f"bench: {why}\n")
@@ -124,6 +159,30 @@ def main() -> None:
             pb = max(60.0, remaining() - cpu_reserve)
             if warm_deadline:
                 pb = min(pb, warm_deadline)
+            # Early checkpoint (VERDICT r4 item 1b): with a warm
+            # persistent cache, warmup is seconds — a 150 s stall means
+            # contention (a holder registered AFTER the preflight) or a
+            # hung helper connection. Re-check the registry, evict, and
+            # re-exec a fresh TPU attempt instead of burning the whole
+            # phase-B budget the way BENCH_r04 did (378 s). Attempts ≥3
+            # skip this (a genuinely degraded relay can legitimately
+            # warm slowly; endless resets would never finish).
+            early = min(pb, 150.0) if (cache_warm and attempt <= 2) else pb
+            if early < pb and not warmed.wait(early):
+                log_event(f"attempt{attempt}_warmup_slow_{early:.0f}s")
+                try:
+                    for h in evict_tpu_holders():
+                        log_event(f"evicted_late_{h.role}_pid{h.pid}")
+                except Exception:  # noqa: BLE001
+                    pass
+                if remaining() > cpu_reserve + 75:
+                    reexec(
+                        False,
+                        f"TPU attempt {attempt}: warmup exceeded "
+                        f"{early:.0f}s on a warm cache (contention or "
+                        "hung helper) — re-exec fresh TPU attempt",
+                    )
+                pb = max(60.0, remaining() - cpu_reserve)
             if not warmed.wait(pb):
                 log_event(f"attempt{attempt}_warmup_stalled_{pb:.0f}s")
                 _fallback_or_ride(
@@ -355,7 +414,30 @@ def main() -> None:
     done.set()
 
     baseline_img_s = 0.4  # reference's claimed 2-3 s/image
+    # Best-of TPU record, two tiers (round-4 advisor): the machine-local
+    # file is written by qualifying runs and gitignored (numbers are
+    # only meaningful on the rig that measured them); the committed
+    # benchmarks/tpu_record.json is updated MANUALLY per the RESULTS.md
+    # conventions and is read-only here — bench.py never writes it.
     last_path = os.path.join(os.path.dirname(__file__), ".last_tpu_bench.json")
+    committed_record_path = os.path.join(
+        os.path.dirname(__file__), "benchmarks", "tpu_record.json"
+    )
+
+    def _read_best_record():
+        best = None
+        for p in (last_path, committed_record_path):
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+            except Exception:  # noqa: BLE001
+                continue
+            if best is None or float(rec.get("e2e", 0)) > float(
+                best.get("e2e", 0)
+            ):
+                best = rec
+        return best
+
     emitted = threading.Event()
 
     def emit(dev_tp, dev_tp_px=None) -> None:
@@ -383,9 +465,8 @@ def main() -> None:
             # record IS the best labeled window).
             nonlocal dev_part
             try:
-                with open(last_path) as f:
-                    last = json.load(f)
-                if float(last.get("e2e", 0)) <= throughput:
+                last = _read_best_record()
+                if last is None or float(last.get("e2e", 0)) <= throughput:
                     return
                 peak = last.get("device_peak")
                 peak_part = f"/{peak} device-peak" if peak else ""
@@ -477,8 +558,9 @@ def main() -> None:
         # the best recorded TPU measurement, and — on a fallback — the
         # timed TPU retry log proving the 590 s window was covered.
         try:
-            with open(last_path) as f:
-                record["last_tpu"] = json.load(f)
+            best = _read_best_record()
+            if best is not None:
+                record["last_tpu"] = best
         except Exception:  # noqa: BLE001
             pass
         if retry_log:

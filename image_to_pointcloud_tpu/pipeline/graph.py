@@ -160,7 +160,13 @@ def _d8t_geometry(hh: int, ww: int) -> tuple[int, int, int, int]:
 def depth8t_section_len(hh: int, ww: int) -> int:
     """Bundle-section bytes for :func:`pack_depth8t` on an (hh, ww)
     grid: 4 B/tile headers + 1 B/pt codes + (2 + 96) B per side-list
-    slot. ≈ 1.25 B/pt vs the flat 12-bit pack's 1.5."""
+    slot. ≈ 1.25 B/pt vs the flat 12-bit pack's 1.5 — but only on
+    large, roughly 8-aligned grids: codes are billed per edge-padded
+    point (64 B/tile regardless of occupancy), so small or ragged
+    strided grids pay much more (a 9×9 grid costs ~316 B ≈ 3.9 B/pt).
+    ``DepthPipeline._depth_codec_bits`` therefore falls back to
+    :func:`pack_depth12` whenever this length would not beat the flat
+    pack's ``3·ceil(n/2)``."""
     _, _, t, k = _d8t_geometry(hh, ww)
     return 4 * t + 64 * t + 2 * k + 96 * k
 
@@ -178,8 +184,13 @@ def pack_depth8t(dn_s: jax.Array) -> jax.Array:
     error is ≤ range/510 + 0.5 d12 steps (two roundings), so a tile
     whose range ≤ 255 lands within 1 d12 step — in z, ≤ 1.5·scale/4095
     including the base quantization, vs the flat 12-bit pack's
-    0.5·scale/4095 (PARITY.md deviation 12's <1e-3 budget holds for
-    scale ≤ 27). Wide tiles (depth edges) are
+    0.5·scale/4095. The <1e-3 *absolute* z budget of PARITY.md
+    deviation 12 therefore caps at scale ≈ 2.7 for coded tiles
+    (1.5·scale/4095 ≤ 1e-3) vs scale ≈ 8.2 for the flat pack; at the
+    default scale 10 the codec's worst case is ≈ 3.7e-3 in z, which is
+    why it ships opt-in (``IPC_TPU_DEPTH8T=1``) and the flat 12-bit
+    pack stays the quantized-transfer default. Wide tiles (depth
+    edges) are
     patched from a fixed-capacity 12-bit side list: the top
     ``ceil(T/8)`` tiles by range ship their exact d12 values
     (:func:`pack_depth12`-style 1.5 B/pt nibble pack) plus u16 tile
@@ -830,6 +841,22 @@ class DepthPipeline:
             params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
 
+    def _depth_codec_bits(self, hh: int, ww: int) -> int:
+        """Effective quantized-transfer depth codec for an (hh, ww)
+        strided grid. The sub-byte tiled codec (``depth_bits == 8``)
+        only wins on large, roughly 8-aligned grids — its per-tile
+        headers, edge padding and fixed side-list slots make small or
+        ragged grids MORE expensive than the flat 12-bit nibble pack
+        (see :func:`depth8t_section_len`) — so fall back to 12-bit
+        whenever the tiled section would not be strictly smaller.
+        Deterministic in (hh, ww): the device pack and the host unpack
+        call this with the same grid and always agree."""
+        if self.depth_bits == 8 and depth8t_section_len(hh, ww) >= 3 * (
+            -(-(hh * ww) // 2)
+        ):
+            return 12
+        return self.depth_bits
+
     def _place_batch(self, arr: jax.Array) -> jax.Array:
         if self.mesh is None:
             return arr
@@ -1072,9 +1099,10 @@ class DepthPipeline:
             bq = dn_s.shape[0]
             keep_mask = packed[:, 6, :] > 0.5
             keep_bits = pack_keep_bits(keep_mask)
-            if self.depth_bits == 8:
+            eff_bits = self._depth_codec_bits(dn_s.shape[1], dn_s.shape[2])
+            if eff_bits == 8:
                 depth_sec = pack_depth8t(dn_s)
-            elif self.depth_bits == 12:
+            elif eff_bits == 12:
                 depth_sec = pack_depth12(dn_s)
             else:
                 d16 = jnp.round(dn_s * 65535.0).astype(jnp.uint16)
@@ -1459,11 +1487,12 @@ class DepthPipeline:
             hh, ww = grid_hw
             n = hh * ww
             nb = -(-n // 8)
-            if self.depth_bits == 8:
+            eff_bits = self._depth_codec_bits(hh, ww)
+            if eff_bits == 8:
                 dsec = depth8t_section_len(hh, ww)
                 denom = 4095.0
                 d16 = unpack_depth8t(bundle[:, :dsec], hh, ww)
-            elif self.depth_bits == 12:
+            elif eff_bits == 12:
                 dsec = 3 * (-(-n // 2))
                 denom = 4095.0
                 d16 = unpack_depth12(bundle[:, :dsec], n).reshape(b, hh, ww)

@@ -87,8 +87,14 @@ def main() -> None:
     from image_to_pointcloud_tpu.serve.http import HttpServer
     from image_to_pointcloud_tpu.serve.models import ModelManager
     from image_to_pointcloud_tpu.utils.cache import enable_persistent_cache
+    from image_to_pointcloud_tpu.utils.chiplock import register_tpu_holder
 
     enable_persistent_cache()
+    # Single-holder TPU enforcement (utils/chiplock.py): a resident
+    # server starves any other process's graph loads on this rig, so
+    # every server registers a pidfile that bench.py's preflight can
+    # enumerate and evict. Advisory on failure.
+    register_tpu_holder(f"serve_{args.generation}")
 
     # The pipeline's size caps are module-level parity constants
     # (backend/app.py:43-44); apply config overrides before any graph

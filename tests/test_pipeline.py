@@ -351,6 +351,50 @@ class TestQuantizedTransfer:
         diff = np.abs(a.points - b.points).max()
         assert diff <= bound, (diff, bound)
 
+    def test_depth8t_small_grid_falls_back_to_flat_pack(
+        self, rng, monkeypatch
+    ):
+        """On small/ragged strided grids the tiled codec's fixed costs
+        (64 B edge-padded codes per tile, headers, side-list slots)
+        exceed the flat 12-bit pack, so IPC_TPU_DEPTH8T=1 must fall
+        back to pack_depth12 there (round-4 advisor) — and the device
+        pack and host unpack must agree on the choice."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model_parity import _build_pair
+
+        from image_to_pointcloud_tpu.pipeline.graph import (
+            DepthPipeline,
+            depth8t_section_len,
+        )
+
+        # The advisor's example: a 9×9 grid costs ~316 B tiled vs 123 B
+        # flat — the chooser must reject the tiled codec.
+        assert depth8t_section_len(9, 9) >= 3 * (-(-81 // 2))
+
+        _, model, variables = _build_pair(image_size=56)
+        opts = PipelineOptions(density="low")  # stride 4 → tiny grid
+        img = rng.integers(0, 256, (34, 35, 3), dtype=np.uint8)
+        a = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=False,
+        ).run(img, depth_scale=10.0, options=opts)
+        monkeypatch.setenv("IPC_TPU_DEPTH8T", "1")
+        pipe8 = DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        )
+        assert pipe8.depth_bits == 8
+        hh, ww = a.grid_hw
+        assert pipe8._depth_codec_bits(hh, ww) == 12
+        b = pipe8.run(img, depth_scale=10.0, options=opts)
+        assert a.kept_point_count == b.kept_point_count
+        np.testing.assert_array_equal(a.colors, b.colors)
+        # Flat-pack budget applies (tighter than the tiled codec's):
+        # z error ≤ 0.5·scale/4095.
+        assert np.abs(a.points - b.points).max() <= 10.0 * 0.5 / 4095.0 + 1e-6
+
     def test_downscaled_input_quantized_transfer(self, rng, monkeypatch):
         """Inputs over MAX_IMAGE_DIM take the device-downscale branch of
         the quantized-transfer graph, which ships strided RGB alongside
