@@ -170,17 +170,27 @@ def main() -> None:
             early = min(pb, 150.0) if (cache_warm and attempt <= 2) else pb
             if early < pb and not warmed.wait(early):
                 log_event(f"attempt{attempt}_warmup_slow_{early:.0f}s")
+                evicted = []
                 try:
-                    for h in evict_tpu_holders():
+                    evicted = evict_tpu_holders()
+                    for h in evicted:
                         log_event(f"evicted_late_{h.role}_pid{h.pid}")
                 except Exception:  # noqa: BLE001
                     pass
-                if remaining() > cpu_reserve + 75:
+                # Re-exec ONLY when contention is confirmed (a holder
+                # registered after the preflight was just evicted):
+                # that warmup was starved and a fresh attempt now owns
+                # the chip. Without an eviction the stall is relay
+                # weather — a degraded window's warmup can legitimately
+                # take minutes (2026-08-21 run: both attempts slow with
+                # zero holders), and restarting would discard progress
+                # and guarantee the CPU fallback.
+                if evicted and remaining() > cpu_reserve + 75:
                     reexec(
                         False,
-                        f"TPU attempt {attempt}: warmup exceeded "
-                        f"{early:.0f}s on a warm cache (contention or "
-                        "hung helper) — re-exec fresh TPU attempt",
+                        f"TPU attempt {attempt}: warmup starved by a "
+                        "late-registered chip holder (now evicted) — "
+                        "re-exec fresh TPU attempt",
                     )
                 pb = max(60.0, remaining() - cpu_reserve)
             if not warmed.wait(pb):
