@@ -1036,3 +1036,147 @@ class TestLazyExport:
 
 async def _as_coro(fn, *a):
     return fn(*a)
+
+
+# ---------- multi-chip serving rehearsal (VERDICT r4 item 6) ----------
+
+
+class TestV1MeshServing:
+    """The ACTUAL v1 service booted over the virtual 8-device mesh
+    (``--mesh data=8`` equivalent), concurrent requests coalescing in
+    the micro-batcher (6 jobs pad to the mesh's data axis), responses
+    byte-equal vs the single-device server — extends the dryrun's DP=8
+    graph parity (MULTICHIP_r*.json) to the HTTP serving surface.
+    Replaces-the-reference analogue: one BackgroundTask per image on
+    one device (backend/app.py:662)."""
+
+    N_JOBS = 6  # deliberately not divisible by 8: exercises _data_pad
+
+    @staticmethod
+    def _make_server(out_dir, mesh):
+        def make():
+            import sys
+
+            sys.path.insert(0, "tests")
+            from test_model_parity import _build_pair
+
+            from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
+            from image_to_pointcloud_tpu.serve.app_v1 import create_v1_app
+            from image_to_pointcloud_tpu.serve.models import ModelManager
+
+            _, model, variables = _build_pair(
+                hidden=32, layers=4, heads=2, image_size=56
+            )
+            mm = ModelManager(use_bf16=False, use_flash_attention=False)
+            mm._cache["depth-anything-v2"] = DepthPipeline(
+                model.cfg, variables["params"], model_target=56, mesh=mesh
+            )
+            return (
+                create_v1_app(
+                    output_dir=str(out_dir),
+                    models=mm,
+                    durable_jobs=False,
+                    batch_window_ms=200.0,
+                    max_batch=8,
+                ),
+                "*",
+            )
+
+        return _ServerThread(make)
+
+    def _run_jobs(self, base):
+        """Submit N distinct same-size images concurrently; return
+        [(status_results, ply_bytes)] in submission order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        imgs = [_test_image_png(70, 63)] + [
+            encode_png(
+                np.random.default_rng(100 + i)
+                .integers(0, 256, (70, 63, 3))
+                .astype(np.uint8)
+            )
+            for i in range(1, self.N_JOBS)
+        ]
+
+        def submit(png):
+            r = httpx.post(
+                f"{base}/process",
+                params={"output_format": "ply", "point_density": "medium"},
+                files={"file": ("mesh.png", png, "image/png")},
+                timeout=60,
+            )
+            assert r.status_code == 200
+            return r.json()["job_id"]
+
+        with ThreadPoolExecutor(self.N_JOBS) as pool:
+            jids = list(pool.map(submit, imgs))
+        out = []
+        for jid in jids:
+            final = _poll(base, jid, timeout=300)
+            assert final["status"] == "completed", final.get("message")
+            dl = httpx.get(f"{base}/download/{jid}", timeout=120)
+            assert dl.status_code == 200
+            out.append((final["results"], dl.content))
+        return out
+
+    def test_dp8_http_serving_byte_equal(self, tmp_path_factory):
+        from image_to_pointcloud_tpu.parallel.sharding import make_mesh
+
+        srv_mesh = self._make_server(
+            tmp_path_factory.mktemp("outputs_mesh8"), make_mesh(data=8)
+        )
+        try:
+            mesh_results = self._run_jobs(f"http://127.0.0.1:{srv_mesh.port}")
+        finally:
+            srv_mesh.stop()
+        srv_one = self._make_server(
+            tmp_path_factory.mktemp("outputs_one"), None
+        )
+        try:
+            one_results = self._run_jobs(f"http://127.0.0.1:{srv_one.port}")
+        finally:
+            srv_one.stop()
+
+        import tempfile
+
+        from image_to_pointcloud_tpu.io import read_ply
+
+        def _parse(ply_bytes):
+            with tempfile.NamedTemporaryFile(suffix=".ply") as f:
+                f.write(ply_bytes)
+                f.flush()
+                return read_ply(f.name)["vertex"]
+
+        for i, ((rm, plym), (r1, ply1)) in enumerate(
+            zip(mesh_results, one_results)
+        ):
+            # Artifact: same point set within the established DP
+            # tolerances (__graft_entry__.dryrun_multichip uses
+            # atol=1e-4 f32 / 3e-3 quantized — sharded reductions
+            # reorder float math), colors exactly equal.
+            vm = _parse(plym)
+            v1_ = _parse(ply1)
+            assert vm.shape == v1_.shape, f"job {i}: point count differs"
+            for f in ("x", "y", "z"):
+                np.testing.assert_allclose(
+                    vm[f], v1_[f], atol=3e-3, err_msg=f"job {i} {f}"
+                )
+            for f in ("red", "green", "blue"):
+                np.testing.assert_array_equal(vm[f], v1_[f], err_msg=str(i))
+            # Inline preview: same decimation stride, same colors.
+            pm = np.asarray(rm["preview"]["points"], np.float32)
+            p1 = np.asarray(r1["preview"]["points"], np.float32)
+            assert pm.shape == p1.shape, i
+            np.testing.assert_allclose(pm, p1, atol=3e-3)
+            assert rm["preview"]["colors"] == r1["preview"]["colors"], i
+            # Depth preview PNG data URL (u8 PLASMA bins) and GIS data.
+            assert rm["depthMap"] == r1["depthMap"], i
+            bm = rm["gisData"]["bounds"]
+            b1 = r1["gisData"]["bounds"]
+            for key in bm:
+                np.testing.assert_allclose(
+                    np.asarray(bm[key]), np.asarray(b1[key]), atol=3e-3
+                )
+            assert (
+                rm["gisData"]["pointCount"] == r1["gisData"]["pointCount"]
+            ), i
