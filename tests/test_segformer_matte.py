@@ -153,3 +153,31 @@ def test_matte_model_ingestion_and_processor(rng, tmp_path, monkeypatch):
     out = proc._preprocess(img, remove_background=True, foreground_ratio=1.2)
     assert spy.calls == 1
     assert out.shape == (512, 512, 3)
+
+
+def test_classical_matte_iou_floor():
+    """The classical border-statistics matte stays above the floor the
+    PARITY.md deviation-5 numbers were recorded at (benchmarks/
+    matte_bench.py, 2026-08-21: mean IoU 0.90, worst scene 0.51) — a
+    regression in estimate_background_matte would silently degrade
+    every checkpointless v2 deployment."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "matte_bench",
+        Path(__file__).resolve().parents[1] / "benchmarks" / "matte_bench.py",
+    )
+    mb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mb)
+
+    from image_to_pointcloud_tpu.serve.processor3d import (
+        estimate_background_matte,
+    )
+
+    ious = {
+        name: mb._iou(estimate_background_matte(img) > 0.5, gt)
+        for name, img, gt in mb._scenes()
+    }
+    assert min(ious.values()) >= 0.50, ious
+    assert sum(ious.values()) / len(ious) >= 0.88, ious
