@@ -268,9 +268,18 @@ def main() -> None:
     if on_tpu:
         cfg = cfg.with_dtype(jnp.bfloat16).with_flash_attention(True)
     model = DepthAnything(cfg)
-    params = model.init(
-        jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
-    )["params"]
+    # Init on the host CPU backend, then ONE bulk transfer: eager Flax
+    # init on the relay-tunneled TPU dispatches thousands of small ops
+    # at ~25 ms each (measured 104 s; CPU init + device_put is ~21 s).
+    init_dev = (
+        jax.local_devices(backend="cpu")[0] if on_tpu else jax.devices()[0]
+    )
+    with jax.default_device(init_dev):
+        params = model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
+        )["params"]
+    if on_tpu:
+        params = jax.device_put(params, jax.devices()[0])
     if os.environ.get("IPC_BENCH_INT8") == "1":
         from image_to_pointcloud_tpu.models.quantize import (
             quantize_encoder_params,

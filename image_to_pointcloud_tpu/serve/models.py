@@ -121,7 +121,24 @@ class ModelManager:
         # smallest legal input (2×2 patches) so tracing is instant.
         ps = cfg.backbone.patch_size
         dummy = np.zeros((1, 2 * ps, 2 * ps, 3), np.float32)
-        return model.init(jax.random.PRNGKey(0), dummy)["params"]
+        # Init on the host CPU backend, then one bulk device transfer:
+        # eager Flax init on a relay-tunneled TPU dispatches thousands
+        # of small ops at ~25 ms link latency each (measured 104 s for
+        # DA-Small; CPU init + device_put is ~21 s) — pure warmup tax
+        # on every server start.
+        try:
+            init_dev = (
+                jax.local_devices(backend="cpu")[0]
+                if jax.default_backend() not in ("cpu",)
+                else None
+            )
+        except RuntimeError:
+            init_dev = None
+        if init_dev is None:
+            return model.init(jax.random.PRNGKey(0), dummy)["params"]
+        with jax.default_device(init_dev):
+            params = model.init(jax.random.PRNGKey(0), dummy)["params"]
+        return jax.device_put(params, jax.devices()[0])
 
     def get(self, name: str) -> DepthPipeline:
         """Load and cache a depth pipeline (raises ValueError on unknown)."""
