@@ -47,6 +47,7 @@ apply unchanged.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +56,7 @@ __all__ = [
     "capacity_bucket",
     "coeff_layout",
     "exception_bucket",
+    "gather_from_blocks",
     "scatter_from_blocks",
     "sparse_payload_bytes",
     "sparse_row_sections",
@@ -293,6 +295,73 @@ def scatter_from_blocks(counts, dc, pos, val, exc_idx, exc_val, spec):
         .set(dc.astype(jnp.int16))
         .reshape(-1)
     )
+    out = []
+    off = 0
+    for c in range(spec.ncomp):
+        bh, bw = spec.block_grid(c)
+        n = sizes[c]
+        out.append(grids[off : off + n].reshape(bh, bw, spec.k, spec.k))
+        off += n
+    return tuple(out)
+
+
+def gather_from_blocks(counts, dc, pos, val, exc_idx, exc_val, spec):
+    """Gather/MXU formulation of :func:`scatter_from_blocks` — same
+    inputs, bit-identical per-component grids (oracle-tested; the A/B
+    knob ``IPC_TPU_JPEG_GATHER=1`` selects it in the pipeline graph).
+
+    Large scatters are the TPU's weakest memory op (serialized updates
+    through the scalar path); this variant replaces the 1-D scatter
+    over the full ~``total``-slot coefficient space with regular
+    reads + one matmul. Per block, the AC slots live at
+    ``[starts[b], starts[b]+counts[b])`` with strictly ascending
+    in-block positions, so a fixed ``(nblocks, k²-1)`` window gather
+    pulls each block's positions/values (pads clamped to a sacrificial
+    tail slot carrying pos=0/val=0), and the dense grid is one one-hot
+    contraction ``dense[b, p] = Σ_w val[b, w]·[pos[b, w] == p]`` —
+    ``nblocks·(k²-1)·k²`` MACs (~26 M for a 518² 4:2:0 image, noise
+    for the MXU), exact in f32 (int16 values; one-hot rows sum ≤1
+    term per output). The wide-value exceptions still use the stream
+    overwrite (a ≤``ecap``-element scatter — noise next to the
+    ~``total``-element one this removes), and DC joins by column
+    concatenation, not an update."""
+    sizes, total = coeff_layout(spec)
+    k2 = spec.k * spec.k
+    counts = counts.astype(jnp.int32)
+    if k2 == 1:  # k=1: DC-only blocks, nothing sparse to place.
+        grids = dc.astype(jnp.int16)
+    else:
+        starts = jnp.cumsum(counts) - counts  # (nblocks,)
+        cap = pos.shape[0]
+        w = jnp.arange(k2 - 1, dtype=jnp.int32)[None, :]
+        valid = w < counts[:, None]  # (nblocks, k2-1)
+        win = jnp.where(valid, starts[:, None] + w, cap)
+        # Streams padded with one sacrificial tail slot; exceptions
+        # overwrite their wrapped int8 image exactly as in the scatter
+        # variant (pad exceptions point at index cap → the tail).
+        posp = jnp.concatenate(
+            [pos.astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
+        )
+        valp = jnp.concatenate(
+            [val.astype(jnp.int16), jnp.zeros((1,), jnp.int16)]
+        )
+        valp = valp.at[exc_idx].set(
+            exc_val, indices_are_sorted=True, mode="drop"
+        )
+        pw = posp[win]  # (nblocks, k2-1) gathers
+        vw = jnp.where(valid, valp[win], 0)
+        onehot = (
+            pw[:, :, None] == jnp.arange(1, k2)[None, None, :]
+        ).astype(jnp.float32)  # (nblocks, k2-1, k2-1) — AC columns only
+        ac = jax.lax.dot_general(
+            vw.astype(jnp.float32)[:, None, :],  # (nb, 1, W)
+            onehot,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]
+        grids = jnp.concatenate(
+            [dc.astype(jnp.int16)[:, None], ac.astype(jnp.int16)], axis=1
+        ).reshape(-1)
     out = []
     off = 0
     for c in range(spec.ncomp):

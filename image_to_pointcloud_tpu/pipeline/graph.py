@@ -466,7 +466,21 @@ def _unpack_jpeg_sparse_batch(
     (B,) f32 depth scales); see ``_unpack_jpeg_sparse_fields`` for the
     row layout contract."""
     from image_to_pointcloud_tpu.ops.jpeg import _decode_planes
-    from image_to_pointcloud_tpu.ops.jpeg_sparse import scatter_from_blocks
+    from image_to_pointcloud_tpu.ops.jpeg_sparse import (
+        gather_from_blocks,
+        scatter_from_blocks,
+    )
+
+    # A/B knob (VERDICT r4 item 2): the gather/MXU densify variant vs
+    # the 1-D scatter. Bit-identical outputs (tests/test_jpeg_sparse);
+    # the winner on this rig is recorded in benchmarks/RESULTS.md.
+    import os as _os
+
+    densify = (
+        gather_from_blocks
+        if _os.environ.get("IPC_TPU_JPEG_GATHER") == "1"
+        else scatter_from_blocks
+    )
 
     counts, dc, pos, val, exc_idx, exc_val, qt, scales = (
         _unpack_jpeg_sparse_fields(payload_u8, spec, cap, exc_cap)
@@ -474,7 +488,7 @@ def _unpack_jpeg_sparse_batch(
 
     def one(c, d, p, v, ei, ev, q):
         return _decode_planes(
-            scatter_from_blocks(c, d, p, v, ei, ev, spec), q, spec
+            densify(c, d, p, v, ei, ev, spec), q, spec
         )
 
     return jax.vmap(one)(counts, dc, pos, val, exc_idx, exc_val, qt), scales

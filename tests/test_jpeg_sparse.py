@@ -383,3 +383,55 @@ class TestDecodeEquivalence:
         back = _pad_and_scatter(packed, spec)
         sparse = np.asarray(devjpeg.decode_jpeg_to_rgb(tuple(back), qt, spec))
         np.testing.assert_array_equal(dense, sparse)
+
+
+class TestGatherVariant:
+    """gather_from_blocks (the MXU densify, IPC_TPU_JPEG_GATHER=1) must
+    be bit-identical to scatter_from_blocks on every case the scatter
+    is tested on — wide exceptions, pads, k<8, grayscale, all-zero."""
+
+    @pytest.mark.parametrize(
+        "w,h,ncomp,k,density",
+        [
+            (250, 179, 3, 8, 0.1),   # wide values → exception channel
+            (250, 179, 3, 2, 0.1),   # scaled decode
+            (64, 64, 1, 8, 0.1),     # grayscale
+            (128, 96, 3, 8, 0.0),    # all-zero AC
+            (250, 179, 3, 1, 0.1),   # k=1 DC-only
+        ],
+    )
+    def test_matches_scatter(self, w, h, ncomp, k, density):
+        spec = _spec(w, h, ncomp, k=k)
+        coeffs = _random_coeffs(spec, density=density, seed=ncomp + k)
+        packed = sp.block_pack(coeffs)
+        counts, dc, pos, val, exc_idx, exc_val = packed
+        _, total = sp.coeff_layout(spec)
+        cap = sp.capacity_bucket(len(pos), total)
+        ecap = sp.exception_bucket(len(exc_idx))
+        ppos = np.zeros(cap, np.uint8)
+        pval = np.zeros(cap, np.int8)
+        ppos[: len(pos)] = pos
+        pval[: len(val)] = val
+        pei = np.full(ecap, cap, np.int32)
+        pei[: len(exc_idx)] = exc_idx
+        pev = np.zeros(ecap, np.int16)
+        pev[: len(exc_val)] = exc_val
+        args = (
+            counts.astype(np.int32),
+            dc,
+            ppos.astype(np.int32),
+            pval,
+            pei,
+            pev,
+            spec,
+        )
+        a = sp.scatter_from_blocks(*args)
+        b = sp.gather_from_blocks(*args)
+        assert len(a) == len(b)
+        for c, (ga, gb) in enumerate(zip(a, b)):
+            np.testing.assert_array_equal(
+                np.asarray(ga), np.asarray(gb), err_msg=f"component {c}"
+            )
+        # And both equal the original truncated coefficients.
+        for c, ga in enumerate(a):
+            np.testing.assert_array_equal(np.asarray(ga), coeffs[c])
