@@ -85,22 +85,30 @@ def main() -> None:
         flush=True,
     )
 
-    for bq, bk in [
-        (256, 256),
-        (512, 512),
-        (512, 1536),
-        (256, 1536),
-        (1536, 512),
+    for bq, bk, pack in [
+        (256, 256, 1),
+        (512, 512, 1),
+        (512, 1536, 1),
+        (256, 1536, 1),
+        (1536, 512, 1),
+        # Head packing (round-5): independent per-program head slices
+        # for MXU/VPU overlap (models/attention._flash_kernel_packed).
+        (256, 256, 2),
+        (256, 256, 4),
+        (512, 512, 2),
+        (256, 1536, 2),
     ]:
         fn = jax.jit(
-            functools.partial(flash_attention, block_q=bq, block_k=bk)
+            functools.partial(
+                flash_attention, block_q=bq, block_k=bk, head_pack=pack
+            )
         )
         try:
             t = measure(fn, q, k, v)
         except Exception as e:  # noqa: BLE001
             print(
                 json.dumps(
-                    {"arm": f"flash_{bq}x{bk}", "error": repr(e)[:120]}
+                    {"arm": f"flash_{bq}x{bk}_p{pack}", "error": repr(e)[:120]}
                 ),
                 flush=True,
             )
@@ -108,7 +116,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "arm": f"flash_{bq}x{bk}",
+                    "arm": f"flash_{bq}x{bk}_p{pack}",
                     "ms": round(t * 1e3, 3),
                     "tflops": round(flops / t / 1e12, 1),
                 }

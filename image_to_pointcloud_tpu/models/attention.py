@@ -47,46 +47,73 @@ def _attention_xla(q, k, v, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *, scale, block_k, kv_len):
-    """One program: a (block_q, d) query tile vs the full K/V stream.
+def _flash_kernel_packed(
+    q_ref, k_ref, v_ref, len_ref, o_ref, *, scale, block_k, kv_len, pack
+):
+    """One program: ``pack`` heads' (block_q, d) query tiles vs their
+    K/V streams.
 
-    MXU dtype discipline: both dots run in the INPUT dtype (bf16 on TPU,
-    4× the f32 MXU rate) with f32 accumulation via
+    Why pack heads: at d_head=64 each dot uses half the 128-wide MXU
+    contraction/output lanes, and the serial path measured ~15% MXU —
+    the array idles through every VPU softmax phase (exp/max/sum over
+    the (block_q, block_k) tile). The ``pack`` heads are fully
+    independent, so Mosaic can issue head B's dots while head A's
+    softmax runs on the VPU — instruction-level parallelism that fills
+    the MXU without changing any per-head math (outputs are
+    bit-identical to the unpacked kernel; the loop-carried state is
+    simply ``pack`` copies).
+
+    MXU dtype discipline (round-4 lesson): both dots run in the INPUT
+    dtype (bf16 on TPU, 4× the f32 MXU rate) with f32 accumulation via
     ``preferred_element_type`` — upcasting q/k/v to f32 before the dots
-    quartered the matmul rate and made the kernel lose its round-2 A/B
-    vs XLA's (HBM-bound) materialized path. The scale, softmax and the
-    online-softmax state all stay f32.
-    """
-    q = q_ref[0]  # (block_q, d), input dtype
+    quartered the matmul rate and lost the A/B vs XLA's (HBM-bound)
+    materialized path. The scale, softmax and online-softmax state all
+    stay f32."""
     n_valid = len_ref[0]
-
-    block_q, d = q.shape
-    m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l = jnp.zeros((block_q, 1), jnp.float32)
-    acc = jnp.zeros((block_q, d), jnp.float32)
+    qs = [q_ref[p] for p in range(pack)]  # each (block_q, d)
+    block_q, d = qs[0].shape
+    ms = [jnp.full((block_q, 1), -jnp.inf, jnp.float32) for _ in range(pack)]
+    ls = [jnp.zeros((block_q, 1), jnp.float32) for _ in range(pack)]
+    accs = [jnp.zeros((block_q, d), jnp.float32) for _ in range(pack)]
 
     def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        s = jnp.where(col < n_valid, s, -jnp.inf)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        correction = jnp.exp(m - m_new)
-        l_new = l * correction + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * correction + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc_new
+        ms, ls, accs = carry
+        col = None
+        out_m, out_l, out_a = [], [], []
+        for p in range(pack):
+            k = k_ref[p, pl.ds(i * block_k, block_k), :]
+            v = v_ref[p, pl.ds(i * block_k, block_k), :]
+            s = jnp.dot(qs[p], k.T, preferred_element_type=jnp.float32) * scale
+            if col is None:
+                col = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    + i * block_k
+                )
+            s = jnp.where(col < n_valid, s, -jnp.inf)
+            m_new = jnp.maximum(ms[p], jnp.max(s, axis=1, keepdims=True))
+            pr = jnp.exp(s - m_new)
+            correction = jnp.exp(ms[p] - m_new)
+            out_m.append(m_new)
+            out_l.append(
+                ls[p] * correction + jnp.sum(pr, axis=1, keepdims=True)
+            )
+            out_a.append(
+                accs[p] * correction
+                + jnp.dot(
+                    pr.astype(v.dtype), v, preferred_element_type=jnp.float32
+                )
+            )
+        return out_m, out_l, out_a
 
-    m, l, acc = jax.lax.fori_loop(0, kv_len // block_k, body, (m, l, acc))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    ms, ls, accs = jax.lax.fori_loop(
+        0, kv_len // block_k, body, (ms, ls, accs)
+    )
+    for p in range(pack):
+        o_ref[p] = (accs[p] / ls[p]).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "head_pack")
 )
 def flash_attention(
     q: jax.Array,
@@ -96,11 +123,16 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    head_pack: int = 1,
 ) -> jax.Array:
     """Flash attention over (B, H, N, D) tensors (full bidirectional).
 
     N is padded to the tile size internally; padded keys are masked out of
-    the softmax, padded queries are discarded on return.
+    the softmax, padded queries are discarded on return. ``head_pack``
+    processes that many (batch·head) slices per program — independent
+    work that lets Mosaic fill the MXU during VPU softmax phases (see
+    ``_flash_kernel_packed``); it must divide B·H and is math-identical
+    at any value.
     """
     b, h, n, d = q.shape
     scale = 1.0 / math.sqrt(d)
@@ -118,26 +150,46 @@ def flash_attention(
 
     qp, kp, vp = pad(q), pad(k), pad(v)
     bh = b * h
+    if bh % head_pack != 0:
+        head_pack = 1
     qp = qp.reshape(bh, n_pad, d)
     kp = kp.reshape(bh, n_pad, d)
     vp = vp.reshape(bh, n_pad, d)
     lens = jnp.full((1,), n, jnp.int32)
 
-    grid = (bh, n_pad // block_q)
+    grid = (bh // head_pack, n_pad // block_q)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, kv_len=n_pad
+            _flash_kernel_packed,
+            scale=scale,
+            block_k=block_k,
+            kv_len=n_pad,
+            pack=head_pack,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (head_pack, block_q, d),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (head_pack, n_pad, d),
+                lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (head_pack, n_pad, d),
+                lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (head_pack, block_q, d),
+            lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(qp, kp, vp, lens)
@@ -162,7 +214,15 @@ def multi_head_attention(
 
     qh, kh, vh = split(q), split(k), split(v)
     if use_flash:
-        o = flash_attention(qh, kh, vh, interpret=interpret)
+        # Head packing (IPC_TPU_FLASH_PACK, default 1 until the on-chip
+        # A/B in benchmarks/RESULTS.md says otherwise): independent
+        # per-program head slices that fill the MXU during VPU softmax
+        # phases. Math-identical at any setting; non-divisible B·H
+        # falls back to 1 inside flash_attention.
+        import os as _os
+
+        pack = int(_os.environ.get("IPC_TPU_FLASH_PACK", "1") or 1)
+        o = flash_attention(qh, kh, vh, interpret=interpret, head_pack=pack)
     else:
         o = _attention_xla(qh, kh, vh, 1.0 / math.sqrt(dh))
     return o.transpose(0, 2, 1, 3).reshape(b, n, dm).astype(q.dtype)

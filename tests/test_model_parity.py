@@ -182,3 +182,32 @@ class TestQuantized:
         # Scales shard like biases of the same layer.
         assert param_sharding_rules("backbone/block0/v/kernel_scale") == \
             param_sharding_rules("backbone/block0/v/bias")
+
+
+def test_flash_attention_head_pack_identical(rng):
+    """head_pack processes multiple (batch·head) slices per program for
+    MXU/VPU overlap; outputs must be bit-identical to the unpacked
+    kernel at every pack (same dots, same order, just ILP)."""
+    from image_to_pointcloud_tpu.models.attention import flash_attention
+
+    q = jnp.asarray(rng.normal(0, 1, (2, 4, 200, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (2, 4, 200, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (2, 4, 200, 32)).astype(np.float32))
+    base = np.asarray(
+        flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    )
+    for pack in (2, 4, 8):
+        packed = np.asarray(
+            flash_attention(
+                q, k, v, block_q=128, block_k=128, interpret=True,
+                head_pack=pack,
+            )
+        )
+        np.testing.assert_array_equal(packed, base)
+    # Non-divisible pack falls back to 1 (b·h = 8, pack 3).
+    fb = np.asarray(
+        flash_attention(
+            q, k, v, block_q=128, block_k=128, interpret=True, head_pack=3
+        )
+    )
+    np.testing.assert_array_equal(fb, base)
