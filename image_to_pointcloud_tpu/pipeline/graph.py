@@ -172,8 +172,9 @@ def depth8t_section_len(hh: int, ww: int) -> int:
 
 
 def pack_depth8t(dn_s: jax.Array) -> jax.Array:
-    """Sub-byte tiled depth transfer (``IPC_TPU_DEPTH8T=1``): (B, hh,
-    ww) normalized depth in [0, 1] → one u8 row per image.
+    """Sub-byte tiled depth transfer (the quantized-transfer default
+    since round 5): (B, hh, ww) normalized depth in [0, 1] → one u8 row
+    per image.
 
     Depth surfaces are smooth, so a flat 12-bit code spends bits
     uniformly where a local code would not have to: quantize to the
@@ -184,12 +185,14 @@ def pack_depth8t(dn_s: jax.Array) -> jax.Array:
     error is ≤ range/510 + 0.5 d12 steps (two roundings), so a tile
     whose range ≤ 255 lands within 1 d12 step — in z, ≤ 1.5·scale/4095
     including the base quantization, vs the flat 12-bit pack's
-    0.5·scale/4095. The <1e-3 *absolute* z budget of PARITY.md
-    deviation 12 therefore caps at scale ≈ 2.7 for coded tiles
-    (1.5·scale/4095 ≤ 1e-3) vs scale ≈ 8.2 for the flat pack; at the
-    default scale 10 the codec's worst case is ≈ 3.7e-3 in z, which is
-    why it ships opt-in (``IPC_TPU_DEPTH8T=1``) and the flat 12-bit
-    pack stays the quantized-transfer default. Wide tiles (depth
+    0.5·scale/4095. The <1e-3 *absolute* z budget caps at scale ≈ 2.7
+    for coded tiles (1.5·scale/4095 ≤ 1e-3) vs scale ≈ 8.2 for the
+    flat pack; at the default scale 10 the worst case is ≈ 3.7e-3 in z
+    — but the north-star budget is per-point **RMSE**, and that
+    measures 8.1e-4 at scale 10 even on adversarial random-init depth
+    (PARITY.md deviation 12; smooth real content lands within 1 d12
+    step). ``IPC_TPU_DEPTH12=1``/``IPC_TPU_DEPTH16=1`` are the
+    precision escape hatches. Wide tiles (depth
     edges) are
     patched from a fixed-capacity 12-bit side list: the top
     ``ceil(T/8)`` tiles by range ship their exact d12 values
@@ -745,17 +748,21 @@ class DepthPipeline:
         if quantized_transfer is None:
             quantized_transfer = default_quantized_transfer()
         self.quantized_transfer = quantized_transfer
-        # Quantized-transfer depth precision: 12-bit packed (1.5 B/pt)
-        # by default; IPC_TPU_DEPTH16=1 restores the u16 contract (see
-        # pack_depth12 / PARITY.md deviation 12).
+        # Quantized-transfer depth precision: the sub-byte tiled codec
+        # (~1.25 B/pt) is the default since the round-5 on-chip A/B
+        # (benchmarks/RESULTS.md 2026-08-21: e2e 118.6 vs 77.5 same
+        # battery, strictly fewer D2H bytes on the serialized link;
+        # measured per-point RMSE 8.1e-4 at scale 10 on adversarial
+        # random-init content — inside the <1e-3 budget, PARITY.md
+        # deviation 12). IPC_TPU_DEPTH12=1 restores the flat 12-bit
+        # pack, IPC_TPU_DEPTH16=1 the full u16 contract; small/ragged
+        # grids auto-fall-back to 12-bit (_depth_codec_bits).
         import os as _os
 
         self.depth_bits = (
             16
             if _os.environ.get("IPC_TPU_DEPTH16") == "1"
-            else (
-                8 if _os.environ.get("IPC_TPU_DEPTH8T") == "1" else 12
-            )
+            else (12 if _os.environ.get("IPC_TPU_DEPTH12") == "1" else 8)
         )
         # Hybrid-JPEG color policy: reconstruct grid colors on the host
         # from the coefficients (drops the largest D2H bundle item)

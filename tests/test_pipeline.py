@@ -150,11 +150,13 @@ class TestFullPipeline:
 
 class TestQuantizedTransfer:
     @pytest.mark.parametrize("density", ["medium", "high"])
-    def test_depth16_matches_f32_path(self, rng, density):
-        """The quantized transfer mode reconstructs the same cloud
-        within its quantization budget: the default 12-bit packed depth
-        bounds |Δz| by depth_scale/4095/2 ≈ 1.3e-3 at scale 10 (RMSE
-        ≈ 7e-4, inside the <1e-3 parity budget; PARITY.md deviation 12).
+    def test_depth12_matches_f32_path(self, rng, density, monkeypatch):
+        """The flat 12-bit packed depth (IPC_TPU_DEPTH12=1 escape
+        hatch; the pre-round-5 default) bounds |Δz| by
+        depth_scale/4095/2 ≈ 1.3e-3 at scale 10 (RMSE ≈ 7e-4, inside
+        the <1e-3 parity budget; PARITY.md deviation 12). The round-5
+        DEFAULT codec (sub-byte tiled) is covered with its own oracle
+        bound by test_depth8t_default_pipeline_parity.
 
         density=medium gives a point count divisible by 8; density=high
         (70·63 = 4410 points) exercises the keep-bit padding lanes of the
@@ -167,6 +169,7 @@ class TestQuantizedTransfer:
 
         from image_to_pointcloud_tpu.pipeline.graph import DepthPipeline
 
+        monkeypatch.setenv("IPC_TPU_DEPTH12", "1")
         _, model, variables = _build_pair(image_size=56)
         opts = PipelineOptions(density=density)
         img = rng.integers(0, 256, (70, 63, 3), dtype=np.uint8)
@@ -177,7 +180,9 @@ class TestQuantizedTransfer:
         b = DepthPipeline(
             model.cfg, variables["params"], model_target=56,
             quantized_transfer=True,
-        ).run(img, depth_scale=10.0, options=opts)
+        )
+        assert b.depth_bits == 12
+        b = b.run(img, depth_scale=10.0, options=opts)
         assert a.raw_point_count == b.raw_point_count
         assert a.kept_point_count == b.kept_point_count
         np.testing.assert_allclose(a.points, b.points, atol=1.5e-3)
@@ -295,11 +300,12 @@ class TestQuantizedTransfer:
             if np.all(widest_coded <= 255):
                 assert err.max() <= 1.0 + 1e-3
 
-    def test_depth8t_env_pipeline_parity(self, rng, monkeypatch):
-        """IPC_TPU_DEPTH8T=1 swaps the bundle's depth section for the
-        sub-byte tile codec; the reconstructed cloud matches the f32
-        path within the codec's oracle-computed error bound and keeps
-        identical colors/keep decisions."""
+    def test_depth8t_default_pipeline_parity(self, rng, monkeypatch):
+        """The sub-byte tile codec is the quantized-transfer DEFAULT
+        (round-5 A/B, PARITY.md deviation 12); the reconstructed cloud
+        matches the f32 path within the codec's oracle-computed error
+        bound and keeps identical colors/keep decisions. IPC_TPU_DEPTH12
+        restores the flat pack."""
         import sys
 
         sys.path.insert(0, "tests")
@@ -314,12 +320,17 @@ class TestQuantizedTransfer:
             model.cfg, variables["params"], model_target=56,
             quantized_transfer=False,
         ).run(img, depth_scale=10.0, options=opts)
-        monkeypatch.setenv("IPC_TPU_DEPTH8T", "1")
+        monkeypatch.setenv("IPC_TPU_DEPTH12", "1")
+        assert DepthPipeline(
+            model.cfg, variables["params"], model_target=56,
+            quantized_transfer=True,
+        ).depth_bits == 12
+        monkeypatch.delenv("IPC_TPU_DEPTH12")
         pipe8 = DepthPipeline(
             model.cfg, variables["params"], model_target=56,
             quantized_transfer=True,
         )
-        assert pipe8.depth_bits == 8
+        assert pipe8.depth_bits == 8  # the default, no env needed
         b = pipe8.run(img, depth_scale=10.0, options=opts)
         assert a.kept_point_count == b.kept_point_count
         np.testing.assert_array_equal(a.colors, b.colors)
@@ -356,7 +367,7 @@ class TestQuantizedTransfer:
     ):
         """On small/ragged strided grids the tiled codec's fixed costs
         (64 B edge-padded codes per tile, headers, side-list slots)
-        exceed the flat 12-bit pack, so IPC_TPU_DEPTH8T=1 must fall
+        exceed the flat 12-bit pack, so the default codec must fall
         back to pack_depth12 there (round-4 advisor) — and the device
         pack and host unpack must agree on the choice."""
         import sys
@@ -380,12 +391,11 @@ class TestQuantizedTransfer:
             model.cfg, variables["params"], model_target=56,
             quantized_transfer=False,
         ).run(img, depth_scale=10.0, options=opts)
-        monkeypatch.setenv("IPC_TPU_DEPTH8T", "1")
         pipe8 = DepthPipeline(
             model.cfg, variables["params"], model_target=56,
             quantized_transfer=True,
         )
-        assert pipe8.depth_bits == 8
+        assert pipe8.depth_bits == 8  # the default
         hh, ww = a.grid_hw
         assert pipe8._depth_codec_bits(hh, ww) == 12
         b = pipe8.run(img, depth_scale=10.0, options=opts)
