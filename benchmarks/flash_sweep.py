@@ -20,27 +20,35 @@ import time
 import numpy as np
 
 
-def measure(fn, *args, iters=24):
+def measure(fn, q, k, v, reps=64, rounds=6):
+    """ms per op via an in-graph scan repeat.
+
+    A bare 1-layer attention is ~2 ms — invisible under this rig's
+    ~25 ms serialized dispatch round trip (the first version of this
+    sweep measured a flat 27 ms for every arm INCLUDING the XLA
+    reference: pure relay latency). Chaining ``reps`` applications
+    inside one jitted ``lax.scan`` (output feeds the next query, so
+    nothing dead-code-eliminates) amortizes the round trip to
+    latency/reps and times the kernel itself. Best-of-``rounds``
+    single dispatches (CLAUDE.md: best-of within a window)."""
     import jax
 
-    out = fn(*args)
-    np.asarray(out)  # compile + settle
-    from collections import deque
+    @jax.jit
+    def go(q, k, v):
+        def body(c, _):
+            o = fn(c, k, v)
+            return o.astype(c.dtype), ()
 
-    probes: deque = deque()
-    stamps = [time.perf_counter()]
-    for _ in range(iters):
-        probes.append(fn(*args))
-        if len(probes) > 2:
-            np.asarray(probes.popleft()[0, 0, 0, :1])
-            stamps.append(time.perf_counter())
-    while probes:
-        np.asarray(probes.popleft()[0, 0, 0, :1])
-        stamps.append(time.perf_counter())
-    w = min(6, len(stamps) - 1)
-    best = min(
-        (stamps[i + w] - stamps[i]) / w for i in range(len(stamps) - w)
-    )
+        out, _ = jax.lax.scan(body, q, None, length=reps)
+        return out
+
+    np.asarray(go(q, k, v)[0, 0, 0, :1])  # compile + settle
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        np.asarray(go(q, k, v)[0, 0, 0, :1])
+        dt = (time.perf_counter() - t0) / reps
+        best = dt if best is None else min(best, dt)
     return best
 
 
@@ -97,6 +105,8 @@ def main() -> None:
         (256, 256, 4),
         (512, 512, 2),
         (256, 1536, 2),
+        (512, 1536, 2),
+        (768, 1536, 1),
     ]:
         fn = jax.jit(
             functools.partial(

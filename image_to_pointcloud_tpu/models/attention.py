@@ -120,10 +120,10 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     *,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: "int | None" = None,
+    block_k: "int | None" = None,
     interpret: bool = False,
-    head_pack: int = 1,
+    head_pack: int = 2,
 ) -> jax.Array:
     """Flash attention over (B, H, N, D) tensors (full bidirectional).
 
@@ -133,8 +133,22 @@ def flash_attention(
     work that lets Mosaic fill the MXU during VPU softmax phases (see
     ``_flash_kernel_packed``); it must divide B·H and is math-identical
     at any value.
+
+    Default blocks come from the round-5 on-chip sweep at the flagship
+    shape (B·H=96, N=1370→1536, D=64; benchmarks/RESULTS.md
+    2026-08-21): (512, 1536) with head_pack=2 ran 1.35 ms vs 2.53 ms
+    for the round-4 (256, 256) default and 2.03 ms for XLA's fused
+    path — streaming the whole padded K/V as ONE k-block removes every
+    online-softmax correction pass, and the wide q-tile amortizes the
+    d=64 half-width dots. Shorter admitted sequences (N < 1200) keep
+    512-wide k-blocks so the lcm padding never inflates their K/V
+    stream by more than a tile.
     """
     b, h, n, d = q.shape
+    if block_q is None:
+        block_q = 512
+    if block_k is None:
+        block_k = 1536 if n >= 1200 else 512
     scale = 1.0 / math.sqrt(d)
     # Pad to a multiple of BOTH tile sizes: the query grid divides by
     # block_q and the K/V stream by block_k — max() alone silently
@@ -214,14 +228,14 @@ def multi_head_attention(
 
     qh, kh, vh = split(q), split(k), split(v)
     if use_flash:
-        # Head packing (IPC_TPU_FLASH_PACK, default 1 until the on-chip
-        # A/B in benchmarks/RESULTS.md says otherwise): independent
+        # Head packing (IPC_TPU_FLASH_PACK; default 2 per the round-5
+        # on-chip sweep, benchmarks/RESULTS.md 2026-08-21): independent
         # per-program head slices that fill the MXU during VPU softmax
         # phases. Math-identical at any setting; non-divisible B·H
         # falls back to 1 inside flash_attention.
         import os as _os
 
-        pack = int(_os.environ.get("IPC_TPU_FLASH_PACK", "1") or 1)
+        pack = int(_os.environ.get("IPC_TPU_FLASH_PACK", "2") or 2)
         o = flash_attention(qh, kh, vh, interpret=interpret, head_pack=pack)
     else:
         o = _attention_xla(qh, kh, vh, 1.0 / math.sqrt(dh))
