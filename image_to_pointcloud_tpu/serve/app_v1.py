@@ -248,12 +248,13 @@ class V1Service:
 
         pipeline = self.models.get(model_name)
         self.loaded_model_names.add(model_name)
-        # Warm every power-of-two micro-batch bucket per size (the
-        # batching queue only dispatches bucket sizes), so concurrent
-        # traffic never hits a cold compile either.
-        buckets = [1]
-        while buckets[-1] < self.max_batch:
-            buckets.append(buckets[-1] * 2)
+        # Warm every micro-batch bucket per size (the batching queue
+        # only dispatches bucket sizes — powers of two + 3·2^k mids,
+        # serve/batching.bucket_sizes), so concurrent traffic never
+        # hits a cold compile either.
+        from image_to_pointcloud_tpu.serve.batching import bucket_sizes
+
+        buckets = bucket_sizes(self.max_batch)
         ok = 0
         total = 0
         for h, w in self.warmup_sizes:

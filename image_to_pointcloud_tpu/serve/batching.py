@@ -54,7 +54,25 @@ def _env_int(name: str, default: int, lo: int = 1) -> int:
 # IPC_TPU_BATCH_DEBUG=1: log per-drain submit/collect timings.
 _DEBUG = _env_flag("IPC_TPU_BATCH_DEBUG")
 
-__all__ = ["BatchingQueue"]
+__all__ = ["BatchingQueue", "bucket_sizes"]
+
+
+def bucket_sizes(max_batch: int) -> list[int]:
+    """The compiled batch-size buckets: powers of two plus 3·2^k mid
+    steps (12, 24, …), capped at ``max_batch``. The mids exist because
+    closed-loop cohorts (N lockstep clients) land *between* powers of
+    two — round-5 drain logs showed every 12-client drain padding
+    n=12 → bucket 16, +33% device work dropped on the floor. Each
+    bucket is one XLA signature; the mids add ~log(max_batch)/2
+    compiles, all covered by serving warmup."""
+    sizes = {1, max_batch}
+    b = 2
+    while b <= max_batch:
+        sizes.add(b)
+        if 3 * b // 2 <= max_batch and b >= 8:
+            sizes.add(3 * b // 2)
+        b *= 2
+    return sorted(sizes)
 
 
 @dataclasses.dataclass
@@ -156,15 +174,31 @@ class BatchingQueue:
                     asyncio.get_running_loop().time()
                     + self.window_ms / 1000.0
                 )
+                # Arrival-gap debounce: closed-loop clients arrive as a
+                # burst (they were all released by the previous drain),
+                # so "no new arrival for debounce_ms" means the cohort
+                # is complete — dispatch NOW instead of sleeping out
+                # the full window (round-5 serving logs: window 60 ms
+                # split 12-client cohorts 5+7 across drains; window
+                # 150 ms coalesced them but billed every job the wait).
+                debounce = min(0.025, self.window_ms / 1000.0 / 3.0)
+                last_growth = asyncio.get_running_loop().time()
                 while True:
+                    grew = False
                     while (
                         len(batch) < self.max_batch
                         and not self._queue.empty()
                     ):
                         batch.append(self._queue.get_nowait())
+                        grew = True
+                    now = asyncio.get_running_loop().time()
+                    if grew:
+                        last_growth = now
                     if len(batch) >= self.max_batch or self.window_ms <= 0:
                         break
-                    wait = deadline - asyncio.get_running_loop().time()
+                    if now - last_growth >= debounce and len(batch) > 1:
+                        break
+                    wait = deadline - now
                     if wait <= 0:
                         break
                     await asyncio.sleep(min(0.005, wait))
@@ -204,17 +238,16 @@ class BatchingQueue:
                 from image_to_pointcloud_tpu.serve.metrics import BATCH_SIZE
 
                 BATCH_SIZE.observe(len(items))
-                # Pad to the next power-of-two bucket: every distinct
-                # batch size is its own XLA graph signature (minutes per
-                # compile on a remote-relay TPU), and arrival timing
-                # would otherwise produce an unbounded spread of sizes.
-                # Buckets cap the compile count at log2(max_batch)+1;
-                # padded rows repeat the last image and their results
-                # are dropped.
+                # Pad to the next bucket (powers of two + 3·2^k mids;
+                # see bucket_sizes): every distinct batch size is its
+                # own XLA graph signature (minutes per compile on a
+                # remote-relay TPU), and arrival timing would otherwise
+                # produce an unbounded spread of sizes. Padded rows
+                # repeat the last image and their results are dropped.
                 n = len(items)
-                bucket = 1
-                while bucket < n:
-                    bucket *= 2
+                bucket = next(
+                    b for b in bucket_sizes(self.max_batch) if b >= n
+                )
                 images = [i.image for i in items]
                 scales = [i.depth_scale for i in items]
                 images += [images[-1]] * (bucket - n)

@@ -1180,3 +1180,19 @@ class TestV1MeshServing:
             assert (
                 rm["gisData"]["pointCount"] == r1["gisData"]["pointCount"]
             ), i
+
+
+def test_bucket_sizes_contract():
+    """Bucket set: powers of two + 3·2^k mids (12, 24, …) capped at
+    max_batch — mids exist because closed-loop cohorts land between
+    powers of two (round-5 drain logs: n=12 padded to 16, +33% dropped
+    device work). Must always contain 1 and max_batch, ascending."""
+    from image_to_pointcloud_tpu.serve.batching import bucket_sizes
+
+    assert bucket_sizes(16) == [1, 2, 4, 8, 12, 16]
+    assert bucket_sizes(32) == [1, 2, 4, 8, 12, 16, 24, 32]
+    assert bucket_sizes(8) == [1, 2, 4, 8]
+    assert bucket_sizes(1) == [1]
+    for mb in (3, 5, 24, 48):
+        bs = bucket_sizes(mb)
+        assert bs[0] == 1 and bs[-1] == mb and bs == sorted(set(bs))

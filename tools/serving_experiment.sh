@@ -25,19 +25,21 @@ for h in chiplock.evict_tpu_holders():
 EOF
 
 IPC_TPU_BATCH_DEBUG=1 IPC_TPU_BATCH_WINDOW_MS=$WINDOW IPC_TPU_DRAIN_DEPTH=$DEPTH \
+  IPC_TPU_WARMUP_JPEG_ONLY=1 \
   nohup python -m image_to_pointcloud_tpu.serve --generation v1 --port 8011 \
   --jpeg-device-decode --warmup 518x518 --output-dir "$OUT/outputs" \
   > "$OUT/server.log" 2>&1 &
 
-# Wait for warmup (remote compiles; warm cache = seconds, cold = minutes).
-for i in $(seq 1 120); do
+# Wait for REAL warmup completion ("Warmup complete (N/M signatures)")
+# — the bind log line appears immediately and must not end the wait;
+# post-kernel-change warmups recompile every signature (minutes each).
+for i in $(seq 1 300); do
   sleep 5
-  if grep -q "warmup complete\|Serving v1" "$OUT/server.log" 2>/dev/null; then
-    # Probe an actual request path readiness via /health.
+  if grep -q "Warmup complete" "$OUT/server.log" 2>/dev/null; then
     if curl -s -m 3 http://127.0.0.1:8011/health >/dev/null; then break; fi
   fi
 done
-grep -i "warmup\|serving" "$OUT/server.log" | tail -3
+grep -i "warmup\|serving" "$OUT/server.log" | tail -4
 
 python benchmarks/serving_bench.py --url http://127.0.0.1:8011 \
   --clients "$CLIENTS" --jobs "$JOBS" --input jpeg --wait-ms 2000 \
